@@ -1,0 +1,115 @@
+"""MinHash-LSH near-duplicate candidate generation + verification.
+
+The distributed generalization of the reference's funnel (R2,
+lib/shredder.c:47-60): cheap signatures route files into buckets;
+only bucket-mates are compared; survivors are verified exactly. The
+"band join" replaces ``rm_shred_sift``'s digest routing
+(lib/shredder.c:979-1045) with a relational self-join.
+
+Pipeline:
+  files --minhash_udf--> signatures (array<long>, one Arrow pass)
+        --band hash----> (band_id, band_hash) rows  [posexplode]
+        --self-join----> candidate pairs (a < b)    [skew-guarded]
+        --zip_with-----> estimated Jaccard filter   [JVM-side]
+        --optional-----> exact token-Jaccard / byte confirm
+
+Scale notes:
+- file ids are 128-bit content-independent keys (sha256/2 of the row
+  key) so pair joins shuffle 2x16 bytes, never paths or content;
+- bucket width is capped (cfg.max_bucket_width): a bucket wider than
+  the cap degenerates into O(w^2) pairs — those buckets are emitted
+  to a side report instead of exploding the join (reference analog:
+  the paranoid-memory governor holding back giant groups,
+  lib/shredder.c:582-647). The exact funnel already catches their
+  exact dups; near-dup recall inside pathological buckets is traded
+  for boundedness, and the side report makes the trade visible;
+- AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rmlint_spark.config import DEFAULT, EngineConfig
+from rmlint_spark.functions.minhash import estimated_jaccard, minhash_udf
+from rmlint_spark.operators.lint import KEY, drop_path_doubles
+
+
+def file_id(prefix: str = "") -> F.Column:
+    """128-bit hex row key (collision-safe at 10^12 rows, unlike a
+    64-bit surrogate)."""
+    return F.substring(
+        F.sha2(F.concat_ws("\x01", F.lit(prefix), "repo", "path", "commit"), 256), 1, 32
+    )
+
+
+def with_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(fid, repo, path, commit, sig) — one vectorized Arrow pass."""
+    sig = minhash_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed)
+    return (
+        drop_path_doubles(files)
+        .filter(F.length("content") > 0)
+        .select(
+            file_id().alias("fid"), *KEY, sig(F.col("content")).alias("sig")
+        )
+    )
+
+
+def band_buckets(signatures: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(fid, band_id, band_hash): xxhash64 over each signature slice.
+    JVM-side (no Python): transform+slice+xxhash64 inside codegen."""
+    bands, r = cfg.sig.bands, cfg.sig.rows_per_band
+    expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(slice(sig, b * {r} + 1, {r})))"
+    )
+    return signatures.select(
+        "fid", F.posexplode(F.expr(expr)).alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame, cfg: EngineConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join on (band_id, band_hash); returns (pairs, oversized).
+
+    ``pairs``: distinct (fid_a, fid_b) with fid_a < fid_b.
+    ``oversized``: buckets wider than cfg.max_bucket_width, excluded
+    from the join (skew guard) and reported.
+    """
+    buckets = band_buckets(signatures, cfg)
+    widths = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
+    oversized = widths.filter(F.col("width") > cfg.max_bucket_width)
+    ok = buckets.join(oversized.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti")
+    a = ok.select("band_id", "band_hash", F.col("fid").alias("fid_a"))
+    b = ok.select("band_id", "band_hash", F.col("fid").alias("fid_b"))
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("fid_a") < F.col("fid_b"))
+        .select("fid_a", "fid_b")
+        .dropDuplicates(["fid_a", "fid_b"])
+    )
+    return pairs, oversized
+
+
+def verified_pairs(
+    signatures: DataFrame, cfg: EngineConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs filtered by estimated Jaccard >= threshold.
+
+    Returns (verified, oversized_report). Verification joins carry
+    only (fid, sig) — content never shuffles here.
+    """
+    pairs, oversized = candidate_pairs(signatures, cfg)
+    sigs = signatures.select("fid", "sig")
+    joined = (
+        pairs.join(sigs.withColumnRenamed("fid", "fid_a").withColumnRenamed("sig", "sig_a"), "fid_a")
+        .join(sigs.withColumnRenamed("fid", "fid_b").withColumnRenamed("sig", "sig_b"), "fid_b")
+    )
+    verified = (
+        joined.withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est_jaccard") >= cfg.jaccard_threshold)
+        .select("fid_a", "fid_b", "est_jaccard")
+    )
+    return verified, oversized

@@ -1,0 +1,135 @@
+"""Exact-dup funnel vs an independent hashlib oracle.
+
+Oracle design is a port of the reference's verifier
+(tests/test_speed/verify.py:23-44): recompute sha256 with Python
+hashlib over collected rows (no Spark involvement) and compare
+cluster assignments pairwise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from rmlint_spark.config import DEFAULT, EngineConfig, SignatureConfig
+from rmlint_spark.operators.exact import exact_clusters, session_totals, uniques
+from rmlint_spark.operators.lint import classify, drop_path_doubles
+
+
+def oracle_clusters(files_df):
+    """Brute-force: dedupe rows, drop empties, group by full content."""
+    rows = files_df.collect()
+    seen = set()
+    groups = defaultdict(list)
+    for r in rows:
+        key = (r["repo"], r["path"], r["commit"])
+        if key in seen or len(r["content"]) == 0:
+            continue
+        seen.add(key)
+        groups[hashlib.sha256(r["content"].encode()).hexdigest()].append(key)
+    return {h: sorted(ks) for h, ks in groups.items() if len(ks) >= 2}
+
+
+def as_pairs(cluster_map):
+    pairs = set()
+    for ks in cluster_map.values():
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                pairs.add((ks[i], ks[j]))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def clustered(corpus):
+    files, _ = corpus
+    # small prefix to force the prefix stage to actually discriminate
+    cfg = EngineConfig(sig=SignatureConfig(prefix_len=64))
+    return exact_clusters(files, cfg).cache()
+
+
+def test_clusters_match_oracle_exactly(corpus, clustered):
+    files, _ = corpus
+    oracle = oracle_clusters(files)
+    got = defaultdict(list)
+    for r in clustered.collect():
+        got[r["cluster_id"]].append((r["repo"], r["path"], r["commit"]))
+    got = {h: sorted(ks) for h, ks in got.items()}
+    assert as_pairs(got) == as_pairs(oracle)
+    # checksum invariant: cluster ids ARE the content sha256
+    assert set(got.keys()) == set(oracle.keys())
+
+
+def test_recall_is_one_for_exact(corpus, clustered):
+    """north rule: dup-pair recall >= 0.99; exact funnel must hit 1.0."""
+    files, _ = corpus
+    oracle_pairs = as_pairs(oracle_clusters(files))
+    got = defaultdict(list)
+    for r in clustered.collect():
+        got[r["cluster_id"]].append((r["repo"], r["path"], r["commit"]))
+    got_pairs = as_pairs({h: sorted(k) for h, k in got.items()})
+    recall = len(got_pairs & oracle_pairs) / len(oracle_pairs)
+    assert recall == 1.0
+
+
+def test_one_original_per_cluster(clustered):
+    bad = (
+        clustered.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_original").cast("int")).alias("n_orig"))
+        .filter(F.col("n_orig") != 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_nearmiss_never_clusters(corpus, clustered):
+    _, truth = corpus
+    nm = truth.filter(F.col("scenario") == "nearmiss")
+    joined = clustered.join(nm, ["repo", "path", "commit"], "inner")
+    # nearmiss rows may only cluster with... nothing: contents are unique
+    assert joined.count() == 0
+
+
+def test_uniques_complement(corpus, clustered):
+    files, _ = corpus
+    cfg = EngineConfig(sig=SignatureConfig(prefix_len=64))
+    u = uniques(files, clustered, cfg)
+    base_n = drop_path_doubles(files).filter(F.length("content") >= 1).count()
+    assert u.count() + clustered.count() == base_n
+
+
+def test_lint_routing(corpus):
+    files, truth = corpus
+    classified = classify(files)
+    joined = classified.join(truth, ["repo", "path", "commit"])
+    empties = joined.filter(F.col("scenario") == "empty")
+    assert empties.filter(F.col("lint_type") != "emptyfile").count() == 0
+    # each planted pathdouble contributes exactly one 'pathdouble' row
+    n_doubles_truth = truth.filter(F.col("scenario") == "pathdouble").count()
+    n_doubles_clf = classified.filter(F.col("lint_type") == "pathdouble").count()
+    assert n_doubles_clf == n_doubles_truth
+
+
+def test_session_totals(clustered):
+    r = session_totals(clustered).collect()[0]
+    assert r["dup_group_counter"] > 0
+    assert r["dup_counter"] >= r["dup_group_counter"]
+    assert r["duplicate_bytes"] > 0
+
+
+def test_metamorphic_parallelism(corpus):
+    """Pedantic-mode analog (reference tests/utils.py:250-305): same
+    clusters under different shuffle partitioning and prefix config."""
+    files, _ = corpus
+    base = {
+        (r["repo"], r["path"], r["commit"], r["cluster_id"])
+        for r in exact_clusters(files, EngineConfig(sig=SignatureConfig(prefix_len=64))).collect()
+    }
+    rep = files.repartition(3)
+    alt = {
+        (r["repo"], r["path"], r["commit"], r["cluster_id"])
+        for r in exact_clusters(rep, EngineConfig(sig=SignatureConfig(prefix_len=7))).collect()
+    }
+    assert base == alt
