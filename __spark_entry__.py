@@ -38,6 +38,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# token 3-shingles + 8 sha256 "permutations" — shared by the SQL
+# MinHash oracle and its banding variant
+MINHASH_SQL_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+perms AS (SELECT unnest(generate_series(0, 7)) AS perm)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the exact-duplicate funnel (SURVEY.md §7.1) over the
     sf0.001 documents corpus, with a deterministic 10% duplicated
@@ -234,6 +245,197 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    # exact dedup "keep canonical": every doc mapped to the min doc_id
+    # sharing its content hash (hash-groupBy dedup, J1/J3 analog)
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy(F.sha2("text", 256))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def q_minhash_sql(spark, sf_dir):
+    # SQL-expressible MinHash (token 3-shingles, 8 sha256 permutations)
+    # — JVM-native variant of the pandas-UDF signature path, oracle-
+    # checkable against DuckDB. (num_perm=8 keeps the oracle cheap.)
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    perms = spark.range(8).select(F.col("id").cast("int").alias("perm"))
+    return (
+        exploded.crossJoin(perms)
+        .select(
+            "doc_id",
+            "perm",
+            F.sha2(F.concat("shingle", F.lit("#"), F.col("perm").cast("string")), 256).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def q_lsh_band_buckets(spark, sf_dir):
+    # LSH banding over the SQL MinHash rows: 2 bands x 4 perms,
+    # band signature = sha256 of the ordered slot concatenation
+    mh = q_minhash_sql(spark, sf_dir).withColumn("band", (F.col("perm") / 4).cast("int"))
+    assembled = (
+        mh.groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minh"))).alias("slots"))
+        .select(
+            "doc_id",
+            "band",
+            F.sha2(
+                F.concat_ws("|", F.expr("transform(slots, s -> s.minh)")), 256
+            ).alias("band_sig"),
+        )
+    )
+    return assembled
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    # exact token-3-gram Jaccard for same-(lang, n_chars) bucket pairs
+    d = _docs(spark, sf_dir)
+    toks = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    sh = d.select("doc_id", "lang", "n_chars", F.explode(toks).alias("shingle")).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "lang", "n_chars", "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "lang", "n_chars", "shingle")
+    inter = (
+        a.join(b, ["lang", "n_chars", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("sa") + F.col("sb") - F.col("inter")).alias("un"),
+        )
+    )
+
+
+def q_duplicate_dirs(spark, sf_dir):
+    # J5/A5/A6: whole-directory duplicate detection (treemerge analog)
+    from rmlint_spark.operators.treemerge import duplicate_dirs
+
+    files = documents_as_files(_docs(spark, sf_dir))
+    # plant a full mirror of one source repo so the operator observes a
+    # real cross-repo duplicate tree (maximality reports its root)
+    mirrored = files.filter(F.col("repo") == "src0").withColumn(
+        "repo", F.lit("mirror-repo")
+    )
+    dd = duplicate_dirs(files.unionByName(mirrored), CFG)
+    return dd.select(
+        "repo", "dir", "n_files", "set_sig", "cluster_id", "cluster_size",
+        "rank", F.col("is_original").cast("int").alias("is_original"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def q_cc_components(spark, sf_dir):
+    # iterative connected components over a derived edge list:
+    # consecutive doc_ids sharing a lang form chain edges
+    from rmlint_spark.operators.connected_components import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    a = d.select(F.col("doc_id").alias("fid_a"), "lang")
+    b = d.select((F.col("doc_id") - 1).alias("fid_a"), F.col("doc_id").alias("fid_b"), "lang")
+    edges = a.join(b, ["fid_a", "lang"]).select("fid_a", "fid_b")
+    return connected_components(edges).select(
+        F.col("fid").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    # rows-only: float tie-breaks make cross-engine hashes brittle
+    from rmlint_spark.operators.ann import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, k=5).select("vec_id", "neighbor_id", "rk")
+
+
+def q_ann_hyperplane(spark, sf_dir):
+    from rmlint_spark.operators.ann import hyperplane_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_topk(emb, k=5, n_bands=24, bits_per_band=4).select(
+        "vec_id", "neighbor_id", "rk"
+    )
+
+
+def q_near_dup_pipeline(spark, sf_dir):
+    from rmlint_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir)
+    files = documents_as_files(docs)
+    mirrored = (
+        documents_as_files(docs.filter(F.pmod("doc_id", F.lit(10)) == 0))
+        .withColumn("path", F.concat(F.lit("mirror/"), F.col("path")))
+        .withColumn("repo", F.lit("mirror-repo"))
+    )
+    res = run_pipeline(files.unionByName(mirrored), CFG)
+    return res.near_clusters.select(
+        "repo", "path", "commit", "cluster_id", "cluster_size", "rank",
+        F.col("is_original").cast("int").alias("is_original"),
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from rmlint_spark.operators.simhash_op import simhash_candidates, with_simhash
+
+    docs = _docs(spark, sf_dir)
+    files = documents_as_files(docs)
+    mirrored = (
+        documents_as_files(docs.filter(F.pmod("doc_id", F.lit(10)) == 0))
+        .withColumn("path", F.concat(F.lit("mirror/"), F.col("path")))
+        .withColumn("repo", F.lit("mirror-repo"))
+    )
+    pairs, _ = simhash_candidates(with_simhash(files.unionByName(mirrored), CFG), CFG)
+    return pairs
+
+
+def q_substring_clones(spark, sf_dir):
+    from rmlint_spark.operators.substring import substring_clones
+
+    docs = _docs(spark, sf_dir)
+    files = documents_as_files(docs)
+    mirrored = (
+        documents_as_files(docs.filter(F.pmod("doc_id", F.lit(10)) == 0))
+        .withColumn("path", F.concat(F.lit("mirror/"), F.col("path")))
+        .withColumn("repo", F.lit("mirror-repo"))
+    )
+    pairs, _ = substring_clones(files.unionByName(mirrored), CFG, min_shared=2)
+    return pairs
+
+
+def q_multimodal_features(spark, sf_dir):
+    from rmlint_spark.operators.multimodal import extract_features, synthetic_assets
+
+    return extract_features(synthetic_assets(spark, n=200)).select(
+        "asset_id", "kind", "n_bytes", "payload_sha"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_groups": q_size_groups,
@@ -252,6 +454,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
         "topk_per_group": q_topk_per_group,
+        "dedup_canonical": q_dedup_canonical,
+        "minhash_sql": q_minhash_sql,
+        "lsh_band_buckets": q_lsh_band_buckets,
+        "ngram_jaccard": q_ngram_jaccard,
+        "duplicate_dirs": q_duplicate_dirs,
+        "quality_score": q_quality_score,
+        "cc_components": q_cc_components,
+        # rows-only (non-SQL-expressible or float-brittle): driver
+        # records the weaker check for these
+        "ann_topk": q_ann_topk,
+        "ann_hyperplane": q_ann_hyperplane,
+        "near_dup_pipeline": q_near_dup_pipeline,
+        "simhash_pairs": q_simhash_pairs,
+        "substring_clones": q_substring_clones,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -402,5 +619,113 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY o_custkey
                                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
               FROM orders) WHERE rk <= 3
+        """,
+        "dedup_canonical": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+                   count(*) OVER (PARTITION BY sha256(text)) AS group_size
+            FROM documents
+        """,
+        "minhash_sql": MINHASH_SQL_CTE + """
+            SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+                   min(sha256(shingle || '#' || CAST(perm AS VARCHAR))) AS minh
+            FROM sh, perms GROUP BY 1, 2
+        """,
+        "lsh_band_buckets": MINHASH_SQL_CTE + """
+            , mh AS (
+              SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+                     min(sha256(shingle || '#' || CAST(perm AS VARCHAR))) AS minh
+              FROM sh, perms GROUP BY 1, 2)
+            SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+                   sha256(string_agg(minh, '|' ORDER BY perm)) AS band_sig
+            FROM mh GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, lang, n_chars,
+                     array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.n_chars = b.n_chars
+               AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, inter, sa.n_sh + sb.n_sh - inter AS un
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        """,
+        "duplicate_dirs": f"""
+            WITH {FILES_CTE},
+            all_files AS (
+              SELECT * FROM files
+              UNION ALL
+              SELECT 'mirror-repo' AS repo, path, "commit", lang, content
+              FROM files WHERE repo = 'src0'),
+            parts AS (
+              SELECT repo, sha256(content) AS member, string_split(path, '/') AS p
+              FROM all_files),
+            rolled AS (
+              SELECT repo,
+                     CASE WHEN i = 0 THEN ''
+                          ELSE array_to_string(list_slice(p, 1, i), '/') END AS dir,
+                     member
+              FROM parts, UNNEST(generate_series(0, len(p) - 1)) AS u(i)),
+            aggd AS (
+              SELECT repo, dir, count(*) AS n_files,
+                     sha256(string_agg(member, chr(2) ORDER BY member)) AS set_sig
+              FROM rolled GROUP BY 1, 2),
+            g AS (
+              SELECT set_sig AS gs FROM aggd GROUP BY 1 HAVING count(*) >= 2),
+            matched AS (
+              SELECT repo, dir, n_files, set_sig
+              FROM aggd JOIN g ON aggd.set_sig = g.gs),
+            nested AS (
+              SELECT DISTINCT m.repo, m.dir
+              FROM matched m JOIN matched p
+                ON p.repo = m.repo AND p.dir <> m.dir
+               AND (p.dir = '' OR starts_with(m.dir, p.dir || '/'))),
+            pruned AS (
+              SELECT * FROM matched
+              WHERE NOT EXISTS (SELECT 1 FROM nested n
+                                WHERE n.repo = matched.repo AND n.dir = matched.dir)),
+            g2 AS (
+              SELECT set_sig AS gs2, count(*) AS cluster_size
+              FROM pruned GROUP BY 1 HAVING count(*) >= 2)
+            SELECT repo, dir, n_files, set_sig, set_sig AS cluster_id, g2.cluster_size,
+                   row_number() OVER (PARTITION BY set_sig ORDER BY dir, repo) AS rank,
+                   CASE WHEN row_number() OVER (PARTITION BY set_sig
+                                                ORDER BY dir, repo) = 1
+                        THEN 1 ELSE 0 END AS is_original
+            FROM pruned JOIN g2 ON pruned.set_sig = g2.gs2
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   ( least(length(text) / 500.0, 1.0)
+                   + greatest(0.0, 1.0 -
+                       ((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                        / greatest(length(text), 1)) * 10)
+                   + least((CAST({stop_cnt} AS BIGINT)
+                        / greatest(CASE WHEN length(text) = 0 THEN 0
+                                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                                   END, 1)) * 5, 1.0)
+                   ) / 3 AS quality
+            FROM documents
+        """,
+        "cc_components": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     doc_id - row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lang, grp) AS component,
+                     count(*) OVER (PARTITION BY lang, grp) AS sz
+              FROM r)
+            SELECT doc_id, component FROM c WHERE sz >= 2
         """,
     }

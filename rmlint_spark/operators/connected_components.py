@@ -1,0 +1,83 @@
+"""Iterative connected components over a candidate-pair edge list.
+
+The distributed generalization of the reference's union-by-digest
+sift (rm_shred_sift, lib/shredder.c:979-1045) and treemerge's upward
+clustering (rm_tm_cluster_up, lib/treemerge.c:987-1015): resolve
+near-dup candidate pairs into clusters.
+
+Algorithm: min-label propagation (a driver loop over DataFrames — no
+GraphX, which is RDD/Scala-only). Each iteration is ONE aggregation:
+
+    labels <- union(neighbor messages, self labels)
+              .groupBy(node).min(label)
+
+converging to the minimum fid per component. Deterministic under any
+partitioning (min is commutative; labels are content-independent).
+
+Scale notes:
+- one shuffle per iteration (join + union feeds a single hash agg
+  with map-side partial min);
+- `localCheckpoint` per iteration truncates lineage so plan size
+  stays O(1) in iterations (the Spark analog of rmlint's
+  generation-at-a-time pipelining, lib/shredder.c:86-116);
+- convergence detection is a fingerprint aggregate (count +
+  sum(xxhash64(label))) computed in the SAME action that
+  materializes the checkpoint — labels only decrease, so an
+  unchanged fingerprint means a fixpoint (no extra join);
+- near-dup clusters are dense (similarity is near-transitive), so
+  few iterations; `max_iter` caps adversarial chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "fid_a",
+    dst: str = "fid_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (fid, component) — component = min fid in the component.
+
+    ``edges``: distinct undirected pairs (either orientation)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+
+    labels = (
+        sym.select(F.col("u").alias("fid"))
+        .distinct()
+        .withColumn("component", F.col("fid"))
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame):
+        # decimal(38,0) sum: exact and overflow-free under ANSI mode
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("component").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(labels)
+    for _ in range(max_iter):
+        msgs = sym.join(labels.withColumnRenamed("fid", "u"), "u").select(
+            F.col("v").alias("fid"), "component"
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("fid")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(new_labels)
+        labels = new_labels
+        if new_fp == fp:
+            break
+        fp = new_fp
+    return labels

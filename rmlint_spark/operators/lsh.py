@@ -93,23 +93,31 @@ def candidate_pairs(
     return pairs, oversized
 
 
+def jaccard_verify(
+    pairs: DataFrame, signatures: DataFrame, threshold: float
+) -> DataFrame:
+    """Filter (fid_a, fid_b) pairs by estimated Jaccard >= threshold.
+    The unified verification step for ANY candidate source (LSH bands,
+    SimHash blocks, substring windows). Joins carry only (fid, sig) —
+    content never shuffles here."""
+    sigs = signatures.select("fid", "sig")
+    joined = (
+        pairs.select("fid_a", "fid_b")
+        .join(sigs.withColumnRenamed("fid", "fid_a").withColumnRenamed("sig", "sig_a"), "fid_a")
+        .join(sigs.withColumnRenamed("fid", "fid_b").withColumnRenamed("sig", "sig_b"), "fid_b")
+    )
+    return (
+        joined.withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("fid_a", "fid_b", "est_jaccard")
+    )
+
+
 def verified_pairs(
     signatures: DataFrame, cfg: EngineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
-    """Candidate pairs filtered by estimated Jaccard >= threshold.
+    """LSH candidate pairs filtered by estimated Jaccard >= threshold.
 
-    Returns (verified, oversized_report). Verification joins carry
-    only (fid, sig) — content never shuffles here.
-    """
+    Returns (verified, oversized_report)."""
     pairs, oversized = candidate_pairs(signatures, cfg)
-    sigs = signatures.select("fid", "sig")
-    joined = (
-        pairs.join(sigs.withColumnRenamed("fid", "fid_a").withColumnRenamed("sig", "sig_a"), "fid_a")
-        .join(sigs.withColumnRenamed("fid", "fid_b").withColumnRenamed("sig", "sig_b"), "fid_b")
-    )
-    verified = (
-        joined.withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("est_jaccard") >= cfg.jaccard_threshold)
-        .select("fid_a", "fid_b", "est_jaccard")
-    )
-    return verified, oversized
+    return jaccard_verify(pairs, signatures, cfg.jaccard_threshold), oversized

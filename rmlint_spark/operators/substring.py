@@ -1,0 +1,85 @@
+"""Cross-file substring lint — shared-window detection.
+
+North-star requirement with no direct reference counterpart (nearest
+precedent: the incremental prefix logic of R2, lib/shredder.c:496-533,
+which also hashes sub-ranges of content). Finds files sharing long
+literal character windows (vendored snippets, copied functions):
+
+  content --window shingles (len W, stride S)--> (fid, window_hash)
+          --inverted index groupBy(window_hash)--> buckets
+          --self-join (skew-capped)--> (fid_a, fid_b, shared_windows)
+
+A pair sharing >= min_shared windows is a substring-clone candidate.
+Window hashing is one vectorized SipHash pass over the flattened
+window array (Arrow batch); everything after is native DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rmlint_spark.config import DEFAULT, EngineConfig
+from rmlint_spark.operators.lint import drop_path_doubles
+from rmlint_spark.operators.lsh import file_id
+
+
+def window_hashes_batch(texts: list[str], window: int, stride: int) -> list[np.ndarray]:
+    """Per-text int64 hashes of each char window [i*stride, +window)."""
+    all_windows: list[str] = []
+    counts = []
+    for t in texts:
+        t = t or ""
+        ws = [t[i : i + window] for i in range(0, max(len(t) - window + 1, 0), stride)]
+        if not ws and len(t) >= 16:  # short doc: single whole-text window
+            ws = [t]
+        all_windows.extend(ws)
+        counts.append(len(ws))
+    if not all_windows:
+        return [np.empty(0, dtype=np.int64) for _ in texts]
+    h = pd.util.hash_array(np.asarray(all_windows, dtype=object)).astype(np.int64)
+    out, pos = [], 0
+    for c in counts:
+        out.append(h[pos : pos + c])
+        pos += c
+    return out
+
+
+def window_hash_udf(window: int, stride: int):
+    @F.pandas_udf("array<long>")
+    def _wh(content: pd.Series) -> pd.Series:
+        return pd.Series([list(a) for a in window_hashes_batch(content.tolist(), window, stride)])
+
+    return _wh
+
+
+def substring_clones(
+    files: DataFrame, cfg: EngineConfig = DEFAULT, min_shared: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (pairs(fid_a, fid_b, shared_windows), oversized_report).
+
+    Buckets wider than cfg.max_bucket_width (boilerplate windows
+    appearing in thousands of files) are excluded and reported — the
+    same skew-cap discipline as the LSH band join."""
+    udf = window_hash_udf(cfg.sig.substr_window, cfg.sig.substr_stride)
+    wh = (
+        drop_path_doubles(files)
+        .filter(F.length("content") >= 16)
+        .select(file_id().alias("fid"), F.explode(udf(F.col("content"))).alias("whash"))
+        .dropDuplicates(["fid", "whash"])
+    )
+    widths = wh.groupBy("whash").agg(F.count("*").alias("width"))
+    oversized = widths.filter(F.col("width") > cfg.max_bucket_width)
+    ok = wh.join(oversized.select("whash"), "whash", "left_anti")
+    a = ok.select("whash", F.col("fid").alias("fid_a"))
+    b = ok.select("whash", F.col("fid").alias("fid_b"))
+    pairs = (
+        a.join(b, "whash")
+        .filter(F.col("fid_a") < F.col("fid_b"))
+        .groupBy("fid_a", "fid_b")
+        .agg(F.count("*").alias("shared_windows"))
+        .filter(F.col("shared_windows") >= min_shared)
+    )
+    return pairs, oversized

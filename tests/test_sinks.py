@@ -1,0 +1,83 @@
+"""Sink/format tests (K1-K7)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rmlint_spark.config import EngineConfig, SignatureConfig
+from rmlint_spark.operators.exact import exact_clusters
+from rmlint_spark.sources import sinks
+
+CFG = EngineConfig(sig=SignatureConfig(prefix_len=64))
+
+ROWS = [
+    ("r1", "a/x.py", "c1", "python", "DUP ONE"),
+    ("r2", "b/y.py", "c2", "python", "DUP ONE"),
+    ("r1", "a/z.py", "c1", "python", "DUP TWO"),
+    ("r3", "c/w.py", "c3", "python", "DUP TWO"),
+    ("r3", "c/u.py", "c3", "python", "unique"),
+]
+
+
+def clusters_df(spark):
+    files = spark.createDataFrame(ROWS, ["repo", "path", "commit", "lang", "content"])
+    return exact_clusters(files, CFG)
+
+
+def test_json_sink(spark, tmp_path):
+    out = str(tmp_path / "json")
+    cl = clusters_df(spark)
+    sinks.write_json(cl, out, stats=sinks.summary(cl))
+    lines = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            with open(os.path.join(out, fn)) as f:
+                lines += [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == 4
+    assert all(l["type"] == "duplicate_file" for l in lines)
+    assert all(l["twins"] == 1 for l in lines)
+    with open(os.path.join(out, "_footer.json")) as f:
+        footer = json.load(f)
+    assert footer["dup_group_counter"] == 2
+
+
+def test_csv_sink(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    sinks.write_csv(clusters_df(spark), out)
+    data = []
+    for fn in os.listdir(out):
+        if fn.startswith("part-"):
+            data += open(os.path.join(out, fn)).read().splitlines()
+    assert any(l.startswith("type,path,size,checksum") for l in data)
+
+
+def test_sh_script_handlers(spark):
+    cl = clusters_df(spark)
+    rm = sinks.sh_script(cl, "remove").collect()
+    assert len(rm) == 2 and all(r["cmd"].startswith("rm -f '") for r in rm)
+    ln = sinks.sh_script(cl, "symlink").collect()
+    assert all(r["cmd"].startswith("ln -s '") for r in ln)
+    uc = sinks.sh_script(cl, "usercmd", user_cmd="compare $1 $2").collect()
+    assert all(r["cmd"].startswith("compare ") and " r" in r["cmd"] for r in uc)
+    import pytest
+
+    with pytest.raises(ValueError):
+        sinks.sh_script(cl, "nonsense")
+
+
+def test_fdupes_groups(spark):
+    groups = sinks.fdupes_lines(clusters_df(spark)).collect()
+    assert len(groups) == 2
+    assert all(len(g["paths"]) == 2 for g in groups)
+
+
+def test_signature_append_roundtrip(spark, tmp_path):
+    store = str(tmp_path / "store")
+    cl = clusters_df(spark)
+    sinks.append_signatures(cl, store)
+    back = spark.read.parquet(store)
+    assert back.count() == 4
+    assert set(back.columns) == {"repo", "path", "commit", "size", "checksum"}
