@@ -368,10 +368,10 @@ def q_cc_components(spark, sf_dir):
 
 def q_ann_topk(spark, sf_dir):
     # rows-only: float tie-breaks make cross-engine hashes brittle
-    from rmlint_spark.operators.ann import brute_force_topk
+    from rmlint_spark.operators.ann import brute_force_topk_blas
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, k=5).select("vec_id", "neighbor_id", "rk")
+    return brute_force_topk_blas(emb, k=5).select("vec_id", "neighbor_id", "rk")
 
 
 def q_ann_hyperplane(spark, sf_dir):

@@ -27,7 +27,7 @@ def main() -> None:
 
     import __spark_entry__ as E
     from rmlint_spark.config import EngineConfig, SignatureConfig
-    from rmlint_spark.operators.ann import brute_force_topk
+    from rmlint_spark.operators.ann import brute_force_topk_blas
     from rmlint_spark.operators.lsh import verified_pairs, with_signatures
     from rmlint_spark.operators.simhash_op import simhash_candidates, with_simhash
     from rmlint_spark.operators.substring import substring_clones
@@ -69,7 +69,7 @@ def main() -> None:
     n_sh = timed("simhash_candidates", lambda: simhash_candidates(sims, cfg)[0].count())
     pipeline = timed("full_near_dup_pipeline", lambda: run_pipeline(corpus, cfg).near_clusters.count())
     n_sub = timed("substring_clones", lambda: substring_clones(corpus, cfg, min_shared=2)[0].count())
-    n_ann = timed("ann_bruteforce_topk", lambda: brute_force_topk(emb, k=5).count())
+    n_ann = timed("ann_bruteforce_topk", lambda: brute_force_topk_blas(emb, k=5).count())
     qs = E.queries()
     for name in ["gap_sessions", "events_hourly", "text_stats", "dir_rollup"]:
         timed(f"q_{name}", lambda n=name: qs[n](spark, sf_dir).count())

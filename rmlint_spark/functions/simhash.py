@@ -20,6 +20,32 @@ from pyspark.sql import functions as F
 _SHIFTS = np.arange(64, dtype=np.uint64)
 
 
+def simhash_from_token_hashes(h: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Packed uint64 simhash per doc from flat token hashes.
+
+    bit j of doc d = 1 iff #(tokens with bit j set) * 2 > n_tokens —
+    computed as ones-count per bit via unpackbits + reduceat, O(1)
+    bytes per token-bit, chunked to bound memory."""
+    n_docs = len(starts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    CHUNK = 2048  # docs per inner chunk -> bits matrix stays ~tens of MB
+    for lo in range(0, n_docs, CHUNK):
+        hi = min(lo + CHUNK, n_docs)
+        t0 = starts[lo]
+        t1 = starts[hi - 1] + counts[hi - 1]
+        hh = h[t0:t1]
+        # (n_tokens, 64) bit matrix, little-endian per uint64
+        # int16 is enough: per-doc token counts are far below 32k, and
+        # it halves the memory traffic of the reduceat
+        bits = np.unpackbits(
+            hh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int16)
+        ones = np.add.reduceat(bits, starts[lo:hi] - t0, axis=0)  # (docs, 64)
+        sig_bits = (ones * 2 > counts[lo:hi, None]).astype(np.uint64)
+        out[lo:hi] = (sig_bits << _SHIFTS).sum(axis=1, dtype=np.uint64)
+    return out
+
+
 def simhash_batch(texts: list[str]) -> np.ndarray:
     """int64 simhash per text (bit pattern reinterpreted as signed)."""
     toks_per_doc = [(t or "").split() for t in texts]
@@ -30,14 +56,10 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
         return out
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc if t])
     h = pd.util.hash_array(flat).astype(np.uint64)
-    bits = ((h[:, None] >> _SHIFTS) & np.uint64(1)).astype(np.int32)  # (n,64) in {0,1}
-    contrib = bits * 2 - 1  # {−1, +1}
+    ne_counts = counts[nonempty]
     starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(counts[nonempty][:-1], out=starts[1:])
-    sums = np.add.reduceat(contrib, starts, axis=0)  # (docs, 64)
-    sig_bits = (sums > 0).astype(np.uint64)
-    packed = (sig_bits << _SHIFTS).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = packed.astype(np.int64)  # two's-complement reinterpret
+    np.cumsum(ne_counts[:-1], out=starts[1:])
+    out[nonempty] = simhash_from_token_hashes(h, starts, ne_counts).astype(np.int64)
     return out
 
 

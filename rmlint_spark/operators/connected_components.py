@@ -69,11 +69,17 @@ def connected_components(
         msgs = sym.join(labels.withColumnRenamed("fid", "u"), "u").select(
             F.col("v").alias("fid"), "component"
         )
+        # lazy checkpoint: the fingerprint action below materializes it,
+        # so each iteration costs ONE job (plus its shuffles).
+        # (Pointer-jumping was tried and removed: the extra self-join
+        # per iteration cost more than it saved — near-dup components
+        # are dense and converge in 2-3 rounds; max_iter caps
+        # adversarial chains.)
         new_labels = (
             msgs.union(labels)
             .groupBy("fid")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_fp = fingerprint(new_labels)
         labels = new_labels

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
-from rmlint_spark.functions.minhash import estimated_jaccard, minhash_udf
+from rmlint_spark.functions.minhash import combined_udf, estimated_jaccard, minhash_udf
 from rmlint_spark.operators.lint import KEY, drop_path_doubles
 
 
@@ -44,16 +44,64 @@ def file_id(prefix: str = "") -> F.Column:
     )
 
 
-def with_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """(fid, repo, path, commit, sig) — one vectorized Arrow pass."""
-    sig = minhash_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed)
+def row_index(files: DataFrame) -> DataFrame:
+    """(fid, repo, path, commit, sha): one row per file — map-side
+    projection, no shuffle. ``sha`` is the content digest rows share
+    with their representative."""
     return (
         drop_path_doubles(files)
         .filter(F.length("content") > 0)
-        .select(
-            file_id().alias("fid"), *KEY, sig(F.col("content")).alias("sig")
-        )
+        .select(file_id().alias("fid"), *KEY, F.sha2("content", 256).alias("sha"))
     )
+
+
+def representative_rows(files: DataFrame) -> DataFrame:
+    """One row (with content) per DISTINCT content — the near-dup
+    layer's working set.
+
+    This is rmlint's hardlink/inode bundling (J1, lib/preprocess.c:
+    514-526: each inode hashed once, twins re-expanded at output)
+    applied to identical contents: without it, every exact-dup family
+    shares every LSH band and SimHash block, turning candidate buckets
+    quadratic in family size. Representatives collapse those families
+    to single nodes; members re-attach after clustering via sha.
+
+    Shuffle shape: the rep-election agg moves only (sha, fid, key) —
+    never content; the rep join then pulls content for winners only
+    (on Iceberg this is a semi-join pushed into the re-scan)."""
+    idx = row_index(files)
+    reps = idx.groupBy("sha").agg(
+        F.min("fid").alias("fid"),
+        F.min_by(F.struct(*KEY), F.col("fid")).alias("k"),
+        F.count("*").alias("n_rows"),
+    ).select("sha", "fid", "n_rows", "k.repo", "k.path", "k.commit")
+    base = drop_path_doubles(files).filter(F.length("content") > 0)
+    joined = reps.join(base, KEY, "inner")  # re-attach content for reps only
+    # EXPLICIT repartition before the signature UDFs: the stage cost is
+    # per-row CPU, not bytes, so AQE's size-based coalescing would
+    # funnel the small exchange into 1-2 partitions and serialize the
+    # kernels (observed: one busy core at local[32]).
+    spark = files.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 16)
+    return joined.repartition(n_part, "fid")
+
+
+def with_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(fid, repo, path, commit, sha, n_rows, sig) — one row per
+    distinct content; signature in one vectorized Arrow pass."""
+    sig = minhash_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed)
+    return representative_rows(files).select(
+        "fid", *KEY, "sha", "n_rows", sig(F.col("content")).alias("sig")
+    )
+
+
+def with_combined_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """(fid, repo, path, commit, sha, n_rows, sig, simhash) — both
+    near-dup signatures from ONE content scan and ONE tokenize/SipHash
+    pass per Arrow batch (the pipeline hot path)."""
+    both = combined_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed)
+    reps = representative_rows(files).withColumn("b", both(F.col("content")))
+    return reps.select("fid", *KEY, "sha", "n_rows", "b.sig", "b.simhash")
 
 
 def band_buckets(signatures: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:

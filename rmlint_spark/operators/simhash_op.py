@@ -19,17 +19,17 @@ from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
 from rmlint_spark.functions.simhash import hamming, simhash_udf
-from rmlint_spark.operators.lint import KEY, drop_path_doubles
-from rmlint_spark.operators.lsh import file_id
+from rmlint_spark.operators.lint import KEY
+from rmlint_spark.operators.lsh import representative_rows
 
 
 def with_simhash(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """(fid, repo, path, commit, simhash) — one vectorized pass."""
+    """(fid, repo, path, commit, sha, simhash) — one row per distinct
+    content (representative bundling, see operators/lsh.py), one
+    vectorized pass."""
     udf = simhash_udf()
-    return (
-        drop_path_doubles(files)
-        .filter(F.length("content") > 0)
-        .select(file_id().alias("fid"), *KEY, udf(F.col("content")).alias("simhash"))
+    return representative_rows(files).select(
+        "fid", *KEY, "sha", udf(F.col("content")).alias("simhash")
     )
 
 

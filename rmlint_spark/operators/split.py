@@ -1,0 +1,91 @@
+"""Group splitting and tagged-constraint qualification.
+
+Reference semantics:
+
+- W3 mtime-window split (``--mtime-window T``): sort a duplicate
+  group by mtime and start a new subgroup whenever the gap to the
+  previous member exceeds T (rm_file_cmp_split, lib/preprocess.c:
+  105-122; rejects lib/shredder.c:1381-1402). Spark: the classic
+  gap-and-island window (lag + running sum), appended to the
+  cluster key.
+- W4 unmatched-basename split (``-B``): twins sharing the head's
+  basename are split off (lib/shredder.c:1404-1423) — generalized
+  here to sub-clustering by basename.
+- J7 tagged constraints: ``--must-match-tagged`` keeps only groups
+  containing a preferred member (NEEDS_PREF, lib/shredder.c:329-332,
+  qualify :798-809); ``--keep-all-tagged`` forces every preferred
+  member to be an original (lib/shredder.c:1264-1283).
+
+All are post-funnel, window/group-level transforms over the cluster
+relation — one shuffle each, on the (already small) clustered subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rmlint_spark.operators.rank import tag_originals
+
+
+def _requalify(df: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
+    """A4: subgroups of size 1 stop being duplicate groups."""
+    w = W.partitionBy(cluster_col)
+    return (
+        df.withColumn("cluster_size", F.count("*").over(w))
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+def gap_split(
+    clusters: DataFrame,
+    ts: Column,
+    window_seconds: float,
+    criteria: str = "pa",
+) -> DataFrame:
+    """W3: subdivide each cluster into gap-islands of ``ts`` and
+    re-rank originals per island. ``ts`` is any numeric/sortable
+    column expression (the corpus analog of mtime is a commit
+    timestamp joined in by the caller)."""
+    df = clusters.withColumn("_ts", ts)
+    w = W.partitionBy("cluster_id").orderBy("_ts", "repo", "path", "commit")
+    gap = F.col("_ts") - F.lag("_ts").over(w)
+    island = F.sum(
+        F.when(gap > window_seconds, 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    df = df.withColumn(
+        "cluster_id", F.concat_ws("#", "cluster_id", island.cast("string"))
+    ).drop("rank", "is_original", "cluster_size")
+    df = _requalify(df)
+    return tag_originals(df, criteria).drop("_ts")
+
+
+def basename_split(clusters: DataFrame, criteria: str = "pa") -> DataFrame:
+    """W4 generalization: sub-cluster by basename; groups where all
+    members shared one basename survive intact, mixed groups split."""
+    basename = F.element_at(F.split("path", "/"), -1)
+    df = clusters.withColumn(
+        "cluster_id", F.concat_ws("#", "cluster_id", basename)
+    ).drop("rank", "is_original", "cluster_size")
+    df = _requalify(df)
+    return tag_originals(df, criteria)
+
+
+def must_match_tagged(clusters: DataFrame, preferred: Column) -> DataFrame:
+    """J7 semi-constraint: keep only clusters containing at least one
+    preferred member (group-level HAVING max(is_preferred))."""
+    w = W.partitionBy("cluster_id")
+    return (
+        clusters.withColumn("_pref", preferred.cast("int"))
+        .withColumn("_has_pref", F.max("_pref").over(w))
+        .filter(F.col("_has_pref") == 1)
+        .drop("_pref", "_has_pref")
+    )
+
+
+def keep_all_tagged(clusters: DataFrame, preferred: Column) -> DataFrame:
+    """J7/W2: preferred members are originals regardless of rank."""
+    return clusters.withColumn(
+        "is_original", F.col("is_original") | preferred
+    )

@@ -26,13 +26,13 @@ from rmlint_spark.operators import exact as EX
 from rmlint_spark.operators.connected_components import connected_components
 from rmlint_spark.operators.lint import KEY
 from rmlint_spark.operators.lsh import (
-    file_id,
     jaccard_verify,
+    row_index,
     verified_pairs,
-    with_signatures,
+    with_combined_signatures,
 )
 from rmlint_spark.operators.rank import tag_originals
-from rmlint_spark.operators.simhash_op import simhash_candidates, with_simhash
+from rmlint_spark.operators.simhash_op import simhash_candidates
 
 VERIFY_MARGIN = 0.10
 
@@ -45,34 +45,24 @@ class PipelineResult:
     oversized_buckets: DataFrame  # skew guard report (band/block buckets over cap)
 
 
-def exact_edges(exact: DataFrame) -> DataFrame:
-    """Exact-dup pairs as edges: within each sha cluster, connect every
-    member to the cluster head (star topology — O(n) edges per cluster,
-    never O(n^2); CC resolves the rest)."""
-    keyed = exact.select(file_id().alias("fid"), "cluster_id")
-    heads = keyed.groupBy("cluster_id").agg(F.min("fid").alias("head"))
-    return (
-        keyed.join(heads, "cluster_id")
-        .filter(F.col("fid") != F.col("head"))
-        .select(F.col("head").alias("fid_a"), F.col("fid").alias("fid_b"))
-    )
-
-
 def run_pipeline(files: DataFrame, cfg: EngineConfig = DEFAULT, use_simhash: bool = True) -> PipelineResult:
-    # exact funnel result feeds both the output contract and the edge
-    # list — cache so the staged scans run once (at cluster scale this
-    # is a stage checkpoint instead, sources/checkpoint.py)
-    exact = EX.exact_clusters(files, cfg).cache()
+    exact = EX.exact_clusters(files, cfg)
 
-    sigs = with_signatures(files, cfg).cache()
+    # near-dup layer operates on content REPRESENTATIVES (one node per
+    # distinct content — rmlint's J1 inode bundling, see lsh.py):
+    # exact-dup families collapse to single LSH/SimHash nodes, so
+    # identical-content families can never explode candidate buckets,
+    # and no explicit exact-edge list is needed — members re-attach
+    # via sha after clustering. Both signatures come from ONE content
+    # scan (combined UDF); the cache holds only (keys, sig, simhash).
+    sigs = with_combined_signatures(files, cfg).cache()
     relaxed = replace(cfg, jaccard_threshold=max(0.0, cfg.jaccard_threshold - VERIFY_MARGIN))
     mh_pairs, over_mh = verified_pairs(sigs, relaxed)
 
     edges = mh_pairs.select("fid_a", "fid_b")
     oversized = over_mh.select(F.lit("minhash_band").alias("kind"), F.col("width"))
     if use_simhash:
-        sims = with_simhash(files, cfg)
-        sh_cand, over_sh = simhash_candidates(sims, cfg)
+        sh_cand, over_sh = simhash_candidates(sigs, cfg)
         # unified verification: SimHash candidates must clear the same
         # estimated-Jaccard bar (SimHash proximity alone is too weak on
         # short same-vocab docs — the pathological collision bucket)
@@ -81,14 +71,24 @@ def run_pipeline(files: DataFrame, cfg: EngineConfig = DEFAULT, use_simhash: boo
         oversized = oversized.union(
             over_sh.select(F.lit("simhash_block").alias("kind"), F.col("width"))
         )
-    edges = edges.union(exact_edges(exact)).dropDuplicates(["fid_a", "fid_b"])
+    edges = edges.dropDuplicates(["fid_a", "fid_b"])
 
     comp = connected_components(edges)
-    members = (
-        sigs.select("fid", *KEY)
-        .join(comp, "fid", "inner")
-        .withColumnRenamed("component", "cluster_id")
+    # component per distinct content: CC label if the rep is in the
+    # edge graph, else the rep itself when its exact family has >= 2
+    # members (a pure exact-dup cluster), else null (unclustered)
+    rep_comp = (
+        sigs.select("sha", "fid", "n_rows")
+        .join(comp, "fid", "left")
+        .select(
+            "sha",
+            F.coalesce(
+                "component", F.when(F.col("n_rows") >= 2, F.col("fid"))
+            ).alias("cluster_id"),
+        )
+        .filter(F.col("cluster_id").isNotNull())
     )
+    members = row_index(files).join(rep_comp, "sha", "inner")
     sizes = members.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     near = tag_originals(members.join(sizes, "cluster_id"), cfg.rank_criteria).select(
         *KEY, "fid", "cluster_id", "cluster_size", "rank", "is_original"

@@ -51,6 +51,21 @@ def test_hyperplane_recall(embeddings):
     assert recall >= 0.9, f"LSH ANN recall {recall:.3f}"
 
 
+def test_blas_variant_matches_sql_variant(embeddings):
+    from rmlint_spark.operators.ann import brute_force_topk_blas
+
+    sql_v = {
+        (r["vec_id"], r["rk"]): r["neighbor_id"]
+        for r in brute_force_topk(embeddings, k=5).collect()
+    }
+    blas_v = {
+        (r["vec_id"], r["rk"]): r["neighbor_id"]
+        for r in brute_force_topk_blas(embeddings, k=5).collect()
+    }
+    agree = sum(sql_v[k] == blas_v[k] for k in sql_v) / len(sql_v)
+    assert agree >= 0.99
+
+
 def test_brute_force_self_excluded(embeddings):
     got = brute_force_topk(embeddings, k=3)
     assert got.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
