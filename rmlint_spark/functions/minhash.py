@@ -152,7 +152,23 @@ def combined_udf(k: int, num_perm: int, seed: int):
     return _both
 
 
-def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
-    """Native (JVM-side) estimator: fraction of equal slots."""
+def estimated_jaccard_expr(sig_a: Column, sig_b: Column) -> Column:
+    """Expression estimator (fraction of equal slots). Correct but the
+    higher-order-function chain costs ~0.3 ms/row — use the pandas
+    variant on hot paths."""
     eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
     return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig_a)
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Vectorized estimator: fraction of equal signature slots —
+    one numpy comparison per Arrow batch. (UDF created lazily: a
+    pandas_udf needs an active session.)"""
+
+    @F.pandas_udf("double")
+    def _est(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        a = np.stack(a_s.to_numpy())
+        b = np.stack(b_s.to_numpy())
+        return pd.Series((a == b).mean(axis=1))
+
+    return _est(sig_a, sig_b)
