@@ -113,12 +113,16 @@ def q_window_originals(spark, sf_dir):
 
 
 def q_gap_sessions(spark, sf_dir):
-    # W3: mtime-window gap split (sessionization), gap = 30 min
+    # W3: mtime-window gap split (sessionization), gap = 30 min.
+    # ts is TIMESTAMP_NTZ: the gap is computed as an interval difference
+    # (never cast NTZ->LTZ), so the result is session-timezone-invariant
+    # in any harness.
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    gap = ms - F.lag(ms).over(w)
-    flagged = e.withColumn("new_s", F.when(gap > 1_800_000, 1).otherwise(0))
+    gap = F.col("ts") - F.lag("ts").over(w)
+    flagged = e.withColumn(
+        "new_s", F.when(gap > F.expr("INTERVAL '30' MINUTE"), 1).otherwise(0)
+    )
     sess = flagged.withColumn(
         "session_id", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
     )
@@ -157,7 +161,9 @@ def q_dir_rollup(spark, sf_dir):
     # lib/treemerge.c:136-187)
     files = documents_as_files(_docs(spark, sf_dir))
     parts = F.split("path", "/")
-    exploded = files.select(
+    # depth-1 paths contribute no prefix rows (sequence(1, 0) would
+    # otherwise yield a DESCENDING [1, 0] and a spurious '' prefix)
+    exploded = files.filter(F.size(parts) > 1).select(
         parts.alias("parts"),
         F.explode(F.sequence(F.lit(1), F.size(parts) - 1)).alias("i"),
     )
@@ -536,14 +542,14 @@ def oracle_sql() -> dict[str, str]:
         "gap_sessions": """
             WITH flagged AS (
               SELECT user_id, event_id, ts,
-                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             sess AS (
               SELECT user_id, event_id,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM flagged)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(event_id) AS first_event, max(event_id) AS last_event

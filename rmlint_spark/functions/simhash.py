@@ -34,12 +34,14 @@ def simhash_from_token_hashes(h: np.ndarray, starts: np.ndarray, counts: np.ndar
         t0 = starts[lo]
         t1 = starts[hi - 1] + counts[hi - 1]
         hh = h[t0:t1]
-        # (n_tokens, 64) bit matrix, little-endian per uint64
-        # int16 is enough: per-doc token counts are far below 32k, and
-        # it halves the memory traffic of the reduceat
+        # (n_tokens, 64) bit matrix, little-endian per uint64.
+        # int32 accumulator: a document with > 32767 whitespace tokens
+        # (a few-hundred-KB file — realistic) would silently overflow
+        # int16 and corrupt its signature; memory is already bounded by
+        # the 2048-doc chunking.
         bits = np.unpackbits(
             hh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int16)
+        ).astype(np.int32)
         ones = np.add.reduceat(bits, starts[lo:hi] - t0, axis=0)  # (docs, 64)
         sig_bits = (ones * 2 > counts[lo:hi, None]).astype(np.uint64)
         out[lo:hi] = (sig_bits << _SHIFTS).sum(axis=1, dtype=np.uint64)

@@ -4,17 +4,27 @@ Training-data-pipeline operator family (no reference counterpart; the
 funnel discipline still applies: cheap bucketing first, exact scoring
 only within buckets).
 
-- ``brute_force_topk``: exact cosine top-k. The query side is
-  broadcast (it's the small side by construction); similarity is a
-  JVM-side ``zip_with``/``aggregate`` dot product over double arrays —
-  no Python in the loop. O(N*Q) — the baseline and the verifier.
-- ``hyperplane_topk``: the scale path. R random-hyperplane sign bits
-  (vector SimHash) computed in one vectorized numpy matmul per Arrow
-  batch; candidates = same bucket in >= 1 of B bands; exact cosine
-  re-scores candidates only. Recall tunes with B x R.
+- ``brute_force_topk``: exact cosine top-k, pure JVM expressions
+  (``zip_with``/``aggregate``) — the small-scale verifier.
+- ``brute_force_topk_blas``: exact cosine top-k via numpy/BLAS.
+  Self-join default (``queries=None``) is a **distributed block
+  self-join**: both sides are hash-bucketed into B blocks, every
+  (query-block, corpus-block) pair is co-grouped, and each task
+  computes one (|N|/B x |N|/B) similarity tile with a single matmul,
+  emitting per-tile top-k partials; a final window rank reduces them.
+  Nothing is ever collected to the driver, and peak task memory is one
+  tile. An explicit bounded ``queries`` frame switches to the
+  broadcast path (query matrix broadcast, one pass over the corpus).
+- ``hyperplane_topk``: the scale path. All B x R random-hyperplane
+  sign bits come from ONE pandas UDF (one matmul per Arrow batch, one
+  Python stage); candidates = same bucket in >= 1 band, joined on IDS
+  ONLY (vectors re-attach after pair dedup — the same discipline as
+  ``lsh.jaccard_verify``); exact cosine re-scores candidates only.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -41,6 +51,30 @@ def _as_double(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def _rank_topk(partial: DataFrame, k: int, id_col: str) -> DataFrame:
+    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _tile_topk(q_ids, q_mat, n_ids, n_mat, k: int):
+    """Per-query top-k of one similarity tile (rows normalized here)."""
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n_mat = n_mat / np.linalg.norm(n_mat, axis=1, keepdims=True)
+    sims = q_mat @ n_mat.T
+    sims[q_ids[:, None] == n_ids[None, :]] = -np.inf  # self-match exclusion
+    kk = min(k, sims.shape[1])
+    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows = {"qid": [], "nid": [], "sim": []}
+    for qi in range(sims.shape[0]):
+        cand = idx[qi]
+        s = sims[qi, cand]
+        keep = s > -np.inf
+        rows["qid"].extend([q_ids[qi]] * int(keep.sum()))
+        rows["nid"].extend(n_ids[cand[keep]])
+        rows["sim"].extend(s[keep])
+    return rows
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -61,8 +95,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return _rank_topk(scored, k, id_col)
 
 
 def brute_force_topk_blas(
@@ -71,21 +104,29 @@ def brute_force_topk_blas(
     queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact top-k via blocked numpy matmul (BLAS) — same results and
     tie-break as ``brute_force_topk``, ~10-50x faster.
 
-    The query matrix is broadcast to executors (queries are the small
-    side by construction); each Arrow batch of the corpus computes a
-    (batch x Q) similarity block and emits its per-query top-k
-    candidates; a final window rank reduces partials to global top-k.
-    Shuffle volume: k rows per (query, corpus-batch) — never the full
-    cross product."""
+    ``queries=None`` (self-join): distributed block self-join — no
+    driver-side collection anywhere, see module docstring. With an
+    explicit ``queries`` frame, the (bounded, caller-vouched) query
+    matrix is broadcast and each corpus Arrow batch computes one
+    similarity block. Shuffle volume in both modes: k rows per
+    (query, tile) — never a full cross product."""
+    if queries is None:
+        return _blas_block_self_join(embeddings, k, id_col, vec_col, n_blocks)
+    return _blas_broadcast(embeddings, queries, k, id_col, vec_col)
+
+
+def _blas_broadcast(
+    embeddings: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
     spark = embeddings.sparkSession
-    q_rows = (queries or embeddings).select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).collect()  # bounded by contract
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     out_schema = f"{id_col} long, neighbor_id long, cos_sim double"
@@ -95,44 +136,84 @@ def brute_force_topk_blas(
         for pdf in batches:
             n_ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = mat_q @ m.T  # (Q, batch)
-            # self-match exclusion
-            same = ids_q[:, None] == n_ids[None, :]
-            sims[same] = -np.inf
-            kk = min(k, sims.shape[1])
-            # per-query top-k within this batch (argpartition + stable sort)
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = {"qid": [], "nid": [], "sim": []}
-            for qi in range(sims.shape[0]):
-                cand = idx[qi]
-                s = sims[qi, cand]
-                keep = s > -np.inf
-                rows["qid"].extend([ids_q[qi]] * int(keep.sum()))
-                rows["nid"].extend(n_ids[cand[keep]])
-                rows["sim"].extend(s[keep])
+            rows = _tile_topk(ids_q, mat_q, n_ids, m, k)
             yield pd.DataFrame(
                 {id_col: rows["qid"], "neighbor_id": rows["nid"], "cos_sim": rows["sim"]}
             )
 
     partial = embeddings.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
-    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return _rank_topk(partial, k, id_col)
 
 
-def hyperplane_udf(dim: int, n_planes: int, seed: int = 42):
-    """Sign-bit bucket per band: one numpy matmul per Arrow batch."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_planes))
+def _blas_block_self_join(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str, n_blocks: int | None
+) -> DataFrame:
+    spark = embeddings.sparkSession
+    b = n_blocks or max(4, int(math.ceil(math.sqrt(spark.sparkContext.defaultParallelism))))
+    base = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    blk = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(b)).cast("int")
+    # two independently-named projections (a shared lineage would trip
+    # Spark's ambiguous-self-join analysis inside the cogroup); each
+    # side replicated B times so every (query-block, corpus-block)
+    # tile lands in exactly one co-group: B^2 independent matmul tasks
+    q_side = base.withColumn("_qb", blk).crossJoin(
+        spark.range(b).select(F.col("id").cast("int").alias("_qo"))
+    )
+    c_side = (
+        base.select(
+            F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nvec")
+        )
+        .withColumn("_cb", F.pmod(F.abs(F.xxhash64(F.col("_nid"))), F.lit(b)).cast("int"))
+        .crossJoin(spark.range(b).select(F.col("id").cast("int").alias("_co")))
+    )
 
-    @F.pandas_udf("long")
-    def _sig(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (m @ planes > 0).astype(np.uint64)  # (batch, n_planes)
-        shifts = np.arange(n_planes, dtype=np.uint64)
-        return pd.Series(((bits << shifts).sum(axis=1, dtype=np.uint64)).astype(np.int64))
+    out_schema = f"{id_col} long, neighbor_id long, cos_sim double"
 
-    return _sig
+    def tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, dtype=np.int64),
+                    "neighbor_id": np.empty(0, dtype=np.int64),
+                    "cos_sim": np.empty(0, dtype=np.float64),
+                }
+            )
+        q_ids = lpdf[id_col].to_numpy(dtype=np.int64)
+        q_mat = np.stack(lpdf[vec_col].to_numpy()).astype(np.float64)
+        n_ids = rpdf["_nid"].to_numpy(dtype=np.int64)
+        n_mat = np.stack(rpdf["_nvec"].to_numpy()).astype(np.float64)
+        rows = _tile_topk(q_ids, q_mat, n_ids, n_mat, k)
+        return pd.DataFrame(
+            {id_col: rows["qid"], "neighbor_id": rows["nid"], "cos_sim": rows["sim"]}
+        )
+
+    # left key = (query block, corpus block); right key mirrors it
+    partial = (
+        q_side.groupBy("_qb", "_qo")
+        .cogroup(c_side.groupBy("_co", "_cb"))
+        .applyInPandas(tile, schema=out_schema)
+    )
+    return _rank_topk(partial, k, id_col)
+
+
+def hyperplane_sigs_udf(n_bands: int, bits_per_band: int, seed: int = 42):
+    """ALL band signatures in one vectorized pass: one (batch x dim) @
+    (dim x n_bands*bits) matmul per Arrow batch, reshaped to per-band
+    sign-bit buckets. One Python stage total (round 1 ran n_bands
+    sequential UDFs). The plane matrix is regenerated per batch from
+    the seed (deterministic; dim is inferred from the data)."""
+
+    @F.pandas_udf("array<long>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((m.shape[1], n_bands * bits_per_band))
+        bits = (m @ planes > 0).astype(np.uint64).reshape(len(m), n_bands, bits_per_band)
+        shifts = np.arange(bits_per_band, dtype=np.uint64)
+        sigs = (bits << shifts).sum(axis=2, dtype=np.uint64).astype(np.int64)
+        return pd.Series(list(sigs))
+
+    return _sigs
 
 
 def hyperplane_topk(
@@ -140,24 +221,21 @@ def hyperplane_topk(
     k: int = 5,
     n_bands: int = 8,
     bits_per_band: int = 8,
-    dim: int = 64,
     max_bucket: int = 2000,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """LSH-bucketed top-k: candidates share a hyperplane-sign bucket in
-    at least one band; exact cosine re-scores candidates only."""
+    at least one band; exact cosine re-scores candidates only.
+
+    The candidate self-join carries only (band_id, bucket, id) — the
+    vectors (8 bytes x dim each) re-attach AFTER pair dedup, so the
+    pair explosion shuffles ids, not payloads."""
     emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
-    banded = emb
-    for b in range(n_bands):
-        sig = hyperplane_udf(dim, bits_per_band, seed=1000 + b)
-        banded = banded.withColumn(f"band_{b}", sig(F.col(vec_col)))
-    buckets = banded.select(
-        id_col,
-        vec_col,
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(n_bands)])).alias(
-            "band_id", "bucket"
-        ),
+    sigs = hyperplane_sigs_udf(n_bands, bits_per_band, seed)
+    buckets = emb.select(
+        id_col, F.posexplode(sigs(F.col(vec_col))).alias("band_id", "bucket")
     )
     widths = buckets.groupBy("band_id", "bucket").agg(F.count("*").alias("w"))
     ok = buckets.join(
@@ -165,18 +243,23 @@ def hyperplane_topk(
         ["band_id", "bucket"],
         "left_anti",
     )
-    a = ok.select("band_id", "bucket", F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    b_ = ok.select("band_id", "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    a = ok.select("band_id", "bucket", F.col(id_col).alias("qid"))
+    b_ = ok.select("band_id", "bucket", F.col(id_col).alias("neighbor_id"))
     cand = (
         a.join(b_, ["band_id", "bucket"])
         .filter(F.col("qid") != F.col("neighbor_id"))
-        .select("qid", "neighbor_id", "qvec", "nvec")
+        .select("qid", "neighbor_id")
         .dropDuplicates(["qid", "neighbor_id"])
     )
-    scored = cand.select(
-        F.col("qid").alias(id_col),
-        "neighbor_id",
-        cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+    qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        cand.join(qv, "qid")
+        .join(nv, "neighbor_id")
+        .select(
+            F.col("qid").alias(id_col),
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return _rank_topk(scored, k, id_col)

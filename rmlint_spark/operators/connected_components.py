@@ -39,10 +39,17 @@ def connected_components(
     src: str = "fid_a",
     dst: str = "fid_b",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Return (fid, component) — component = min fid in the component.
 
-    ``edges``: distinct undirected pairs (either orientation)."""
+    ``edges``: distinct undirected pairs (either orientation).
+
+    Min-propagation advances one hop per iteration, so a path-shaped
+    component longer than ``max_iter`` hops would exit unconverged with
+    WRONG labels. The fingerprint already detects this; if the loop
+    exhausts without stabilizing we refuse to return silently:
+    ``on_nonconverged`` = "raise" (default) or "warn"."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -65,6 +72,7 @@ def connected_components(
         return (row["n"], row["h"])
 
     fp = fingerprint(labels)
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels.withColumnRenamed("fid", "u"), "u").select(
             F.col("v").alias("fid"), "component"
@@ -84,6 +92,17 @@ def connected_components(
         new_fp = fingerprint(new_labels)
         labels = new_labels
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "(component diameter exceeds the iteration cap); labels would be wrong"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

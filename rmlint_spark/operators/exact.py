@@ -21,13 +21,20 @@ exception is the explicit byte-confirm, which touches only confirmed
 duplicate rows — a tiny fraction of the corpus).
 
 Scale notes (100 TB / 10^12 rows):
-- gen-0 runs on a column-pruned scan (no ``content`` read; with
-  Iceberg/parquet, ``length(content)`` still requires the column —
-  a real deployment materializes ``size`` as a stats column; here the
-  projection keeps the shuffle minimal either way).
+- **content NEVER crosses a shuffle boundary in the funnel.** Every
+  hash (length, prefix xxhash, full sha256) is computed map-side on
+  the scan; deduplication and qualification operate on the NARROW
+  (key, size, sig) projection only. Round-1 profiling showed the
+  alternative (dedup-then-project) compiles to a SortAggregate of
+  ``first(content)`` — the whole corpus sorted and shuffled once per
+  funnel stage — which serialized the funnel (flat 8→32-core scaling).
 - qualification results (surviving key sets) are orders of magnitude
   smaller than the corpus; AQE turns the semi-joins back into
   broadcasts at runtime.
+- each generation re-scans content for surviving keys only (parquet
+  scans are embarrassingly parallel; at deployment scale the
+  survivor semi-join prunes the re-read, and ``size`` would be an
+  Iceberg stats column so gen-0 never touches bytes).
 - no driver-side collection anywhere; cluster ids are content-derived
   (sha256), hence deterministic under any partitioning.
 """
@@ -38,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
-from rmlint_spark.operators.lint import KEY, drop_path_doubles, size_filter
+from rmlint_spark.operators.lint import KEY, size_filter
 from rmlint_spark.operators.rank import tag_originals
 
 
@@ -59,39 +66,55 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     ``checksum`` is the sha256 hex of ``content`` (the per-row
     invariant vs the reference — BASELINE.json input_hint);
     ``cluster_id == checksum`` (content-derived, partition-independent).
+
+    Path-double removal (J2, lib/preprocess.c:496-512) happens on the
+    narrow projection of each generation (``dropDuplicates(KEY)`` after
+    the hash projection): duplicate rows are byte-identical, so
+    deduplicating hashed projections is value-equivalent to
+    deduplicating the raw rows — and it keeps content out of the
+    dedup shuffle.
     """
     prefix_len = cfg.sig.prefix_len
+    raw = size_filter(files, cfg)
+    size = F.length("content").alias("size")
 
-    base = drop_path_doubles(size_filter(files, cfg))
+    # gen-0 (R1): narrow (key, size) relation; dedup + qualify shuffle
+    # ~20 bytes/row. Sizes with >= 2 distinct rows survive.
+    meta = raw.select(*KEY, size).dropDuplicates(KEY)
+    sizes2 = meta.groupBy("size").count().filter(F.col("count") >= 2).select("size")
 
-    # gen-0: metadata only — content column pruned from this branch (R1)
-    meta = base.select(*KEY, F.length("content").alias("size"))
-    surv0 = _qualify(meta, ["size"])
-
-    # gen-1: prefix signature for survivors only (R2; prefix default =
-    # rmlint's 4-page first read, lib/shredder.c:52,272-275)
-    with_content = base.join(surv0, KEY, "inner")  # re-attach content + size
-    sig1 = with_content.select(
-        *KEY,
-        "size",
-        F.xxhash64(F.substring("content", 1, prefix_len)).alias("sig1"),
+    # gen-1 (R2): prefix signature, computed map-side ONLY for rows in a
+    # surviving size bucket (broadcast semi-join precedes the hash —
+    # rmlint's "unique sizes never read", lib/shredder.c:50-56; prefix
+    # default = the 4-page first read, lib/shredder.c:52,272-275).
+    sig1 = (
+        raw.select(*KEY, size, "content")
+        .join(F.broadcast(sizes2), "size", "left_semi")
+        .select(*KEY, "size", F.xxhash64(F.substring("content", 1, prefix_len)).alias("sig1"))
+        .dropDuplicates(KEY)
     )
     surv1 = _qualify(sig1, ["size", "sig1"])
 
-    # final generation: full sha256 for remaining survivors
+    # final generation: full sha256 for remaining survivors, again
+    # map-side; the survivor key relation is narrow -> broadcast.
     final = (
-        base.join(surv1.select(*KEY), KEY, "inner")
-        .select(*KEY, F.length("content").alias("size"), F.sha2("content", 256).alias("checksum"))
+        raw.join(F.broadcast(surv1.select(*KEY)), KEY, "left_semi")
+        .select(*KEY, size, F.sha2("content", 256).alias("checksum"))
+        .dropDuplicates(KEY)
     )
     clustered = _qualify(final, ["size", "checksum"])
 
     if cfg.byte_confirm:
         # paranoid analog (lib/shredder.c:218-258): byte-equality check
-        # within each sha cluster. Shuffles content only for clustered
-        # rows. Clusters failing the check (sha collision) are dropped
-        # and surface via `collision_report`.
+        # within each sha cluster. The ONLY place content crosses a
+        # shuffle — and only for clustered rows (map-side partial
+        # dedup of identical contents bounds the shuffle to one copy
+        # per distinct content per partition). Clusters failing the
+        # check (sha collision) are dropped and surface via
+        # `collision_report`.
         confirm = (
-            base.join(clustered.select(*KEY, "checksum"), KEY, "inner")
+            raw.join(F.broadcast(clustered.select(*KEY)), KEY, "left_semi")
+            .select(F.sha2("content", 256).alias("checksum"), "content")
             .groupBy("checksum")
             .agg(F.count_distinct("content").alias("n_distinct"))
             .filter(F.col("n_distinct") == 1)
@@ -114,21 +137,26 @@ def uniques(files: DataFrame, clusters: DataFrame, cfg: EngineConfig = DEFAULT) 
     """K5 uniques sink source: files with no twin — the complement of
     the clustered set (lib/formats/uniques.c:1-81; routing
     lib/shredder.c:1279-1281)."""
-    base = drop_path_doubles(size_filter(files, cfg))
-    return base.select(*KEY).join(clusters.select(*KEY), KEY, "left_anti")
+    base = size_filter(files, cfg).select(*KEY).dropDuplicates(KEY)
+    return base.join(clusters.select(*KEY), KEY, "left_anti")
 
 
 def collision_report(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """sha256 clusters whose members are NOT byte-identical (would be a
     hash collision; practically empty — exists for the paranoid
     contract and its test)."""
-    base = drop_path_doubles(size_filter(files, cfg))
+    base = size_filter(files, cfg)
+    # path doubles are byte-identical rows, so distinct-counting keys
+    # (not deduplicating rows) keeps content out of any pre-shuffle
+    # dedup; map-side partial distinct bounds the content shuffle.
     final = base.select(*KEY, F.sha2("content", 256).alias("checksum"), "content")
-    grouped = _qualify(final, ["checksum"])
     return (
-        grouped.groupBy("checksum")
-        .agg(F.count_distinct("content").alias("n_distinct"), F.count("*").alias("n_rows"))
-        .filter(F.col("n_distinct") > 1)
+        final.groupBy("checksum")
+        .agg(
+            F.count_distinct("content").alias("n_distinct"),
+            F.count_distinct(F.struct(*KEY)).alias("n_rows"),
+        )
+        .filter((F.col("n_distinct") > 1) & (F.col("n_rows") >= 2))
     )
 
 

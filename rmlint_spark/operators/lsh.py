@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
 from rmlint_spark.functions.minhash import combined_udf, estimated_jaccard, minhash_udf
-from rmlint_spark.operators.lint import KEY, drop_path_doubles
+from rmlint_spark.operators.lint import KEY
 
 
 def file_id(prefix: str = "") -> F.Column:
@@ -45,13 +45,15 @@ def file_id(prefix: str = "") -> F.Column:
 
 
 def row_index(files: DataFrame) -> DataFrame:
-    """(fid, repo, path, commit, sha): one row per file — map-side
-    projection, no shuffle. ``sha`` is the content digest rows share
-    with their representative."""
+    """(fid, repo, path, commit, sha): one row per file. fid and sha
+    are computed map-side on the scan; path-double removal (J2)
+    deduplicates the NARROW projection — content never crosses the
+    dedup shuffle (path doubles are byte-identical rows, so hashing
+    before deduplicating is value-equivalent)."""
     return (
-        drop_path_doubles(files)
-        .filter(F.length("content") > 0)
+        files.filter(F.length("content") > 0)
         .select(file_id().alias("fid"), *KEY, F.sha2("content", 256).alias("sha"))
+        .dropDuplicates(KEY)
     )
 
 
@@ -75,15 +77,20 @@ def representative_rows(files: DataFrame) -> DataFrame:
         F.min_by(F.struct(*KEY), F.col("fid")).alias("k"),
         F.count("*").alias("n_rows"),
     ).select("sha", "fid", "n_rows", "k.repo", "k.path", "k.commit")
-    base = drop_path_doubles(files).filter(F.length("content") > 0)
-    joined = reps.join(base, KEY, "inner")  # re-attach content for reps only
+    # re-attach content for reps only — joined against the RAW scan
+    # (no pre-dedup: deduplicating raw rows would sort/shuffle the
+    # whole corpus content). A path-doubled rep key yields duplicate
+    # joined rows; the fid-dedup below collapses them WITHOUT an extra
+    # exchange (it reuses the explicit repartition's partitioning).
+    raw = files.filter(F.length("content") > 0).select(*KEY, "content")
+    joined = reps.join(raw, KEY, "inner")
     # EXPLICIT repartition before the signature UDFs: the stage cost is
     # per-row CPU, not bytes, so AQE's size-based coalescing would
     # funnel the small exchange into 1-2 partitions and serialize the
     # kernels (observed: one busy core at local[32]).
     spark = files.sparkSession
     n_part = max(spark.sparkContext.defaultParallelism * 2, 16)
-    return joined.repartition(n_part, "fid")
+    return joined.repartition(n_part, "fid").dropDuplicates(["fid"])
 
 
 def with_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
-from rmlint_spark.operators.lint import drop_path_doubles
 from rmlint_spark.operators.lsh import file_id
 
 
@@ -64,9 +63,11 @@ def substring_clones(
     appearing in thousands of files) are excluded and reported — the
     same skew-cap discipline as the LSH band join."""
     udf = window_hash_udf(cfg.sig.substr_window, cfg.sig.substr_stride)
+    # no raw-row dedup: fid is key-derived, so path-double rows emit
+    # identical (fid, whash) pairs that the existing narrow
+    # dropDuplicates collapses — content never crosses a dedup shuffle
     wh = (
-        drop_path_doubles(files)
-        .filter(F.length("content") >= 16)
+        files.filter(F.length("content") >= 16)
         .select(file_id().alias("fid"), F.explode(udf(F.col("content"))).alias("whash"))
         .dropDuplicates(["fid", "whash"])
     )

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
-from rmlint_spark.operators.lint import drop_path_doubles
 from rmlint_spark.operators.rank import tag_originals
 
 
@@ -38,9 +37,13 @@ def file_digests(files: DataFrame) -> DataFrame:
     """(repo, path, sha): one full-content digest per file.
 
     treemerge needs digests for ALL files (a dir is only duplicate if
-    every member matches), unlike the funnel which prunes singletons."""
-    return drop_path_doubles(files).select(
-        "repo", "path", F.sha2("content", 256).alias("sha")
+    every member matches), unlike the funnel which prunes singletons.
+    The digest is computed map-side; path-double removal deduplicates
+    the narrow (key, sha) projection so content never shuffles."""
+    return (
+        files.select("repo", "path", "commit", F.sha2("content", 256).alias("sha"))
+        .dropDuplicates(["repo", "path", "commit"])
+        .select("repo", "path", "sha")
     )
 
 
@@ -154,7 +157,10 @@ def prefix_counts(files: DataFrame) -> DataFrame:
     """A8: plain file-count rollup per ancestor prefix
     (lib/treemerge.c:136-187)."""
     parts = F.split("path", "/")
-    exploded = files.select(
+    # guard: a depth-1 path has no proper prefix — without the filter,
+    # sequence(1, 0) yields the DESCENDING [1, 0], emitting a spurious
+    # '' prefix and counting the file itself
+    exploded = files.filter(F.size(parts) > 1).select(
         "repo",
         parts.alias("parts"),
         F.explode(F.sequence(F.lit(1), F.size(parts) - 1)).alias("i"),

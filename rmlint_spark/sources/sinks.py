@@ -61,28 +61,37 @@ def write_csv(clusters: DataFrame, path: str) -> None:
     ).write.mode("overwrite").option("header", True).csv(path)
 
 
+def _sh_quote(col: F.Column) -> F.Column:
+    """Single-quote a path for POSIX sh, escaping embedded quotes as
+    '\\'' — the table analog of the reference's path escaping before
+    command emission (lib/formats/sh.c.in). Newlines and other shell
+    metacharacters are inert inside single quotes."""
+    return F.concat(F.lit("'"), F.replace(col, F.lit("'"), F.lit("'\\''")), F.lit("'"))
+
+
 def sh_script(clusters: DataFrame, handler: str = "remove", user_cmd: str | None = None) -> DataFrame:
     """K3: one remediation command per non-original row. ``usercmd``
-    substitutes $1 = dupe, $2 = original (sh.c.in:75-82)."""
+    substitutes $1 = dupe, $2 = original (sh.c.in:75-82); both are
+    substituted pre-quoted (never raw) so hostile paths can't inject."""
     if handler not in SH_HANDLERS:
         raise ValueError(f"unknown sh handler {handler!r}")
     dupe = F.concat_ws(":", "repo", "path")
     orig = F.first(F.when(F.col("is_original"), dupe), ignorenulls=True).over(
         W.partitionBy("cluster_id")
     )
+    q_dupe, q_orig = _sh_quote(dupe), _sh_quote(orig)
     if handler == "remove":
-        cmd = F.concat(F.lit("rm -f '"), dupe, F.lit("'"))
+        cmd = F.concat(F.lit("rm -f "), q_dupe)
     elif handler in {"symlink", "hardlink", "clone", "reflink"}:
         flag = {"symlink": "-s", "hardlink": "", "clone": "--reflink=always", "reflink": "--reflink"}[handler]
         base = "ln" if handler in {"symlink", "hardlink"} else "cp"
-        cmd = F.concat(
-            F.lit(f"{base} {flag} '".replace("  ", " ")), orig, F.lit("' '"), dupe, F.lit("'")
-        )
+        prefix = f"{base} {flag} ".replace("  ", " ")
+        cmd = F.concat(F.lit(prefix), q_orig, F.lit(" "), q_dupe)
     else:  # usercmd
         tmpl = user_cmd or "echo dupe: $1 original: $2"
         cmd = F.lit(tmpl)
-        cmd = F.replace(cmd, F.lit("$1"), dupe)
-        cmd = F.replace(cmd, F.lit("$2"), orig)
+        cmd = F.replace(cmd, F.lit("$1"), q_dupe)
+        cmd = F.replace(cmd, F.lit("$2"), q_orig)
     return (
         clusters.withColumn("cmd", cmd)
         .filter(~F.col("is_original"))

@@ -61,11 +61,31 @@ def test_sh_script_handlers(spark):
     ln = sinks.sh_script(cl, "symlink").collect()
     assert all(r["cmd"].startswith("ln -s '") for r in ln)
     uc = sinks.sh_script(cl, "usercmd", user_cmd="compare $1 $2").collect()
-    assert all(r["cmd"].startswith("compare ") and " r" in r["cmd"] for r in uc)
+    # substitutions arrive pre-quoted (never raw) so paths can't inject
+    assert all(r["cmd"].startswith("compare '") and " 'r" in r["cmd"] for r in uc)
     import pytest
 
     with pytest.raises(ValueError):
         sinks.sh_script(cl, "nonsense")
+
+
+def test_sh_script_escapes_hostile_paths(spark):
+    # a path containing a single quote + metacharacters must not break
+    # out of its quoting (reference escapes paths in sh.c.in)
+    from pyspark.sql import Row
+
+    rows = [
+        Row(repo="r", path="a'; rm -rf /;'.txt", commit="c", cluster_id="x",
+            is_original=True),
+        Row(repo="r", path="b$(reboot).txt", commit="c", cluster_id="x",
+            is_original=False),
+    ]
+    df = spark.createDataFrame(rows)
+    cmds = [r["cmd"] for r in sinks.sh_script(df, "remove").collect()]
+    assert cmds == ["rm -f 'r:b$(reboot).txt'"]
+    ln = [r["cmd"] for r in sinks.sh_script(df, "symlink").collect()]
+    # the original's embedded quote is escaped as '\''
+    assert ln == ["ln -s 'r:a'\\''; rm -rf /;'\\''.txt' 'r:b$(reboot).txt'"]
 
 
 def test_fdupes_groups(spark):
