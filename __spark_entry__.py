@@ -389,9 +389,7 @@ def q_ann_hyperplane(spark, sf_dir):
     )
 
 
-def q_near_dup_pipeline(spark, sf_dir):
-    from rmlint_spark.plans.pipeline import run_pipeline
-
+def _mirrored_corpus(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     files = documents_as_files(docs)
     mirrored = (
@@ -399,7 +397,25 @@ def q_near_dup_pipeline(spark, sf_dir):
         .withColumn("path", F.concat(F.lit("mirror/"), F.col("path")))
         .withColumn("repo", F.lit("mirror-repo"))
     )
-    res = run_pipeline(files.unionByName(mirrored), CFG)
+    return files.unionByName(mirrored)
+
+
+# Side-channel for signature-level oracles (reference testing
+# philosophy: tests/test_speed/verify.py:23-44 re-verifies every
+# reported group independently). The Spark query materializes the
+# signature/edge relations it actually used to parquet; the DuckDB
+# oracle recomputes the join/threshold/clustering logic from the SAME
+# bytes. Paths are fixed because oracle_sql() is static; each query
+# overwrites its own directory per run.
+ORACLE_SIDE = "/tmp/rmlint_spark_oracle"
+
+
+def q_near_dup_pipeline(spark, sf_dir):
+    from rmlint_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(
+        _mirrored_corpus(spark, sf_dir), CFG, lineage_dir=f"{ORACLE_SIDE}/neardup"
+    )
     return res.near_clusters.select(
         "repo", "path", "commit", "cluster_id", "cluster_size", "rank",
         F.col("is_original").cast("int").alias("is_original"),
@@ -409,28 +425,20 @@ def q_near_dup_pipeline(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     from rmlint_spark.operators.simhash_op import simhash_candidates, with_simhash
 
-    docs = _docs(spark, sf_dir)
-    files = documents_as_files(docs)
-    mirrored = (
-        documents_as_files(docs.filter(F.pmod("doc_id", F.lit(10)) == 0))
-        .withColumn("path", F.concat(F.lit("mirror/"), F.col("path")))
-        .withColumn("repo", F.lit("mirror-repo"))
-    )
-    pairs, _ = simhash_candidates(with_simhash(files.unionByName(mirrored), CFG), CFG)
+    sims = with_simhash(_mirrored_corpus(spark, sf_dir), CFG).select("fid", "simhash")
+    path = f"{ORACLE_SIDE}/simhash_sigs"
+    sims.write.mode("overwrite").parquet(path)
+    pairs, _ = simhash_candidates(spark.read.parquet(path), CFG)
     return pairs
 
 
 def q_substring_clones(spark, sf_dir):
-    from rmlint_spark.operators.substring import substring_clones
+    from rmlint_spark.operators.substring import clone_pairs, window_index
 
-    docs = _docs(spark, sf_dir)
-    files = documents_as_files(docs)
-    mirrored = (
-        documents_as_files(docs.filter(F.pmod("doc_id", F.lit(10)) == 0))
-        .withColumn("path", F.concat(F.lit("mirror/"), F.col("path")))
-        .withColumn("repo", F.lit("mirror-repo"))
-    )
-    pairs, _ = substring_clones(files.unionByName(mirrored), CFG, min_shared=2)
+    wh = window_index(_mirrored_corpus(spark, sf_dir), CFG)
+    path = f"{ORACLE_SIDE}/substr_windows"
+    wh.write.mode("overwrite").parquet(path)
+    pairs, _ = clone_pairs(spark.read.parquet(path), CFG, min_shared=2)
     return pairs
 
 
@@ -467,13 +475,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_dirs": q_duplicate_dirs,
         "quality_score": q_quality_score,
         "cc_components": q_cc_components,
-        # rows-only (non-SQL-expressible or float-brittle): driver
-        # records the weaker check for these
+        # oracled via the ORACLE_SIDE parquet side-channel (signatures
+        # materialized by the query, clustering recomputed in SQL)
         "ann_topk": q_ann_topk,
-        "ann_hyperplane": q_ann_hyperplane,
         "near_dup_pipeline": q_near_dup_pipeline,
         "simhash_pairs": q_simhash_pairs,
         "substring_clones": q_substring_clones,
+        # rows-only: ann_hyperplane's bucketing is a numpy float matmul
+        # sign pattern (not reproducible bit-for-bit in SQL; its recall
+        # is pinned vs the oracled exact top-k in tests/test_ann.py);
+        # multimodal decode is a documented stub
+        "ann_hyperplane": q_ann_hyperplane,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -733,5 +745,96 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY lang, grp) AS sz
               FROM r)
             SELECT doc_id, component FROM c WHERE sz >= 2
+        """,
+        # ---- signature-side-channel oracles (see ORACLE_SIDE) -------
+        "simhash_pairs": f"""
+            WITH sigs AS (
+              SELECT fid, simhash
+              FROM read_parquet('{ORACLE_SIDE}/simhash_sigs/*.parquet')),
+            blocks AS (
+              SELECT fid, i AS block_id,
+                     (simhash >> (i * {64 // CFG.sig.simhash_blocks}))
+                       & {(1 << (64 // CFG.sig.simhash_blocks)) - 1} AS block_value
+              FROM sigs, UNNEST(generate_series(0, {CFG.sig.simhash_blocks - 1})) AS t(i)),
+            widths AS (
+              SELECT block_id, block_value, count(*) AS w
+              FROM blocks GROUP BY 1, 2),
+            ok AS (
+              SELECT b.* FROM blocks b
+              JOIN widths USING (block_id, block_value)
+              WHERE w <= {CFG.max_bucket_width}),
+            cand AS (
+              SELECT DISTINCT a.fid AS fid_a, b.fid AS fid_b
+              FROM ok a JOIN ok b
+                ON a.block_id = b.block_id AND a.block_value = b.block_value
+               AND a.fid < b.fid)
+            SELECT fid_a, fid_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+            FROM cand
+            JOIN sigs sa ON sa.fid = fid_a
+            JOIN sigs sb ON sb.fid = fid_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {CFG.sig.simhash_max_hamming}
+        """,
+        "substring_clones": f"""
+            WITH wh AS (
+              SELECT fid, whash
+              FROM read_parquet('{ORACLE_SIDE}/substr_windows/*.parquet')),
+            widths AS (SELECT whash, count(*) AS width FROM wh GROUP BY 1),
+            ok AS (
+              SELECT wh.* FROM wh JOIN widths USING (whash)
+              WHERE width <= {CFG.max_bucket_width})
+            SELECT a.fid AS fid_a, b.fid AS fid_b, count(*) AS shared_windows
+            FROM ok a JOIN ok b ON a.whash = b.whash AND a.fid < b.fid
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "near_dup_pipeline": f"""
+            WITH RECURSIVE
+            edges AS (
+              SELECT fid_a, fid_b
+              FROM read_parquet('{ORACLE_SIDE}/neardup/edges/*.parquet')),
+            reps AS (
+              SELECT sha, fid, n_rows
+              FROM read_parquet('{ORACLE_SIDE}/neardup/reps/*.parquet')),
+            idx AS (
+              SELECT fid, repo, path, "commit", sha
+              FROM read_parquet('{ORACLE_SIDE}/neardup/index/*.parquet')),
+            und AS (
+              SELECT fid_a AS u, fid_b AS v FROM edges
+              UNION ALL
+              SELECT fid_b, fid_a FROM edges),
+            reach(fid, label) AS (
+              SELECT u, u FROM und
+              UNION
+              SELECT und.v, r.label FROM reach r JOIN und ON und.u = r.fid),
+            comp AS (SELECT fid, min(label) AS component FROM reach GROUP BY 1),
+            rep_comp AS (
+              SELECT sha,
+                     coalesce(c.component,
+                              CASE WHEN n_rows >= 2 THEN reps.fid END) AS cluster_id
+              FROM reps LEFT JOIN comp c ON c.fid = reps.fid),
+            members AS (
+              SELECT idx.repo, idx.path, idx."commit", rc.cluster_id
+              FROM idx JOIN (SELECT * FROM rep_comp
+                             WHERE cluster_id IS NOT NULL) rc
+                ON idx.sha = rc.sha)
+            SELECT repo, path, "commit", cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   row_number() OVER w AS rank,
+                   CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS is_original
+            FROM members
+            WINDOW w AS (PARTITION BY cluster_id ORDER BY path, repo, "commit")
+        """,
+        "ann_topk": """
+            WITH p AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cs
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+            r AS (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, neighbor_id) AS rk
+              FROM p)
+            SELECT vec_id, neighbor_id, rk FROM r WHERE rk <= 5
         """,
     }

@@ -54,23 +54,27 @@ def window_hash_udf(window: int, stride: int):
     return _wh
 
 
-def substring_clones(
-    files: DataFrame, cfg: EngineConfig = DEFAULT, min_shared: int = 2
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (pairs(fid_a, fid_b, shared_windows), oversized_report).
-
-    Buckets wider than cfg.max_bucket_width (boilerplate windows
-    appearing in thousands of files) are excluded and reported — the
-    same skew-cap discipline as the LSH band join."""
+def window_index(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """The inverted index: distinct (fid, whash) rows, one per file x
+    window-hash. No raw-row dedup: fid is key-derived, so path-double
+    rows emit identical (fid, whash) pairs that the narrow
+    dropDuplicates collapses — content never crosses a dedup shuffle."""
     udf = window_hash_udf(cfg.sig.substr_window, cfg.sig.substr_stride)
-    # no raw-row dedup: fid is key-derived, so path-double rows emit
-    # identical (fid, whash) pairs that the existing narrow
-    # dropDuplicates collapses — content never crosses a dedup shuffle
-    wh = (
+    return (
         files.filter(F.length("content") >= 16)
         .select(file_id().alias("fid"), F.explode(udf(F.col("content"))).alias("whash"))
         .dropDuplicates(["fid", "whash"])
     )
+
+
+def clone_pairs(
+    wh: DataFrame, cfg: EngineConfig = DEFAULT, min_shared: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Pair-join the inverted index: (pairs, oversized_report).
+
+    Buckets wider than cfg.max_bucket_width (boilerplate windows
+    appearing in thousands of files) are excluded and reported — the
+    same skew-cap discipline as the LSH band join."""
     widths = wh.groupBy("whash").agg(F.count("*").alias("width"))
     oversized = widths.filter(F.col("width") > cfg.max_bucket_width)
     ok = wh.join(oversized.select("whash"), "whash", "left_anti")
@@ -84,3 +88,10 @@ def substring_clones(
         .filter(F.col("shared_windows") >= min_shared)
     )
     return pairs, oversized
+
+
+def substring_clones(
+    files: DataFrame, cfg: EngineConfig = DEFAULT, min_shared: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (pairs(fid_a, fid_b, shared_windows), oversized_report)."""
+    return clone_pairs(window_index(files, cfg), cfg, min_shared)

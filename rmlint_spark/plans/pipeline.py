@@ -45,7 +45,20 @@ class PipelineResult:
     oversized_buckets: DataFrame  # skew guard report (band/block buckets over cap)
 
 
-def run_pipeline(files: DataFrame, cfg: EngineConfig = DEFAULT, use_simhash: bool = True) -> PipelineResult:
+def run_pipeline(
+    files: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    use_simhash: bool = True,
+    lineage_dir: str | None = None,
+) -> PipelineResult:
+    """``lineage_dir``: when set, the three relations that fully
+    determine the near-dup clustering — the verified edge list, the
+    (sha, rep fid, family size) table, and the file index — are
+    materialized to parquet and the rest of the pipeline reads them
+    back. This is the independent-verification hook (reference
+    analog: tests/test_speed/verify.py re-hashes every reported
+    group): an external checker (the DuckDB oracle) can recompute
+    connected components + membership from the same bytes."""
     exact = EX.exact_clusters(files, cfg)
 
     # near-dup layer operates on content REPRESENTATIVES (one node per
@@ -73,12 +86,23 @@ def run_pipeline(files: DataFrame, cfg: EngineConfig = DEFAULT, use_simhash: boo
         )
     edges = edges.dropDuplicates(["fid_a", "fid_b"])
 
+    reps = sigs.select("sha", "fid", "n_rows")
+    idx = row_index(files)
+    if lineage_dir:
+        spark = files.sparkSession
+        edges.write.mode("overwrite").parquet(f"{lineage_dir}/edges")
+        reps.write.mode("overwrite").parquet(f"{lineage_dir}/reps")
+        idx.write.mode("overwrite").parquet(f"{lineage_dir}/index")
+        edges = spark.read.parquet(f"{lineage_dir}/edges")
+        reps = spark.read.parquet(f"{lineage_dir}/reps")
+        idx = spark.read.parquet(f"{lineage_dir}/index")
+
     comp = connected_components(edges)
     # component per distinct content: CC label if the rep is in the
     # edge graph, else the rep itself when its exact family has >= 2
     # members (a pure exact-dup cluster), else null (unclustered)
     rep_comp = (
-        sigs.select("sha", "fid", "n_rows")
+        reps
         .join(comp, "fid", "left")
         .select(
             "sha",
@@ -88,7 +112,7 @@ def run_pipeline(files: DataFrame, cfg: EngineConfig = DEFAULT, use_simhash: boo
         )
         .filter(F.col("cluster_id").isNotNull())
     )
-    members = row_index(files).join(rep_comp, "sha", "inner")
+    members = idx.join(rep_comp, "sha", "inner")
     sizes = members.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     near = tag_originals(members.join(sizes, "cluster_id"), cfg.rank_criteria).select(
         *KEY, "fid", "cluster_id", "cluster_size", "rank", "is_original"
