@@ -38,6 +38,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# files + the deterministic 10% mirrored slice (_mirrored_corpus) in SQL
+MIRROR_FILES_CTE = """
+f2 AS (
+  SELECT doc_id, source AS repo,
+         printf('docs/d%02d/doc%d.txt', CAST(doc_id % 50 AS INT), doc_id) AS path,
+         substr(sha256('c' || CAST(doc_id AS VARCHAR)), 1, 8) AS "commit",
+         text AS content
+  FROM documents),
+all_files AS (
+  SELECT repo, path, "commit", content FROM f2
+  UNION ALL
+  SELECT 'mirror-repo', 'mirror/' || path, "commit", content
+  FROM f2 WHERE doc_id % 10 = 0)
+"""
+
 # token 3-shingles + 8 sha256 "permutations" — shared by the SQL
 # MinHash oracle and its banding variant
 MINHASH_SQL_CTE = """
@@ -372,6 +387,32 @@ def q_cc_components(spark, sf_dir):
     )
 
 
+def q_needs_new(spark, sf_dir):
+    # F6/NEEDS_NEW: keep only clusters containing a "new" member
+    # (rmlint -N mtime cutoff; table analog = commit-hex newness)
+    from rmlint_spark.operators.split import needs_new_qualify
+
+    clusters = EX.exact_clusters(_mirrored_corpus(spark, sf_dir), CFG)
+    is_new = F.substring("commit", 1, 1).isin(*list("01234567"))
+    return needs_new_qualify(clusters, is_new).select(
+        "repo", "path", "commit", "cluster_id", "cluster_size", "rank",
+        F.col("is_original").cast("int").alias("is_original"),
+    )
+
+
+def q_rank_criteria(spark, sf_dir):
+    # -S surface: regex criterion (r<...>) + basename-length + depth —
+    # mirror-path copies must outrank source rows
+    from dataclasses import replace as dc_replace
+
+    cfg = dc_replace(CFG, rank_criteria="r<^mirror/>ld")
+    clusters = EX.exact_clusters(_mirrored_corpus(spark, sf_dir), cfg)
+    return clusters.select(
+        "repo", "path", "commit", "cluster_id", "rank",
+        F.col("is_original").cast("int").alias("is_original"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     # rows-only: float tie-breaks make cross-engine hashes brittle
     from rmlint_spark.operators.ann import brute_force_topk_blas
@@ -475,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_dirs": q_duplicate_dirs,
         "quality_score": q_quality_score,
         "cc_components": q_cc_components,
+        "needs_new": q_needs_new,
+        "rank_criteria": q_rank_criteria,
         # oracled via the ORACLE_SIDE parquet side-channel (signatures
         # materialized by the query, clustering recomputed in SQL)
         "ann_topk": q_ann_topk,
@@ -530,12 +573,13 @@ def oracle_sql() -> dict[str, str]:
               FROM nonempty GROUP BY 1 HAVING count(*) >= 2)
             SELECT repo, path, "commit", length(content) AS size,
                    g.checksum, g.checksum AS cluster_id, g.cluster_size,
-                   row_number() OVER (PARTITION BY g.checksum
-                                      ORDER BY path, repo, commit) AS rank,
-                   CASE WHEN row_number() OVER (PARTITION BY g.checksum
-                                      ORDER BY path, repo, commit) = 1
+                   row_number() OVER w AS rank,
+                   CASE WHEN row_number() OVER w = 1
                         THEN 1 ELSE 0 END AS is_original
             FROM nonempty JOIN g ON sha256(nonempty.content) = g.checksum
+            WINDOW w AS (PARTITION BY g.checksum
+                         ORDER BY "commit", lower(string_split(path, '/')[-1]),
+                                  repo, path)
         """,
         "uniques": f"""
             WITH {FILES_CTE},
@@ -715,11 +759,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT set_sig AS gs2, count(*) AS cluster_size
               FROM pruned GROUP BY 1 HAVING count(*) >= 2)
             SELECT repo, dir, n_files, set_sig, set_sig AS cluster_id, g2.cluster_size,
-                   row_number() OVER (PARTITION BY set_sig ORDER BY dir, repo) AS rank,
-                   CASE WHEN row_number() OVER (PARTITION BY set_sig
-                                                ORDER BY dir, repo) = 1
+                   row_number() OVER w AS rank,
+                   CASE WHEN row_number() OVER w = 1
                         THEN 1 ELSE 0 END AS is_original
             FROM pruned JOIN g2 ON pruned.set_sig = g2.gs2
+            WINDOW w AS (PARTITION BY set_sig
+                         ORDER BY lower(string_split(dir, '/')[-1]), repo, dir)
         """,
         "quality_score": f"""
             SELECT doc_id,
@@ -745,6 +790,43 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY lang, grp) AS sz
               FROM r)
             SELECT doc_id, component FROM c WHERE sz >= 2
+        """,
+        "needs_new": f"""
+            WITH {MIRROR_FILES_CTE},
+            ne AS (SELECT * FROM all_files WHERE length(content) >= 1),
+            g AS (
+              SELECT sha256(content) AS cs, count(*) AS cluster_size
+              FROM ne GROUP BY 1 HAVING count(*) >= 2),
+            cl AS (
+              SELECT repo, path, "commit", g.cs AS cluster_id, g.cluster_size,
+                     row_number() OVER w AS rank,
+                     CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS is_original,
+                     max(CASE WHEN substr("commit", 1, 1) IN
+                              ('0','1','2','3','4','5','6','7')
+                         THEN 1 ELSE 0 END) OVER (PARTITION BY g.cs) AS has_new
+              FROM ne JOIN g ON sha256(ne.content) = g.cs
+              WINDOW w AS (PARTITION BY g.cs
+                           ORDER BY "commit",
+                                    lower(string_split(path, '/')[-1]),
+                                    repo, path))
+            SELECT repo, path, "commit", cluster_id, cluster_size, rank, is_original
+            FROM cl WHERE has_new = 1
+        """,
+        "rank_criteria": f"""
+            WITH {MIRROR_FILES_CTE},
+            ne AS (SELECT * FROM all_files WHERE length(content) >= 1),
+            g AS (
+              SELECT sha256(content) AS cs FROM ne
+              GROUP BY 1 HAVING count(*) >= 2)
+            SELECT repo, path, "commit", g.cs AS cluster_id,
+                   row_number() OVER w AS rank,
+                   CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS is_original
+            FROM ne JOIN g ON sha256(ne.content) = g.cs
+            WINDOW w AS (PARTITION BY g.cs ORDER BY
+              CASE WHEN regexp_matches(path, '^mirror/') THEN 0 ELSE 1 END,
+              length(string_split(path, '/')[-1]),
+              len(string_split(path, '/')),
+              repo, path, "commit")
         """,
         # ---- signature-side-channel oracles (see ORACLE_SIDE) -------
         "simhash_pairs": f"""
@@ -822,7 +904,9 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER w AS rank,
                    CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS is_original
             FROM members
-            WINDOW w AS (PARTITION BY cluster_id ORDER BY path, repo, "commit")
+            WINDOW w AS (PARTITION BY cluster_id
+                         ORDER BY "commit", lower(string_split(path, '/')[-1]),
+                                  repo, path)
         """,
         "ann_topk": """
             WITH p AS (

@@ -22,6 +22,15 @@ class SignatureConfig:
 
     # exact funnel
     prefix_len: int = 16384       # gen-0 read = 4 pages ~ 16kB (lib/shredder.c:52,272-275)
+    # digest selection (-a, lib/checksum.c:815-851; default sha256 is
+    # the per-row invariant vs the reference): sha224/sha256/sha384/
+    # sha512/md5/xxhash64
+    checksum_algo: str = "sha256"
+    # byte-range clamp (--clamp-low/--clamp-top, lib/file.c:40-88):
+    # int = absolute offset, float in [0,1) = size factor, None = edge.
+    # Hashing (and the grouping size) operate on content[start:end).
+    clamp_start: int | float | None = None
+    clamp_end: int | float | None = None
     # MinHash / LSH
     shingle_k: int = 5            # token shingle width
     num_perm: int = 128           # MinHash permutations
@@ -50,12 +59,15 @@ class EngineConfig:
     min_size: int = 1             # skip empty files from the dup path by default
     max_size: int | None = None
     keep_hidden: bool = False     # lib/traverse.c:325-338
-    # ranking criteria for original selection; subset of rmlint's
-    # -S [dlamprxDLAMPRX] (lib/cfg.c:65 default "pOma"). We support a
-    # string of single-char criteria evaluated in order:
-    #   p: preferred first   a: alphabetic path   l: shortest basename
-    #   d: shallowest depth  m: oldest commit     M: newest commit
-    rank_criteria: str = "pa"
+    # --partial-hidden (lib/treemerge.c:877-879,963-966): hidden files
+    # are excluded from plain duplicate reports but still count inside
+    # duplicate DIRECTORIES (treemerge sees them)
+    partial_hidden: bool = False
+    # ranking criteria for original selection — rmlint's
+    # -S [dlamprxho / DLAMPRXHO] surface incl. r<regex>/x<regex>
+    # (lib/preprocess.c:304-356,388-427); default matches the
+    # reference default "pOma" (lib/cfg.c:65). See operators/rank.py.
+    rank_criteria: str = "pOma"
     # skew handling
     salt_buckets: int = 64        # sub-keys for pathological groups
     max_bucket_width: int = 2000  # LSH bucket cap before salting/escalation

@@ -41,12 +41,49 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
 from rmlint_spark.operators.lint import KEY, size_filter
 from rmlint_spark.operators.rank import tag_originals
+
+DIGEST_ALGOS = {"sha224", "sha256", "sha384", "sha512", "md5", "xxhash64"}
+
+
+def digest(col: Column | str, algo: str = "sha256") -> Column:
+    """X1 hash-family selection (-a, lib/checksum.c:815-851). All
+    algorithms are JVM-native expressions; the digest is hex text so
+    cluster ids stay string-typed regardless of algorithm."""
+    algo = algo.lower()
+    if algo not in DIGEST_ALGOS:
+        raise ValueError(f"unknown checksum algo {algo!r}; pick from {sorted(DIGEST_ALGOS)}")
+    if algo.startswith("sha"):
+        return F.sha2(col, int(algo[3:]))
+    if algo == "md5":
+        return F.md5(col)
+    return F.lower(F.hex(F.xxhash64(col)))
+
+
+def clamped_content(cfg: EngineConfig) -> Column:
+    """F7 byte-range clamp (--clamp-low/--clamp-top, lib/file.c:40-88):
+    the funnel hashes content[start:end). int = absolute offset, float
+    = fraction of the file size, None = the respective edge."""
+    start, end = cfg.sig.clamp_start, cfg.sig.clamp_end
+    if start is None and end is None:
+        return F.col("content")
+    length = F.length("content")
+
+    def resolve(spec, default):
+        if spec is None:
+            return default
+        if isinstance(spec, float):
+            return F.floor(length * F.lit(spec)).cast("int")
+        return F.lit(int(spec))
+
+    lo = resolve(start, F.lit(0))
+    hi = resolve(end, length)
+    return F.substring("content", lo + 1, F.greatest(hi - lo, F.lit(0)))
 
 
 def _qualify(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -76,7 +113,8 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """
     prefix_len = cfg.sig.prefix_len
     raw = size_filter(files, cfg)
-    size = F.length("content").alias("size")
+    cc = clamped_content(cfg)  # F7: identity unless a clamp is set
+    size = F.length(cc).alias("size")
 
     # gen-0 (R1): narrow (key, size) relation; dedup + qualify shuffle
     # ~20 bytes/row. Sizes with >= 2 distinct rows survive.
@@ -88,18 +126,18 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     # rmlint's "unique sizes never read", lib/shredder.c:50-56; prefix
     # default = the 4-page first read, lib/shredder.c:52,272-275).
     sig1 = (
-        raw.select(*KEY, size, "content")
+        raw.select(*KEY, size, cc.alias("_cc"))
         .join(F.broadcast(sizes2), "size", "left_semi")
-        .select(*KEY, "size", F.xxhash64(F.substring("content", 1, prefix_len)).alias("sig1"))
+        .select(*KEY, "size", F.xxhash64(F.substring("_cc", 1, prefix_len)).alias("sig1"))
         .dropDuplicates(KEY)
     )
     surv1 = _qualify(sig1, ["size", "sig1"])
 
-    # final generation: full sha256 for remaining survivors, again
-    # map-side; the survivor key relation is narrow -> broadcast.
+    # final generation: full digest (-a selectable) for remaining
+    # survivors, again map-side; survivor keys are narrow -> broadcast.
     final = (
         raw.join(F.broadcast(surv1.select(*KEY)), KEY, "left_semi")
-        .select(*KEY, size, F.sha2("content", 256).alias("checksum"))
+        .select(*KEY, size, digest(cc, cfg.sig.checksum_algo).alias("checksum"))
         .dropDuplicates(KEY)
     )
     clustered = _qualify(final, ["size", "checksum"])
@@ -114,9 +152,9 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         # `collision_report`.
         confirm = (
             raw.join(F.broadcast(clustered.select(*KEY)), KEY, "left_semi")
-            .select(F.sha2("content", 256).alias("checksum"), "content")
+            .select(digest(cc, cfg.sig.checksum_algo).alias("checksum"), cc.alias("_cc"))
             .groupBy("checksum")
-            .agg(F.count_distinct("content").alias("n_distinct"))
+            .agg(F.count_distinct("_cc").alias("n_distinct"))
             .filter(F.col("n_distinct") == 1)
             .select("checksum")
         )

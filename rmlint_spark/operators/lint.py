@@ -55,6 +55,22 @@ def hidden_filter(files: DataFrame, keep_hidden: bool = False) -> DataFrame:
     return files.filter(~F.col("path").rlike(r"(^|/)\."))
 
 
+def hidden_policy(files: DataFrame, cfg: EngineConfig = DEFAULT) -> tuple[DataFrame, DataFrame]:
+    """Resolve the hidden-file policy into the two pipeline inputs:
+    (dupe_candidates, treemerge_input).
+
+    --partial-hidden (lib/treemerge.c:877-879,963-966): hidden files
+    never appear in plain duplicate reports, but duplicate-DIRECTORY
+    detection still sees them (a dir with a differing hidden member is
+    not a full duplicate)."""
+    if cfg.keep_hidden:
+        return files, files
+    filtered = hidden_filter(files)
+    if cfg.partial_hidden:
+        return filtered, files
+    return filtered, filtered
+
+
 def size_filter(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """F1: min/max size limits (lib/traverse.c:160-173)."""
     out = files.filter(F.length("content") >= cfg.min_size)

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from rmlint_spark.operators.rank import tag_originals
+from rmlint_spark.operators.rank import DEFAULT_CRITERIA, tag_originals
 
 
 def _requalify(df: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
@@ -42,7 +42,7 @@ def gap_split(
     clusters: DataFrame,
     ts: Column,
     window_seconds: float,
-    criteria: str = "pa",
+    criteria: str = DEFAULT_CRITERIA,
 ) -> DataFrame:
     """W3: subdivide each cluster into gap-islands of ``ts`` and
     re-rank originals per island. ``ts`` is any numeric/sortable
@@ -61,7 +61,7 @@ def gap_split(
     return tag_originals(df, criteria).drop("_ts")
 
 
-def basename_split(clusters: DataFrame, criteria: str = "pa") -> DataFrame:
+def basename_split(clusters: DataFrame, criteria: str = DEFAULT_CRITERIA) -> DataFrame:
     """W4 generalization: sub-cluster by basename; groups where all
     members shared one basename survive intact, mixed groups split."""
     basename = F.element_at(F.split("path", "/"), -1)
@@ -89,3 +89,26 @@ def keep_all_tagged(clusters: DataFrame, preferred: Column) -> DataFrame:
     return clusters.withColumn(
         "is_original", F.col("is_original") | preferred
     )
+
+
+def needs_new_qualify(clusters: DataFrame, is_new: Column) -> DataFrame:
+    """F6/NEEDS_NEW: keep only clusters containing at least one "new"
+    member (rmlint ``-N/--newer-than``: old files still participate in
+    grouping so a new file's twins are found, but a group qualifies
+    only if something in it is new — lib/shredder.c:333-334,805-806;
+    mtime filter lib/preprocess.c:483-485). ``is_new`` is the
+    mtime-cutoff predicate's table analog (commit-timestamp newness)."""
+    w = W.partitionBy("cluster_id")
+    return (
+        clusters.withColumn("_new", is_new.cast("int"))
+        .withColumn("_has_new", F.max("_new").over(w))
+        .filter(F.col("_has_new") == 1)
+        .drop("_new", "_has_new")
+    )
+
+
+def report_new_only(clusters: DataFrame, is_new: Column) -> DataFrame:
+    """F6 output side (rmlint ``-n``): after NEEDS_NEW qualification,
+    report only the new rows themselves (originals are still ranked on
+    the full group — lib/shredder.c:805-806)."""
+    return needs_new_qualify(clusters, is_new).filter(is_new)

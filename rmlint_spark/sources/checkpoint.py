@@ -91,24 +91,46 @@ class CheckpointManager:
         the kill/resume test: stop after completing that many.
 
         Returns the stage read back from parquet (all partitions).
+
+        The input is persisted (memory-and-disk) before the partition
+        loop so the upstream plan is computed ONCE; each per-partition
+        job then filters the cached rows (round-1 version recomputed
+        the full upstream plan n_partitions times). Kill/resume
+        semantics are unchanged: every completed partition is durable
+        behind its own _SUCCESS.
         """
         os.makedirs(self.stage_dir(stage), exist_ok=True)
-        done = 0
-        for p in range(self.n_partitions):
-            if self.is_partition_done(stage, p):
-                continue
-            if max_partitions is not None and done >= max_partitions:
-                raise RuntimeError(f"simulated kill after {done} partitions of {stage}")
-            t0 = time.time()
-            part = df.filter(
-                F.pmod(F.abs(F.xxhash64(F.col(partition_key))), F.lit(self.n_partitions)) == p
+        pending = [
+            p for p in range(self.n_partitions) if not self.is_partition_done(stage, p)
+        ]
+        if pending:
+            from pyspark.storagelevel import StorageLevel
+
+            bucket = F.pmod(
+                F.abs(F.xxhash64(F.col(partition_key))), F.lit(self.n_partitions)
             )
-            part.write.mode("overwrite").parquet(self.part_dir(stage, p))
-            n = spark.read.parquet(self.part_dir(stage, p)).count()
-            self._append_manifest(
-                StageMetrics(stage, p, n, time.time() - t0, self.cfg.config_hash(), time.time())
+            staged = df.withColumn("_cp_bucket", bucket).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-            done += 1
+            try:
+                done = 0
+                for p in pending:
+                    if max_partitions is not None and done >= max_partitions:
+                        raise RuntimeError(
+                            f"simulated kill after {done} partitions of {stage}"
+                        )
+                    t0 = time.time()
+                    part = staged.filter(F.col("_cp_bucket") == p).drop("_cp_bucket")
+                    part.write.mode("overwrite").parquet(self.part_dir(stage, p))
+                    n = spark.read.parquet(self.part_dir(stage, p)).count()
+                    self._append_manifest(
+                        StageMetrics(
+                            stage, p, n, time.time() - t0, self.cfg.config_hash(), time.time()
+                        )
+                    )
+                    done += 1
+            finally:
+                staged.unpersist()
         return spark.read.parquet(os.path.join(self.stage_dir(stage), "part=*"))
 
     def pending_keys(self, base: DataFrame, stage: str, key_cols: list[str]) -> DataFrame:

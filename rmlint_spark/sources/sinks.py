@@ -117,6 +117,17 @@ def summary(clusters: DataFrame) -> dict:
     return {k: row[k] for k in row.asDict()}
 
 
+def equal_check(files: DataFrame) -> bool:
+    """K6 ``_equal`` sink (lib/formats/_equal.c; rmlint ``--equal``):
+    True iff ALL given rows are byte-identical (>= 2 rows, one distinct
+    content). The caller maps this to an exit code."""
+    row = files.agg(
+        F.count_distinct("content").alias("n_distinct"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return row["n"] >= 2 and row["n_distinct"] == 1
+
+
 def append_signatures(clusters: DataFrame, store_path: str) -> None:
     """K7 (--xattr-write analog): persist computed digests so future
     runs short-circuit (R4). Append-only parquet signature table."""

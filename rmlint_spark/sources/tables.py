@@ -43,6 +43,23 @@ def documents_as_files(docs: DataFrame) -> DataFrame:
     )
 
 
+def paths_source(spark: SparkSession, keys: list[tuple[str, str, str]]) -> DataFrame:
+    """S3 stdin-path source (rm_cmd_parse_paths_from_stdin,
+    lib/cmdline.c — newline/NUL-delimited path lists): a small explicit
+    key list becomes a one-column-per-key relation, used to scope a run
+    to caller-supplied rows via semi-join."""
+    return spark.createDataFrame(keys, ["repo", "path", "commit"])
+
+
+def scope_to_paths(files: DataFrame, paths: DataFrame) -> DataFrame:
+    """Restrict the corpus to the stdin-supplied key list (S3)."""
+    return files.join(
+        F.broadcast(paths.select("repo", "path", "commit")),
+        ["repo", "path", "commit"],
+        "left_semi",
+    )
+
+
 def read_files_table(spark: SparkSession, location: str, fmt: str = "parquet") -> DataFrame:
     """Canonical corpus reader. ``fmt='iceberg'`` is the production
     path (needs the Iceberg runtime jar on the classpath)."""
