@@ -1,0 +1,214 @@
+"""Round-2 option surface: clamp, digest selection, hidden policy,
+newness qualification, rank criteria, stdin source, _equal sink.
+
+Reference test models: tests/test_options/ (mtime, rankby, clamp) and
+tests/utils.py:26-47 (algorithm sweep).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import functions as F
+
+from rmlint_spark.config import EngineConfig, SignatureConfig
+from rmlint_spark.operators.exact import DIGEST_ALGOS, exact_clusters
+from rmlint_spark.operators.lint import hidden_policy
+from rmlint_spark.operators.rank import criteria_columns, parse_criteria, tag_originals
+from rmlint_spark.operators.split import needs_new_qualify, report_new_only
+
+CFG = EngineConfig(sig=SignatureConfig(prefix_len=64))
+
+
+def files_df(spark, rows):
+    return spark.createDataFrame(rows, ["repo", "path", "commit", "lang", "content"])
+
+
+# ---------------------------------------------------------------- clamp
+
+def test_clamp_start_ignores_leading_bytes(spark):
+    # identical except the first byte -> only cluster under clamp_start=1
+    rows = [
+        ("r1", "a.txt", "c1", "t", "Xsame-tail-content"),
+        ("r2", "b.txt", "c2", "t", "Ysame-tail-content"),
+    ]
+    df = files_df(spark, rows)
+    assert exact_clusters(df, CFG).count() == 0
+    clamped = replace(CFG, sig=replace(CFG.sig, clamp_start=1))
+    out = exact_clusters(df, clamped)
+    assert out.count() == 2
+    # grouping size is the clamped length
+    assert out.select("size").distinct().collect()[0]["size"] == len("same-tail-content")
+
+
+def test_clamp_end_and_factor(spark):
+    rows = [
+        ("r1", "a.txt", "c1", "t", "shared-head-0000"),
+        ("r2", "b.txt", "c2", "t", "shared-head-1111"),
+    ]
+    df = files_df(spark, rows)
+    # absolute end: first 11 chars agree
+    by_end = replace(CFG, sig=replace(CFG.sig, clamp_end=11))
+    assert exact_clusters(df, by_end).count() == 2
+    # factor end: first half (len 16 -> 8 chars) agrees
+    by_factor = replace(CFG, sig=replace(CFG.sig, clamp_end=0.5))
+    assert exact_clusters(df, by_factor).count() == 2
+
+
+# ---------------------------------------------------------------- digests
+
+def test_digest_algorithms_cluster_identically(spark):
+    rows = [
+        ("r1", "a.txt", "c1", "t", "same content"),
+        ("r2", "b.txt", "c2", "t", "same content"),
+        ("r3", "c.txt", "c3", "t", "other content"),
+    ]
+    df = files_df(spark, rows)
+    for algo in sorted(DIGEST_ALGOS):
+        cfg = replace(CFG, sig=replace(CFG.sig, checksum_algo=algo))
+        got = exact_clusters(df, cfg)
+        assert got.count() == 2, algo
+        assert got.select("cluster_id").distinct().count() == 1, algo
+
+
+def test_unknown_digest_rejected():
+    from rmlint_spark.operators.exact import digest
+
+    with pytest.raises(ValueError):
+        digest(F.col("content"), "crc99")
+
+
+# ---------------------------------------------------------------- hidden
+
+def test_partial_hidden_policy(spark):
+    rows = [
+        ("r1", "src/f.txt", "c1", "t", "visible content"),
+        ("r1", ".git/f.txt", "c1", "t", "hidden content"),
+    ]
+    df = files_df(spark, rows)
+    dup_in, tree_in = hidden_policy(df, replace(CFG, partial_hidden=True))
+    assert dup_in.count() == 1 and tree_in.count() == 2
+    dup_in, tree_in = hidden_policy(df, CFG)  # default: hidden dropped everywhere
+    assert dup_in.count() == 1 and tree_in.count() == 1
+    dup_in, tree_in = hidden_policy(df, replace(CFG, keep_hidden=True))
+    assert dup_in.count() == 2 and tree_in.count() == 2
+
+
+def test_partial_hidden_dirs_see_hidden_members(spark):
+    # two dirs identical only when the hidden member is counted
+    from rmlint_spark.operators.treemerge import duplicate_dirs
+
+    rows = [
+        ("r1", "d1/a.txt", "c", "t", "AAAA"),
+        ("r1", "d1/.h.txt", "c", "t", "HHHH"),
+        ("r1", "d2/a.txt", "c", "t", "AAAA"),
+        ("r1", "d2/.h.txt", "c", "t", "ZZZZ"),  # differs -> d2 not a twin
+        ("r1", "d3/a.txt", "c", "t", "AAAA"),
+        ("r1", "d3/.h.txt", "c", "t", "HHHH"),  # d3 == d1
+    ]
+    df = files_df(spark, rows)
+    _, tree_in = hidden_policy(df, replace(CFG, partial_hidden=True))
+    dd = duplicate_dirs(tree_in, CFG)
+    dirs = {r["dir"] for r in dd.collect()}
+    assert dirs == {"d1", "d3"}
+
+
+# ---------------------------------------------------------------- newness
+
+def _clusters(spark):
+    rows = [
+        ("r1", "a.txt", "2024", "t", "dup-one"),
+        ("r2", "b.txt", "2020", "t", "dup-one"),
+        ("r3", "c.txt", "2019", "t", "dup-two"),
+        ("r4", "d.txt", "2018", "t", "dup-two"),
+    ]
+    return exact_clusters(files_df(spark, rows), CFG)
+
+
+def test_needs_new_keeps_whole_qualifying_group(spark):
+    out = needs_new_qualify(_clusters(spark), F.col("commit") >= "2021")
+    got = sorted(r["path"] for r in out.collect())
+    assert got == ["a.txt", "b.txt"]  # the old twin stays in the group
+
+
+def test_report_new_only_outputs_new_rows(spark):
+    out = report_new_only(_clusters(spark), F.col("commit") >= "2021")
+    got = [(r["path"], r["is_original"]) for r in out.collect()]
+    # only the new row is reported; the original was ranked on the full
+    # group (oldest commit 2020 = original -> the new 2024 row is a dupe)
+    assert got == [("a.txt", False)]
+
+
+# ---------------------------------------------------------------- criteria
+
+def test_parse_criteria_patterns():
+    assert parse_criteria("pOma") == [("p", None), ("O", None), ("m", None), ("a", None)]
+    assert parse_criteria("r<\\.bak$>a") == [("r", "\\.bak$"), ("a", None)]
+    with pytest.raises(ValueError):
+        parse_criteria("z")
+    with pytest.raises(ValueError):
+        parse_criteria("r")  # missing <pattern>
+    with pytest.raises(ValueError):
+        parse_criteria("x<oops")  # unterminated
+
+
+def test_regex_criterion_ranks_matches_first(spark):
+    rows = [
+        ("r1", "keep/x.txt", "c1", "X", 2),
+        ("r2", "other/x.txt", "c2", "X", 2),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "commit", "cluster_id", "cluster_size"])
+    out = tag_originals(df, "r<^keep/>")
+    got = {r["path"]: r["rank"] for r in out.collect()}
+    assert got == {"keep/x.txt": 1, "other/x.txt": 2}
+    # uppercase reverses
+    out2 = tag_originals(df, "R<^keep/>")
+    got2 = {r["path"]: r["rank"] for r in out2.collect()}
+    assert got2 == {"keep/x.txt": 2, "other/x.txt": 1}
+
+
+def test_basename_criterion_case_insensitive(spark):
+    rows = [
+        ("r1", "d/ALPHA.txt", "c1", "X", 2),
+        ("r2", "d/beta.txt", "c2", "X", 2),
+    ]
+    df = spark.createDataFrame(rows, ["repo", "path", "commit", "cluster_id", "cluster_size"])
+    got = {r["path"]: r["rank"] for r in tag_originals(df, "a").collect()}
+    # case-insensitive: ALPHA < beta (byte-order would put it after)
+    assert got == {"d/ALPHA.txt": 1, "d/beta.txt": 2}
+
+
+def test_default_criteria_is_reference_default():
+    # lib/cfg.c:65
+    from rmlint_spark.operators.rank import DEFAULT_CRITERIA
+
+    assert DEFAULT_CRITERIA == "pOma"
+    assert len(criteria_columns("pOmalhd")) == 7 + 3  # + tiebreak
+
+
+# ---------------------------------------------------------------- sources/sinks
+
+def test_paths_source_scopes_run(spark):
+    from rmlint_spark.sources.tables import paths_source, scope_to_paths
+
+    rows = [
+        ("r1", "a.txt", "c1", "t", "dup"),
+        ("r2", "b.txt", "c2", "t", "dup"),
+        ("r3", "c.txt", "c3", "t", "dup"),
+    ]
+    df = files_df(spark, rows)
+    wanted = paths_source(spark, [("r1", "a.txt", "c1"), ("r3", "c.txt", "c3")])
+    scoped = scope_to_paths(df, wanted)
+    assert {r["repo"] for r in scoped.collect()} == {"r1", "r3"}
+
+
+def test_equal_check(spark):
+    from rmlint_spark.sources.sinks import equal_check
+
+    same = files_df(spark, [("r1", "a", "c", "t", "X"), ("r2", "b", "c", "t", "X")])
+    diff = files_df(spark, [("r1", "a", "c", "t", "X"), ("r2", "b", "c", "t", "Y")])
+    single = files_df(spark, [("r1", "a", "c", "t", "X")])
+    assert equal_check(same) is True
+    assert equal_check(diff) is False
+    assert equal_check(single) is False
