@@ -117,6 +117,31 @@ def summary(clusters: DataFrame) -> dict:
     return {k: row[k] for k in row.asDict()}
 
 
+def write_json_dirs(dirs: DataFrame, path: str) -> None:
+    """K1 extension: pack duplicate DIRECTORIES into the json-lines
+    stream (reference packs dupe dirs into replay JSON,
+    lib/replay.c:686-775; emitted by the treemerge extract phase)."""
+    body = dirs.select(
+        F.to_json(
+            F.struct(
+                F.lit("duplicate_dir").alias("type"),
+                "repo",
+                F.col("dir").alias("path"),
+                "n_files", "set_sig", "cluster_id", "is_original",
+            )
+        ).alias("line")
+    )
+    body.write.mode("overwrite").text(path)
+
+
+def replay_source(spark, path: str) -> DataFrame:
+    """S4 replay source: re-ingest a prior run's json-lines output as
+    input (lib/replay.c:777-860 — the -Y/--replay mode; dupe-dir
+    unpack :686-775). Hadoop readers skip the _header/_footer side
+    files automatically (leading underscore)."""
+    return spark.read.json(path)
+
+
 def equal_check(files: DataFrame) -> bool:
     """K6 ``_equal`` sink (lib/formats/_equal.c; rmlint ``--equal``):
     True iff ALL given rows are byte-identical (>= 2 rows, one distinct
@@ -134,3 +159,39 @@ def append_signatures(clusters: DataFrame, store_path: str) -> None:
     clusters.select("repo", "path", "commit", "size", "checksum").write.mode(
         "append"
     ).parquet(store_path)
+
+
+# ---------------------------------------------------------------- registry
+# Formatter registration channel (rm_fmt_register/rm_fmt_open,
+# lib/formats.c:87-124): sinks are looked up by name and can be added
+# by callers; ``write_all`` fans one cluster relation out to many
+# formats, each with its own config dict (the per-formatter config
+# channel, lib/formats.h:110-130).
+
+FORMATTERS: dict[str, object] = {}
+
+
+def register_formatter(name: str, fn) -> None:
+    FORMATTERS[name] = fn
+
+
+def get_formatter(name: str):
+    try:
+        return FORMATTERS[name]
+    except KeyError:
+        raise ValueError(f"unknown formatter {name!r}; registered: {sorted(FORMATTERS)}")
+
+
+register_formatter("json", write_json)
+register_formatter("csv", write_csv)
+register_formatter("sh", sh_script)
+register_formatter("fdupes", fdupes_lines)
+register_formatter("json_dirs", write_json_dirs)
+
+
+def write_all(clusters: DataFrame, specs: dict[str, dict]) -> dict[str, object]:
+    """Run several formatters over ONE cluster relation:
+    ``specs = {"json": {"path": ...}, "sh": {"handler": "remove"}}``.
+    Returns each formatter's result (None for file writers,
+    a DataFrame for relational sinks)."""
+    return {name: get_formatter(name)(clusters, **kw) for name, kw in specs.items()}

@@ -101,3 +101,43 @@ def test_signature_append_roundtrip(spark, tmp_path):
     back = spark.read.parquet(store)
     assert back.count() == 4
     assert set(back.columns) == {"repo", "path", "commit", "size", "checksum"}
+
+
+def test_replay_roundtrip_with_dirs(spark, tmp_path):
+    # K1 json pack -> S4 replay unpack, files + duplicate dirs
+    # (lib/replay.c:686-775,777-860)
+    out = str(tmp_path / "json_out")
+    sinks.write_json(clusters_df(spark), out)
+    back = sinks.replay_source(spark, out)
+    assert back.count() == 4
+    assert set(back.select("type").distinct().toPandas()["type"]) == {"duplicate_file"}
+
+    from pyspark.sql import Row
+
+    dirs = spark.createDataFrame(
+        [
+            Row(repo="r1", dir="d1", n_files=2, set_sig="S", cluster_id="S",
+                is_original=True),
+            Row(repo="r2", dir="d2", n_files=2, set_sig="S", cluster_id="S",
+                is_original=False),
+        ]
+    )
+    out2 = str(tmp_path / "json_dirs")
+    sinks.write_json_dirs(dirs, out2)
+    back2 = sinks.replay_source(spark, out2)
+    assert back2.count() == 2
+    assert back2.filter("type = 'duplicate_dir'").count() == 2
+
+
+def test_formatter_registry(spark, tmp_path):
+    import pytest
+
+    res = sinks.write_all(
+        clusters_df(spark),
+        {"sh": {"handler": "remove"}, "fdupes": {}},
+    )
+    assert res["sh"].count() == 2 and res["fdupes"].count() == 2
+    with pytest.raises(ValueError):
+        sinks.get_formatter("nope")
+    sinks.register_formatter("mine", lambda df: df.count())
+    assert sinks.get_formatter("mine")(clusters_df(spark)) == 4
