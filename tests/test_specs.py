@@ -1,0 +1,33 @@
+"""X6 spec-string parsing (reference grammar lib/cmdline.c:120-214)."""
+
+import pytest
+
+from rmlint_spark.specs import parse_clamp, parse_size, parse_size_range
+
+
+def test_parse_size_units():
+    assert parse_size("512") == 512
+    assert parse_size("10K") == 10_000
+    assert parse_size("4MB") == 4 * 2**20
+    assert parse_size("1.5GiB") == int(1.5 * 2**30)
+    with pytest.raises(ValueError):
+        parse_size("10Q")
+    with pytest.raises(ValueError):
+        parse_size("abc")
+
+
+def test_parse_size_range():
+    assert parse_size_range("1K-1M") == (1000, 1_000_000)
+    assert parse_size_range("-512") == (0, 512)
+    assert parse_size_range("100-") == (100, None)
+    assert parse_size_range("42") == (42, 42)
+    with pytest.raises(ValueError):
+        parse_size_range("1M-1K")
+
+
+def test_parse_clamp():
+    assert parse_clamp("0.3") == 0.3
+    assert parse_clamp(".5") == 0.5
+    assert parse_clamp("4K") == 4000
+    with pytest.raises(ValueError):
+        parse_clamp("1.5")
