@@ -524,12 +524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline": q_near_dup_pipeline,
         "simhash_pairs": q_simhash_pairs,
         "substring_clones": q_substring_clones,
+        "multimodal_features": q_multimodal_features,
         # rows-only: ann_hyperplane's bucketing is a numpy float matmul
         # sign pattern (not reproducible bit-for-bit in SQL; its recall
-        # is pinned vs the oracled exact top-k in tests/test_ann.py);
-        # multimodal decode is a documented stub
+        # is pinned vs the oracled exact top-k in tests/test_ann.py)
         "ann_hyperplane": q_ann_hyperplane,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -907,6 +906,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY cluster_id
                          ORDER BY "commit", lower(string_split(path, '/')[-1]),
                                   repo, path)
+        """,
+        "multimodal_features": """
+            WITH ids AS (SELECT unnest(generate_series(0, 199)) AS asset_id),
+            a AS (
+              SELECT asset_id,
+                     CASE CAST(asset_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS kind,
+                     CASE WHEN asset_id % 10 = 0 THEN 0 ELSE asset_id END AS pseed
+              FROM ids)
+            SELECT asset_id, kind, CAST(64 AS BIGINT) AS n_bytes,
+                   sha256(sha256('payload-42-' || CAST(pseed AS VARCHAR))) AS payload_sha
+            FROM a
         """,
         "ann_topk": """
             WITH p AS (

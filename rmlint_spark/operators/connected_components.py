@@ -40,16 +40,24 @@ def connected_components(
     dst: str = "fid_b",
     max_iter: int = 25,
     on_nonconverged: str = "raise",
+    jump_after: int = 8,
 ) -> DataFrame:
     """Return (fid, component) — component = min fid in the component.
 
     ``edges``: distinct undirected pairs (either orientation).
 
-    Min-propagation advances one hop per iteration, so a path-shaped
-    component longer than ``max_iter`` hops would exit unconverged with
-    WRONG labels. The fingerprint already detects this; if the loop
-    exhausts without stabilizing we refuse to return silently:
-    ``on_nonconverged`` = "raise" (default) or "warn"."""
+    Plain min-propagation advances one hop per iteration — ideal for
+    the dense components near-dup graphs produce (2-4 rounds), but a
+    path-shaped component needs O(diameter) rounds. After
+    ``jump_after`` rounds without convergence, each subsequent round
+    adds a POINTER-JUMPING step (label <- label-of-label, one extra
+    self-join) so remaining distance halves per round: long chains
+    finish in O(log diameter) extra rounds instead of O(diameter).
+    Dense graphs never pay for the extra join.
+
+    If the loop still exhausts without the fingerprint stabilizing we
+    refuse to return silently: ``on_nonconverged`` = "raise" (default)
+    or "warn"."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -73,22 +81,28 @@ def connected_components(
 
     fp = fingerprint(labels)
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels.withColumnRenamed("fid", "u"), "u").select(
             F.col("v").alias("fid"), "component"
         )
         # lazy checkpoint: the fingerprint action below materializes it,
         # so each iteration costs ONE job (plus its shuffles).
-        # (Pointer-jumping was tried and removed: the extra self-join
-        # per iteration cost more than it saved — near-dup components
-        # are dense and converge in 2-3 rounds; max_iter caps
-        # adversarial chains.)
         new_labels = (
             msgs.union(labels)
             .groupBy("fid")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
         )
+        if it >= jump_after:
+            # pointer jumping: component <- label(component). Every
+            # component value is itself a node fid, so the self-join
+            # resolves one more indirection level per round.
+            parents = new_labels.select(
+                F.col("fid").alias("component"), F.col("component").alias("_parent")
+            )
+            new_labels = new_labels.join(parents, "component", "left").select(
+                "fid", F.coalesce("_parent", "component").alias("component")
+            )
+        new_labels = new_labels.localCheckpoint(eager=False)
         new_fp = fingerprint(new_labels)
         labels = new_labels
         if new_fp == fp:

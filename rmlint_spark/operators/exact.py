@@ -86,10 +86,27 @@ def clamped_content(cfg: EngineConfig) -> Column:
     return F.substring("content", lo + 1, F.greatest(hi - lo, F.lit(0)))
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a NARROW relation that the plan references more than
+    once. Without this, every reference re-derives the whole upstream
+    funnel chain (Spark only reuses identical exchanges, and the
+    funnel's references are different projections), which multiplies
+    the corpus scans ~6x per generation. All pinned relations are
+    (key, size, sig) projections — tens of bytes per row; at
+    deployment scale the same role is played by the durable stage
+    checkpoints (sources/checkpoint.py)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _qualify(df: DataFrame, keys: list[str]) -> DataFrame:
     """A4 group qualification: keep rows whose group has >= 2 members
     (lib/shredder.c:798-809). Implemented as agg + semi-join so the
-    surviving-key relation (small) drives the join; AQE broadcasts it."""
+    surviving-key relation (small) drives the join; AQE broadcasts it.
+    The input is pinned: it is read once for the count and once as the
+    join probe."""
+    df = _pin(df)
     survivors = df.groupBy(*keys).count().filter(F.col("count") >= 2).drop("count")
     return df.join(survivors, keys, "left_semi")
 
@@ -140,7 +157,7 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         .select(*KEY, size, digest(cc, cfg.sig.checksum_algo).alias("checksum"))
         .dropDuplicates(KEY)
     )
-    clustered = _qualify(final, ["size", "checksum"])
+    clustered = _pin(_qualify(final, ["size", "checksum"]))
 
     if cfg.byte_confirm:
         # paranoid analog (lib/shredder.c:218-258): byte-equality check

@@ -30,7 +30,11 @@ KEY = ["repo", "path", "commit"]
 def classify(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Add a ``lint_type`` column. Path doubles are flagged on every
     occurrence after the first (row_number over the identity key —
-    deterministic because duplicate rows are byte-identical)."""
+    deterministic because duplicate rows are byte-identical).
+
+    Scale note: the per-occurrence window moves full rows (content)
+    through one shuffle — fine for lint REPORTS on filtered subsets;
+    the pipeline router below derives the same information narrowly."""
     w = W.partitionBy(*KEY).orderBy(F.lit(1))
     return files.withColumn(
         "lint_type",
@@ -79,10 +83,32 @@ def size_filter(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     return out
 
 
-def route(files: DataFrame, cfg: EngineConfig = DEFAULT) -> tuple[DataFrame, DataFrame]:
-    """F10: split (other_lint, dupe_candidates). ``other_lint`` is
-    emitted directly (sinks K1..K6); candidates enter the funnel."""
-    classified = classify(files, cfg)
-    other = classified.filter(F.col("lint_type") != "dupe_candidate")
-    candidates = classified.filter(F.col("lint_type") == "dupe_candidate").drop("lint_type")
-    return other, candidates
+def route(
+    files: DataFrame, cfg: EngineConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """F10 router, scalable form: (empty_lint, pathdouble_lint,
+    dupe_candidates).
+
+    - ``empty_lint``: emptyfile rows — a narrow filter on the scan, no
+      shuffle (lib/traverse.c:148-149);
+    - ``pathdouble_lint``: one row per doubled key with the EXCESS
+      count (rows beyond the first) — a key-only aggregate, content
+      never shuffles (lib/preprocess.c:496-512);
+    - ``dupe_candidates``: raw nonempty rows; the funnel deduplicates
+      path doubles on narrow projections itself (operators/exact.py).
+    """
+    empty = files.filter(F.length("content") == 0).withColumn(
+        "lint_type", F.lit("emptyfile")
+    )
+    doubles = (
+        files.groupBy(*KEY)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(
+            *KEY,
+            F.lit("pathdouble").alias("lint_type"),
+            (F.col("count") - 1).alias("n_extra"),
+        )
+    )
+    candidates = files.filter(F.length("content") > 0)
+    return empty, doubles, candidates

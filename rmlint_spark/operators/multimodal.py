@@ -96,9 +96,69 @@ def exact_asset_dupes(assets: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "asset_id long, width int, height int, thumb binary"
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: mapInPandas over image rows, one decoded-and-
+    resized thumbnail per asset. The resample kernel is the stub (a
+    deterministic payload-derived byte block of exactly the target
+    size); the Spark-side shape — image-only filter pushed to the
+    scan, Arrow batch in, typed binary thumb out — is real."""
+    n_bytes = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"].tolist():
+                digest = hashlib.sha256(p or b"").digest()
+                reps = -(-n_bytes // len(digest))  # ceil
+                thumbs.append((digest * reps)[:n_bytes])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                    "thumb": thumbs,
+                }
+            )
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "asset_id long, frame_idx int, t_ms long, frame_sha string"
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame-sampling plumbing: each video row explodes into one row
+    per sampled timestamp (0, every_ms, ... < duration_ms). The frame
+    decode is the stub (frame identity = sha of payload+timestamp);
+    the batch-explode shape and schema are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "t_ms": [], "frame_sha": []}
+            for aid, payload, dur in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist(), pdf["duration_ms"].tolist()
+            ):
+                n = 0 if dur is None or pd.isna(dur) else int(dur) // every_ms
+                for i in range(n):
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["t_ms"].append(i * every_ms)
+                    rows["frame_sha"].append(
+                        hashlib.sha256((payload or b"") + str(i * every_ms).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table (payload = seeded bytes; ~10%
-    planted exact duplicates) for tests/benches."""
+    """Deterministic fake asset table (payload = seeded sha256 bytes —
+    DuckDB-reproducible, which is what makes `multimodal_features`
+    oracle-checkable; ~10% planted exact duplicates). Videos carry a
+    deterministic duration for the frame-sampling op."""
     base = spark.range(n).select(
         F.col("id").alias("asset_id"),
         F.element_at(
@@ -108,9 +168,16 @@ def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:
         # duplicate payload group for id % 10 == 0: share seed id=0
         F.when(F.pmod("id", F.lit(10)) == 0, F.lit(0)).otherwise(F.col("id")).alias("pseed"),
     )
-    payload = F.to_binary(
-        F.sha2(F.concat(F.lit(f"payload-{seed}-"), F.col("pseed").cast("string")), 512), F.lit("hex")
+    # payload = UTF-8 bytes of a seeded sha256 hex string: opaque binary
+    # to the engine, but reproducible as a VARCHAR hash in DuckDB (the
+    # oracle hashes the same 64 ASCII bytes)
+    payload = F.encode(
+        F.sha2(F.concat(F.lit(f"payload-{seed}-"), F.col("pseed").cast("string")), 256), "UTF-8"
     )
+    duration = F.when(
+        F.pmod("asset_id", F.lit(3)) == 2,
+        (F.lit(1000) + F.pmod("asset_id", F.lit(7)) * 500).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
     return base.select(
         "asset_id",
         "kind",
@@ -118,5 +185,5 @@ def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        duration.alias("duration_ms"),
     )

@@ -84,7 +84,12 @@ def run_pipeline(
         oversized = oversized.union(
             over_sh.select(F.lit("simhash_block").alias("kind"), F.col("width"))
         )
-    edges = edges.dropDuplicates(["fid_a", "fid_b"])
+    # narrow (fid_a, fid_b) relation referenced by CC, the result
+    # object, and callers' counts — pin it so the band/verify joins
+    # run once
+    from rmlint_spark.operators.exact import _pin
+
+    edges = _pin(edges.dropDuplicates(["fid_a", "fid_b"]))
 
     reps = sigs.select("sha", "fid", "n_rows")
     idx = row_index(files)

@@ -50,14 +50,16 @@ class IncrementalDedup:
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        # narrow-dedup discipline (operators/exact.py): hash map-side,
+        # dedup the projection — content never crosses the shuffle
         new_sigs = (
-            batch.dropDuplicates(KEY)
-            .filter(F.length("content") > 0)
+            batch.filter(F.length("content") > 0)
             .select(
                 *KEY,
                 F.length("content").alias("size"),
                 F.sha2("content", 256).alias("checksum"),
             )
+            .dropDuplicates(KEY)
         )
         existing = self.signatures(spark)
         if existing is not None:
@@ -89,3 +91,56 @@ class IncrementalDedup:
             .trigger(availableNow=True)
             .start()
         )
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the Structured Streaming shape for late-data-tolerant rollups
+    (event-time window + watermark bounds state; the batch twin is
+    q_events_hourly). Feed any readStream with (ts, event_type, value)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def start_windowed_counts(
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str
+):
+    """readStream(parquet events) -> watermarked window agg ->
+    append-mode parquet sink (windows finalize when the watermark
+    passes; append mode emits each window exactly once)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    agg = windowed_event_counts(stream)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -133,3 +133,21 @@ def test_metamorphic_parallelism(corpus):
         for r in exact_clusters(rep, EngineConfig(sig=SignatureConfig(prefix_len=7))).collect()
     }
     assert base == alt
+
+
+def test_route_narrow_router(spark):
+    from pyspark.sql import Row
+
+    from rmlint_spark.operators.lint import route
+
+    rows = [
+        Row(repo="r", path="a", commit="c", lang="t", content="X"),
+        Row(repo="r", path="a", commit="c", lang="t", content="X"),  # double
+        Row(repo="r", path="b", commit="c", lang="t", content=""),
+        Row(repo="r", path="d", commit="c", lang="t", content="Y"),
+    ]
+    empty, doubles, cand = route(spark.createDataFrame(rows))
+    assert [r["path"] for r in empty.collect()] == ["b"]
+    d = doubles.collect()
+    assert len(d) == 1 and d[0]["path"] == "a" and d[0]["n_extra"] == 1
+    assert cand.count() == 3  # raw nonempty rows; funnel dedups doubles

@@ -45,3 +45,38 @@ def test_exact_asset_dupes(spark):
     dup_ids = {r["asset_id"] for r in rows}
     assert dup_ids == {0, 10, 20, 30, 40, 50}
     assert all(r["cluster_size"] == 6 for r in rows)
+
+
+def test_resize_plumbing(spark):
+    from rmlint_spark.operators.multimodal import resize_images
+
+    assets = synthetic_assets(spark, n=30)
+    out = resize_images(assets, width=8, height=4).collect()
+    # only image rows (asset_id % 3 == 0), thumb exactly w*h*3 bytes
+    assert {r["asset_id"] % 3 for r in out} == {0}
+    assert all(len(r["thumb"]) == 8 * 4 * 3 for r in out)
+    assert all((r["width"], r["height"]) == (8, 4) for r in out)
+    # deterministic: identical payloads -> identical thumbs
+    dup = {r["asset_id"]: bytes(r["thumb"]) for r in out}
+    assert dup[0] == dup[30] if 30 in dup else True
+
+
+def test_frame_sampling_plumbing(spark):
+    from rmlint_spark.operators.multimodal import sample_frames
+
+    assets = synthetic_assets(spark, n=30)
+    frames = sample_frames(assets, every_ms=500).collect()
+    # only video rows (asset_id % 3 == 2); frame count = duration // 500
+    vids = {r["asset_id"] for r in frames}
+    assert vids and all(a % 3 == 2 for a in vids)
+    durations = {
+        r["asset_id"]: r["duration_ms"]
+        for r in assets.filter(F.col("kind") == "video").collect()
+    }
+    from collections import Counter
+
+    per = Counter(r["asset_id"] for r in frames)
+    assert all(per[a] == durations[a] // 500 for a in per)
+    # timestamps stride by every_ms from 0
+    first = sorted(r["t_ms"] for r in frames if r["asset_id"] == min(vids))
+    assert first == list(range(0, durations[min(vids)] // 500 * 500, 500))

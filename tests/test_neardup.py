@@ -186,3 +186,30 @@ def test_one_original_per_near_cluster(pipeline_result):
         .count()
     )
     assert bad == 0
+
+
+def test_cc_long_chain_pointer_jumping(spark):
+    # a 40-hop path exceeds plain min-propagation's reach within
+    # max_iter=25; the pointer-jumping fallback must converge it
+    from rmlint_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)], ["fid_a", "fid_b"]
+    )
+    out = connected_components(edges, max_iter=25)
+    rows = out.collect()
+    assert len(rows) == 41
+    assert {r["component"] for r in rows} == {"n000"}
+
+
+def test_cc_raises_on_true_nonconvergence(spark):
+    import pytest
+
+    from rmlint_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(40)], ["fid_a", "fid_b"]
+    )
+    # jumping disabled and too few rounds -> must refuse, not lie
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=5, jump_after=999)

@@ -42,3 +42,42 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     clusters = dedup.current_clusters(spark)
     got = {(r["repo"], r["path"]) for r in clusters.collect()}
     assert got == {("r1", "a.py"), ("r2", "c.py")}
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from rmlint_spark.streaming.incremental import start_windowed_counts
+
+    src = str(tmp_path / "events_src")
+    ck = str(tmp_path / "ck_win")
+    out = str(tmp_path / "win_out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=i, user_id=i % 3, event_type="click" if i % 2 else "view",
+            ts=t0 + dt.timedelta(minutes=7 * i), value=float(i))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    q = start_windowed_counts(spark, src, ck, out)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    # append mode emits only windows the watermark has passed; with
+    # 40*7min of data and a 2h watermark, the early windows finalize
+    assert got.count() >= 1
+    assert set(got.columns) == {"window_start", "event_type", "n", "sum_value"}
+    # batch twin agrees on finalized windows
+    from rmlint_spark.streaming.incremental import windowed_event_counts  # noqa: F401
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    for r in got.collect():
+        assert want[(r["window_start"], r["event_type"])] == r["n"]
