@@ -843,7 +843,7 @@ def oracle_sql() -> dict[str, str]:
             ok AS (
               SELECT b.* FROM blocks b
               JOIN widths USING (block_id, block_value)
-              WHERE w <= {CFG.max_bucket_width}),
+              WHERE w <= {CFG.simhash_max_bucket_width}),
             cand AS (
               SELECT DISTINCT a.fid AS fid_a, b.fid AS fid_b
               FROM ok a JOIN ok b

@@ -71,6 +71,14 @@ class EngineConfig:
     # skew handling
     salt_buckets: int = 64        # sub-keys for pathological groups
     max_bucket_width: int = 2000  # LSH bucket cap before salting/escalation
+    # SimHash blocks get a much tighter cap: a 16-bit block is a far
+    # weaker filter than a 32-perm LSH band, so same-vocabulary corpora
+    # (token-frequency profiles nearly identical at low Jaccard) land
+    # thousands of rows in one block value and the pair join goes
+    # quadratic — measured 896k post-hamming candidates on a 400k-row
+    # corpus at cap=2000, almost all later killed by the Jaccard gate.
+    # Buckets over the cap go to the oversized report (same discipline).
+    simhash_max_bucket_width: int = 256
     # near-dup verification threshold (estimated Jaccard)
     jaccard_threshold: float = 0.7
     # byte-confirm ("paranoid" analog, lib/shredder.c:218-258)

@@ -8,8 +8,10 @@ agree exactly on at least one block, so a self-join per (block_id,
 block_value) finds all such pairs; the exact Hamming check
 (JVM-side ``bit_count(xor)``) then filters false positives.
 
-Same skew discipline as the LSH join: block buckets wider than
-cfg.max_bucket_width are excluded and reported.
+Same skew discipline as the LSH join, with a tighter default cap
+(cfg.simhash_max_bucket_width — see config.py for the measured
+rationale): block buckets wider than the cap are excluded and
+reported.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ def simhash_candidates(
     """
     blocks = simhash_blocks(sims, cfg)
     widths = blocks.groupBy("block_id", "block_value").agg(F.count("*").alias("width"))
-    oversized = widths.filter(F.col("width") > cfg.max_bucket_width)
+    oversized = widths.filter(F.col("width") > cfg.simhash_max_bucket_width)
     ok = blocks.join(
         oversized.select("block_id", "block_value"), ["block_id", "block_value"], "left_anti"
     )
