@@ -19,6 +19,7 @@ derives from it (cheap projections, not a fan-out bus).
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
@@ -140,6 +141,27 @@ def replay_source(spark, path: str) -> DataFrame:
     unpack :686-775). Hadoop readers skip the _header/_footer side
     files automatically (leading underscore)."""
     return spark.read.json(path)
+
+
+def write_stamp(path: str, at: float | None = None) -> float:
+    """K6 stamp sink (rmlint ``--stamp-file``/``-O stamp``): record the
+    run's completion time so the NEXT incremental run can use it as
+    its ``-N`` newness cutoff (pairs with split.needs_new_qualify).
+    Returns the recorded epoch seconds."""
+    import time as _time
+
+    at = _time.time() if at is None else float(at)
+    with open(path, "w") as f:
+        f.write(f"{at:.6f}\n")
+    return at
+
+
+def read_stamp(path: str) -> float | None:
+    """Read a prior run's stamp; None when absent (first run)."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return float(f.read().strip())
 
 
 def equal_check(files: DataFrame) -> bool:

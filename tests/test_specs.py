@@ -31,3 +31,13 @@ def test_parse_clamp():
     assert parse_clamp("4K") == 4000
     with pytest.raises(ValueError):
         parse_clamp("1.5")
+
+
+def test_stamp_roundtrip(tmp_path):
+    from rmlint_spark.sources.sinks import read_stamp, write_stamp
+
+    p = str(tmp_path / "stamp")
+    assert read_stamp(p) is None
+    at = write_stamp(p, at=1700000000.25)
+    assert at == 1700000000.25
+    assert read_stamp(p) == 1700000000.25
