@@ -448,7 +448,7 @@ def _mirrored_corpus(spark, sf_dir):
 # oracle recomputes the join/threshold/clustering logic from the SAME
 # bytes. Paths are fixed because oracle_sql() is static; each query
 # overwrites its own directory per run.
-ORACLE_SIDE = "/tmp/rmlint_spark_oracle"
+ORACLE_SIDE = "/root/repo/.oracle_side"
 
 
 def q_near_dup_pipeline(spark, sf_dir):
