@@ -69,7 +69,10 @@ class EngineConfig:
     # reference default "pOma" (lib/cfg.c:65). See operators/rank.py.
     rank_criteria: str = "pOma"
     # skew handling
-    salt_buckets: int = 64        # sub-keys for pathological groups
+    # sub-keys for pathological groups: drives the two-phase salted
+    # directory rollup (treemerge.ancestor_rollup(salt_buckets=...)) —
+    # bounds per-task state for million-file directories
+    salt_buckets: int = 64
     max_bucket_width: int = 2000  # LSH bucket cap before salting/escalation
     # SimHash blocks get a much tighter cap: a 16-bit block is a far
     # weaker filter than a 32-perm LSH band, so same-vocabulary corpora

@@ -47,7 +47,9 @@ def file_digests(files: DataFrame) -> DataFrame:
     )
 
 
-def ancestor_rollup(digests: DataFrame, layout_sensitive: bool = False) -> DataFrame:
+def ancestor_rollup(
+    digests: DataFrame, layout_sensitive: bool = False, salt_buckets: int = 0
+) -> DataFrame:
     """Explode each file onto every ancestor directory and aggregate:
 
     (repo, dir, n_files, xor_sig, set_sig)
@@ -55,6 +57,8 @@ def ancestor_rollup(digests: DataFrame, layout_sensitive: bool = False) -> DataF
     xor_sig: A5 commutative XOR fold (fast group key).
     set_sig: A6 exact confirm — sha256 of the sorted digest multiset
     (with relative paths when layout_sensitive).
+    salt_buckets > 0 switches to the two-phase salted aggregation
+    (cfg.salt_buckets) — bounded per-task state for giant directories.
     """
     parts = F.split("path", "/")
     exploded = digests.select(
@@ -76,10 +80,45 @@ def ancestor_rollup(digests: DataFrame, layout_sensitive: bool = False) -> DataF
     member = (
         F.concat_ws("\x01", "sha", "relpath") if layout_sensitive else F.col("sha")
     )
-    contribution = F.xxhash64(member)
+    tagged = exploded.withColumn("member", member)
+    if salt_buckets:
+        # two-phase salted aggregation for million-file directories:
+        # phase 1 groups (repo, dir, salt) — no single task ever holds
+        # more than ~1/salt_buckets of a directory's members — and
+        # digests each salt bucket's sorted slice; phase 2 folds the
+        # (salt, partial) pairs in salt order. The digest VALUE differs
+        # from the unsalted form, but it is equally deterministic and
+        # order-insensitive, so duplicate detection (equality of sigs)
+        # is unchanged. Salt derives from the member hash: uniform by
+        # construction (north-rule giant-repo skew defense).
+        salt = F.pmod(F.abs(F.xxhash64("member")), F.lit(salt_buckets))
+        partial = (
+            tagged.withColumn("salt", salt)
+            .groupBy("repo", "dir", "salt")
+            .agg(
+                F.count("*").alias("n_part"),
+                F.expr("bit_xor(xxhash64(member))").alias("xor_part"),
+                F.sha2(
+                    F.concat_ws("\x02", F.sort_array(F.collect_list("member"))), 256
+                ).alias("sig_part"),
+            )
+        )
+        return (
+            partial.groupBy("repo", "dir")
+            .agg(
+                F.sum("n_part").alias("n_files"),
+                F.expr("bit_xor(xor_part)").alias("xor_sig"),
+                F.sha2(
+                    F.concat_ws(
+                        "\x02",
+                        F.expr("transform(array_sort(collect_list(struct(salt, sig_part))), s -> s.sig_part)"),
+                    ),
+                    256,
+                ).alias("set_sig"),
+            )
+        )
     return (
-        exploded.withColumn("member", member)
-        .groupBy("repo", "dir")
+        tagged.groupBy("repo", "dir")
         .agg(
             F.count("*").alias("n_files"),
             F.expr("bit_xor(xxhash64(member))").alias("xor_sig"),
@@ -89,7 +128,10 @@ def ancestor_rollup(digests: DataFrame, layout_sensitive: bool = False) -> DataF
 
 
 def duplicate_dirs(
-    files: DataFrame, cfg: EngineConfig = DEFAULT, layout_sensitive: bool = False
+    files: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    layout_sensitive: bool = False,
+    salted: bool = False,
 ) -> DataFrame:
     """J5: directories whose full contents match across locations.
 
@@ -104,7 +146,9 @@ def duplicate_dirs(
     single-child chain matches itself level-by-level — and clusters
     are re-qualified (>= 2 members) after pruning.
     """
-    rollup = ancestor_rollup(file_digests(files), layout_sensitive)
+    rollup = ancestor_rollup(
+        file_digests(files), layout_sensitive, cfg.salt_buckets if salted else 0
+    )
     groups = (
         rollup.groupBy("n_files", "xor_sig", "set_sig")
         .agg(F.count("*").alias("cluster_size"))

@@ -112,3 +112,20 @@ def test_one_original_per_dir_cluster(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_salted_rollup_same_duplicate_dirs(spark, corpus):
+    # two-phase salted aggregation (cfg.salt_buckets) must find the
+    # SAME duplicate-directory clusters as the single-phase rollup —
+    # digests differ in value, not in equality structure
+    from rmlint_spark.config import EngineConfig
+    from rmlint_spark.operators.treemerge import duplicate_dirs
+
+    files, _ = corpus
+    cfg = EngineConfig()
+    plain = duplicate_dirs(files, cfg)
+    salted = duplicate_dirs(files, cfg, salted=True)
+    key = lambda df: sorted((r["repo"], r["dir"], r["n_files"]) for r in df.collect())
+    assert key(plain) == key(salted)
+    # every row still clustered (>= 2 members per sig)
+    assert salted.filter("cluster_size < 2").count() == 0
