@@ -212,3 +212,22 @@ def test_equal_check(spark):
     assert equal_check(same) is True
     assert equal_check(diff) is False
     assert equal_check(single) is False
+
+
+def test_gap_sessions_timezone_invariant(spark):
+    # round-1 driver-red regression: the sessionization query must be
+    # identical under ANY spark.sql.session.timeZone (events.ts is
+    # TIMESTAMP_NTZ; the gap is interval arithmetic, never an NTZ->LTZ
+    # cast)
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = sorted(tuple(r) for r in E.queries()["gap_sessions"](spark, sf).collect())
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        est = sorted(tuple(r) for r in E.queries()["gap_sessions"](spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == est and len(utc) > 0
