@@ -86,6 +86,18 @@ def clamped_content(cfg: EngineConfig) -> Column:
     return F.substring("content", lo + 1, F.greatest(hi - lo, F.lit(0)))
 
 
+def clamp_filter(files: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """rm_file_new's return-NULL paths (lib/file.c:44-56,76-85): a file
+    whose clamped slice is empty — clamp_start beyond the file size, or
+    a factor yielding 0 bytes — is skipped entirely, NOT kept as an
+    empty-slice row (which would cluster all too-short files together
+    as spurious duplicates of '')."""
+    if cfg.sig.clamp_start is None and cfg.sig.clamp_end is None:
+        return files
+    cc = clamped_content(cfg)
+    return files.filter((F.length(cc) > 0) | (F.length("content") == 0))
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a NARROW relation that the plan references more than
     once. Without this, every reference re-derives the whole upstream
@@ -129,7 +141,7 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     dedup shuffle.
     """
     prefix_len = cfg.sig.prefix_len
-    raw = size_filter(files, cfg)
+    raw = clamp_filter(size_filter(files, cfg), cfg)
     cc = clamped_content(cfg)  # F7: identity unless a clamp is set
     size = F.length(cc).alias("size")
 
@@ -152,9 +164,18 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 
     # final generation: full digest (-a selectable) for remaining
     # survivors, again map-side; survivor keys are narrow -> broadcast.
+    # NOTE: no explicit broadcast() hints on survivor-key sets — they
+    # scale with the number of duplicate-candidate files (potentially a
+    # large corpus fraction), so a forced broadcast would OOM the driver
+    # on a duplicate-heavy corpus. AQE converts these semi-joins to
+    # broadcasts at runtime when the survivor set is actually small.
+    # Optional ranking columns (preference tags, hardlink counts) ride
+    # along on the narrow projection so -S criteria can see them.
+    extras = [c for c in ("is_preferred", "link_count", "outer_link_count")
+              if c in files.columns]
     final = (
-        raw.join(F.broadcast(surv1.select(*KEY)), KEY, "left_semi")
-        .select(*KEY, size, digest(cc, cfg.sig.checksum_algo).alias("checksum"))
+        raw.join(surv1.select(*KEY), KEY, "left_semi")
+        .select(*KEY, size, digest(cc, cfg.sig.checksum_algo).alias("checksum"), *extras)
         .dropDuplicates(KEY)
     )
     clustered = _pin(_qualify(final, ["size", "checksum"]))
@@ -168,7 +189,7 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         # check (sha collision) are dropped and surface via
         # `collision_report`.
         confirm = (
-            raw.join(F.broadcast(clustered.select(*KEY)), KEY, "left_semi")
+            raw.join(clustered.select(*KEY), KEY, "left_semi")
             .select(digest(cc, cfg.sig.checksum_algo).alias("checksum"), cc.alias("_cc"))
             .groupBy("checksum")
             .agg(F.count_distinct("_cc").alias("n_distinct"))
@@ -197,14 +218,19 @@ def uniques(files: DataFrame, clusters: DataFrame, cfg: EngineConfig = DEFAULT) 
 
 
 def collision_report(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
-    """sha256 clusters whose members are NOT byte-identical (would be a
-    hash collision; practically empty — exists for the paranoid
-    contract and its test)."""
-    base = size_filter(files, cfg)
+    """Clusters whose members are NOT byte-identical under the
+    configured digest (would be a hash collision; practically empty —
+    exists for the paranoid contract and its test). Uses the SAME
+    digest + clamp as exact_clusters so the report corresponds to the
+    clusters byte_confirm actually checks."""
+    base = clamp_filter(size_filter(files, cfg), cfg)
+    cc = clamped_content(cfg)
     # path doubles are byte-identical rows, so distinct-counting keys
     # (not deduplicating rows) keeps content out of any pre-shuffle
     # dedup; map-side partial distinct bounds the content shuffle.
-    final = base.select(*KEY, F.sha2("content", 256).alias("checksum"), "content")
+    final = base.select(
+        *KEY, digest(cc, cfg.sig.checksum_algo).alias("checksum"), cc.alias("content")
+    )
     return (
         final.groupBy("checksum")
         .agg(

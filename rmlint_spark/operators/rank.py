@@ -62,8 +62,13 @@ def parse_criteria(spec: str) -> list[tuple[str, str | None]]:
 def criteria_columns(spec: str) -> list[Column]:
     """Translate an rmlint-style criteria string to window sort keys.
     A trailing (repo, path, commit) tiebreak guarantees a total order
-    (determinism across parallelism levels)."""
-    cols: list[Column] = []
+    (determinism across parallelism levels).
+
+    Preferred ("tagged") rows sort first UNCONDITIONALLY, before any
+    -S criterion is evaluated (rm_pp_cmp_orig_criteria orders by
+    preference before entering the criteria loop,
+    lib/preprocess.c:435-455); 'p'/'P' remain as explicit criteria."""
+    cols: list[Column] = [F.col("is_preferred").desc()]
     basename = F.element_at(F.split("path", "/"), -1)
     depth = F.size(F.split("path", "/"))
 

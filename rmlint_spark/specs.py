@@ -12,7 +12,9 @@ import re
 
 _UNITS = {
     "": 1,
-    "b": 1, "c": 1,
+    # 'b' is 512-byte blocks in the reference grammar
+    # (SIZE_FORMAT_TABLE, lib/cmdline.c:247); 'c' is single bytes.
+    "b": 512, "c": 1,
     "k": 10**3, "m": 10**6, "g": 10**9, "t": 10**12, "p": 10**15,
     "kb": 2**10, "mb": 2**20, "gb": 2**30, "tb": 2**40, "pb": 2**50,
     # rmlint also accepts KiB-style
@@ -48,14 +50,21 @@ def parse_size_range(spec: str) -> tuple[int, int | None]:
 
 
 def parse_clamp(spec: str) -> int | float:
-    """--clamp-low/--clamp-top value: '0.3' (fraction of file size) or
-    an absolute size spec ('4K'). Fractions must be in [0, 1)."""
+    """--clamp-low/--clamp-top value: '0.3' / '30%' (fraction of file
+    size) or an absolute size spec ('4K'). Factor range is [0, 1]
+    inclusive and a trailing '%' divides by 100, both mirroring
+    rm_cmd_parse_clamp_factor (lib/cmdline.c:574-596)."""
     s = spec.strip()
+    if s.endswith("%"):
+        f = float(s[:-1]) / 100.0
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"clamp factor out of range: {spec!r}")
+        return f
     # a unitless decimal is a factor (reference: a '.' in the value
-    # selects factor mode and factors above 1 are rejected)
+    # selects factor mode)
     if re.match(r"^\d*\.\d+$", s):
         f = float(s)
-        if not 0.0 <= f < 1.0:
+        if not 0.0 <= f <= 1.0:
             raise ValueError(f"clamp factor out of range: {spec!r}")
         return f
     return parse_size(s)

@@ -56,6 +56,41 @@ def test_clamp_end_and_factor(spark):
     assert exact_clusters(df, by_factor).count() == 2
 
 
+def test_clamp_empty_slice_skips_file(spark):
+    # rm_file_new returns NULL when the clamped slice is empty
+    # (lib/file.c:44-56,76-85): files shorter than clamp_start must be
+    # SKIPPED, not clustered together as duplicates of ''
+    rows = [
+        ("r1", "a.txt", "c1", "t", "abc"),           # len 3 < clamp_start
+        ("r2", "b.txt", "c2", "t", "xyz"),           # len 3 < clamp_start
+        ("r3", "c.txt", "c3", "t", "0123456789tail"),
+        ("r4", "d.txt", "c4", "t", "abcdefghijtail"),
+    ]
+    df = files_df(spark, rows)
+    clamped = replace(CFG, sig=replace(CFG.sig, clamp_start=10))
+    out = exact_clusters(df, clamped).collect()
+    # the two long files share the clamped tail; the two short files
+    # must NOT appear as a spurious empty-slice cluster
+    assert len(out) == 2
+    assert {r["path"] for r in out} == {"c.txt", "d.txt"}
+
+
+def test_preference_orders_first_without_p_criterion(spark):
+    # rm_pp_cmp_orig_criteria orders preferred files first BEFORE
+    # evaluating any -S criteria (lib/preprocess.c:435-455): criteria
+    # 'a' without 'p' must still pick the preferred row as original
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("r1", "zzz.txt", "c1", "t", "same-content"),
+        ("r2", "aaa.txt", "c2", "t", "same-content"),
+    ]
+    df = files_df(spark, rows).withColumn("is_preferred", F.col("repo") == "r1")
+    cfg = replace(CFG, rank_criteria="a")
+    out = {r["path"]: r["is_original"] for r in exact_clusters(df, cfg).collect()}
+    assert out == {"zzz.txt": True, "aaa.txt": False}
+
+
 # ---------------------------------------------------------------- digests
 
 def test_digest_algorithms_cluster_identically(spark):
@@ -184,7 +219,8 @@ def test_default_criteria_is_reference_default():
     from rmlint_spark.operators.rank import DEFAULT_CRITERIA
 
     assert DEFAULT_CRITERIA == "pOma"
-    assert len(criteria_columns("pOmalhd")) == 7 + 3  # + tiebreak
+    # + unconditional preferred-first key + (repo, path, commit) tiebreak
+    assert len(criteria_columns("pOmalhd")) == 7 + 1 + 3
 
 
 # ---------------------------------------------------------------- sources/sinks

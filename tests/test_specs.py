@@ -29,8 +29,22 @@ def test_parse_clamp():
     assert parse_clamp("0.3") == 0.3
     assert parse_clamp(".5") == 0.5
     assert parse_clamp("4K") == 4000
+    # reference grammar: factor range is [0,1] INCLUSIVE and '%'
+    # divides by 100 (rm_cmd_parse_clamp_factor, lib/cmdline.c:574-596)
+    assert parse_clamp("1.0") == 1.0
+    assert parse_clamp("30%") == 0.3
+    assert parse_clamp("100%") == 1.0
     with pytest.raises(ValueError):
         parse_clamp("1.5")
+    with pytest.raises(ValueError):
+        parse_clamp("150%")
+
+
+def test_parse_size_block_unit():
+    # 'b' = 512-byte blocks (SIZE_FORMAT_TABLE, lib/cmdline.c:247)
+    assert parse_size("1b") == 512
+    assert parse_size("4b") == 2048
+    assert parse_size("4c") == 4
 
 
 def test_stamp_roundtrip(tmp_path):
