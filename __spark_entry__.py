@@ -92,12 +92,17 @@ def q_size_groups(spark, sf_dir):
 
 
 def q_prefix_stage(spark, sf_dir):
-    # R2: gen-1 prefix signature over gen-0 survivors
-    d = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("size"), "text")
+    # R2: gen-1 prefix signature over gen-0 survivors. Runs over the
+    # mirrored corpus (10% planted duplicate slice) so the stage
+    # observes real prefix collisions at the driver's sf — the plain
+    # corpus has none, which made this row pass vacuously (0 == 0).
+    d = _mirrored_corpus(spark, sf_dir).select(
+        "repo", "path", F.length("content").alias("size"), "content"
+    )
     surv = d.groupBy("size").agg(F.count("*").alias("n")).filter(F.col("n") >= 2).select("size")
     staged = d.join(surv, "size", "left_semi")
     return (
-        staged.select("size", F.sha2(F.substring("text", 1, 64), 256).alias("sig"))
+        staged.select("size", F.sha2(F.substring("content", 1, 64), 256).alias("sig"))
         .groupBy("size", "sig")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
@@ -105,8 +110,9 @@ def q_prefix_stage(spark, sf_dir):
 
 
 def q_exact_clusters(spark, sf_dir):
-    # the full funnel (R1→R2→sha256→byte-confirm→W1 ranking)
-    clusters = EX.exact_clusters(documents_as_files(_docs(spark, sf_dir)), CFG)
+    # the full funnel (R1→R2→sha256→byte-confirm→W1 ranking), over the
+    # mirrored corpus so the flagship query's green is non-vacuous
+    clusters = EX.exact_clusters(_mirrored_corpus(spark, sf_dir), CFG)
     return clusters.select(
         "repo", "path", "commit", "size", "checksum", "cluster_id",
         "cluster_size", "rank", F.col("is_original").cast("int").alias("is_original"),
@@ -422,10 +428,17 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_hyperplane(spark, sf_dir):
-    from rmlint_spark.operators.ann import hyperplane_topk
+    # Oracled via the ORACLE_SIDE pattern: the hyperplane bucket
+    # assignment (the one numpy-float stage SQL can't reproduce) is
+    # materialized to parquet; DuckDB recomputes the width cap,
+    # candidate join, and exact-cosine re-rank from the same bytes.
+    from rmlint_spark.operators.ann import hyperplane_buckets, topk_from_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_topk(emb, k=5, n_bands=24, bits_per_band=4).select(
+    buckets = hyperplane_buckets(emb, n_bands=24, bits_per_band=4)
+    path = f"{ORACLE_SIDE}/ann_bands"
+    buckets.write.mode("overwrite").parquet(path)
+    return topk_from_buckets(spark.read.parquet(path), emb, k=5).select(
         "vec_id", "neighbor_id", "rk"
     )
 
@@ -525,9 +538,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_clones": q_substring_clones,
         "multimodal_features": q_multimodal_features,
-        # rows-only: ann_hyperplane's bucketing is a numpy float matmul
-        # sign pattern (not reproducible bit-for-bit in SQL; its recall
-        # is pinned vs the oracled exact top-k in tests/test_ann.py)
         "ann_hyperplane": q_ann_hyperplane,
     }
 
@@ -555,18 +565,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT length(text) AS size, count(*) AS n
             FROM documents GROUP BY 1 HAVING count(*) >= 2
         """,
-        "prefix_stage": """
-            WITH surv AS (
-              SELECT length(text) AS size FROM documents
+        "prefix_stage": f"""
+            WITH {MIRROR_FILES_CTE},
+            surv AS (
+              SELECT length(content) AS size FROM all_files
               GROUP BY 1 HAVING count(*) >= 2)
-            SELECT length(text) AS size, sha256(substr(text, 1, 64)) AS sig, count(*) AS n
-            FROM documents
-            WHERE length(text) IN (SELECT size FROM surv)
+            SELECT length(content) AS size, sha256(substr(content, 1, 64)) AS sig,
+                   count(*) AS n
+            FROM all_files
+            WHERE length(content) IN (SELECT size FROM surv)
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "exact_clusters": f"""
-            WITH {FILES_CTE},
-            nonempty AS (SELECT * FROM files WHERE length(content) >= 1),
+            WITH {MIRROR_FILES_CTE},
+            nonempty AS (SELECT * FROM all_files WHERE length(content) >= 1),
             g AS (
               SELECT sha256(content) AS checksum, count(*) AS cluster_size
               FROM nonempty GROUP BY 1 HAVING count(*) >= 2)
@@ -919,6 +931,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT asset_id, kind, CAST(64 AS BIGINT) AS n_bytes,
                    sha256(sha256('payload-42-' || CAST(pseed AS VARCHAR))) AS payload_sha
             FROM a
+        """,
+        "ann_hyperplane": f"""
+            WITH buckets AS (
+              SELECT vec_id, band_id, bucket
+              FROM read_parquet('{ORACLE_SIDE}/ann_bands/*.parquet')),
+            widths AS (
+              SELECT band_id, bucket, count(*) AS w
+              FROM buckets GROUP BY 1, 2),
+            ok AS (
+              SELECT b.* FROM buckets b JOIN widths USING (band_id, bucket)
+              WHERE w <= 2000),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+              FROM ok a JOIN ok b
+                ON a.band_id = b.band_id AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id),
+            scored AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(n.embedding AS DOUBLE[])) AS cs
+              FROM cand c
+              JOIN embeddings q ON q.vec_id = c.vec_id
+              JOIN embeddings n ON n.vec_id = c.neighbor_id),
+            r AS (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, neighbor_id) AS rk
+              FROM scored)
+            SELECT vec_id, neighbor_id, rk FROM r WHERE rk <= 5
         """,
         "ann_topk": """
             WITH p AS (

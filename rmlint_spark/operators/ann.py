@@ -216,27 +216,37 @@ def hyperplane_sigs_udf(n_bands: int, bits_per_band: int, seed: int = 42):
     return _sigs
 
 
-def hyperplane_topk(
+def hyperplane_buckets(
     embeddings: DataFrame,
-    k: int = 5,
     n_bands: int = 8,
     bits_per_band: int = 8,
-    max_bucket: int = 2000,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed top-k: candidates share a hyperplane-sign bucket in
-    at least one band; exact cosine re-scores candidates only.
-
-    The candidate self-join carries only (band_id, bucket, id) — the
-    vectors (8 bytes x dim each) re-attach AFTER pair dedup, so the
-    pair explosion shuffles ids, not payloads."""
+    """(id, band_id, bucket): the hyperplane-sign bucket assignment —
+    the ONLY stage whose output is not reproducible in SQL (numpy float
+    matmul sign patterns). Materializing this relation lets an external
+    oracle recompute everything downstream (width cap, candidate join,
+    exact cosine re-rank) from the same bytes."""
     emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
     sigs = hyperplane_sigs_udf(n_bands, bits_per_band, seed)
-    buckets = emb.select(
+    return emb.select(
         id_col, F.posexplode(sigs(F.col(vec_col))).alias("band_id", "bucket")
     )
+
+
+def topk_from_buckets(
+    buckets: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    max_bucket: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate join + exact-cosine re-rank over a precomputed bucket
+    assignment (see hyperplane_buckets)."""
+    emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
     widths = buckets.groupBy("band_id", "bucket").agg(F.count("*").alias("w"))
     ok = buckets.join(
         widths.filter(F.col("w") > max_bucket).select("band_id", "bucket"),
@@ -263,3 +273,25 @@ def hyperplane_topk(
         )
     )
     return _rank_topk(scored, k, id_col)
+
+
+def hyperplane_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    max_bucket: int = 2000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed top-k: candidates share a hyperplane-sign bucket in
+    at least one band; exact cosine re-scores candidates only.
+
+    The candidate self-join carries only (band_id, bucket, id) — the
+    vectors (8 bytes x dim each) re-attach AFTER pair dedup, so the
+    pair explosion shuffles ids, not payloads."""
+    buckets = hyperplane_buckets(
+        embeddings, n_bands, bits_per_band, seed, id_col, vec_col
+    )
+    return topk_from_buckets(buckets, embeddings, k, max_bucket, id_col, vec_col)
