@@ -856,10 +856,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT b.* FROM blocks b
               JOIN widths USING (block_id, block_value)
               WHERE w <= {CFG.simhash_max_bucket_width}),
+            esc AS (
+              -- escalation: over-cap bucket members re-key on
+              -- (block, partner-block) agreement, mirroring
+              -- simhash_candidates' level-1 stage
+              SELECT b.fid, b.block_id, b.block_value,
+                     p.block_id AS partner_id, p.block_value AS partner_value
+              FROM blocks b
+              JOIN widths USING (block_id, block_value)
+              JOIN blocks p ON p.fid = b.fid AND p.block_id <> b.block_id
+              WHERE w > {CFG.simhash_max_bucket_width}),
+            w2 AS (
+              SELECT block_id, block_value, partner_id, partner_value,
+                     count(*) AS w
+              FROM esc GROUP BY 1, 2, 3, 4),
+            ok2 AS (
+              SELECT e.* FROM esc e
+              JOIN w2 USING (block_id, block_value, partner_id, partner_value)
+              WHERE w <= {CFG.simhash_max_bucket_width}),
             cand AS (
               SELECT DISTINCT a.fid AS fid_a, b.fid AS fid_b
               FROM ok a JOIN ok b
                 ON a.block_id = b.block_id AND a.block_value = b.block_value
+               AND a.fid < b.fid
+              UNION
+              SELECT DISTINCT a.fid, b.fid
+              FROM ok2 a JOIN ok2 b
+                ON a.block_id = b.block_id AND a.block_value = b.block_value
+               AND a.partner_id = b.partner_id
+               AND a.partner_value = b.partner_value
                AND a.fid < b.fid)
             SELECT fid_a, fid_b,
                    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming

@@ -74,6 +74,20 @@ class EngineConfig:
     # bounds per-task state for million-file directories
     salt_buckets: int = 64
     max_bucket_width: int = 2000  # LSH bucket cap before salting/escalation
+    # Oversized-bucket ESCALATION (SURVEY §7.4; reference precedent:
+    # shredder generations split big groups with a cheap extra read,
+    # lib/shredder.c:47-60). Instead of report-and-drop, members of an
+    # over-cap LSH bucket re-bucket on a doubled signature-slice key
+    # per level until the slice covers the whole signature (or the
+    # level budget runs out); only buckets still over the cap at the
+    # final level are dropped (and reported with their level).
+    lsh_escalate_levels: int = 8  # max doubling levels (full-sig bound wins)
+    # SimHash escalation: one level — over-cap block buckets re-key on
+    # (block, partner-block) agreement for every partner, recovering
+    # any pair that agrees on >= 2 of the 4 blocks. Pairs whose 3
+    # differing bits hit 3 distinct blocks stay unrecoverable
+    # (documented residual; visible via the oversized report).
+    simhash_escalate: bool = True
     # SimHash blocks get a much tighter cap: a 16-bit block is a far
     # weaker filter than a 32-perm LSH band, so same-vocabulary corpora
     # (token-frequency profiles nearly identical at low Jaccard) land

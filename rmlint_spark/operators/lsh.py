@@ -127,16 +127,62 @@ def band_buckets(signatures: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
 def candidate_pairs(
     signatures: DataFrame, cfg: EngineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join on (band_id, band_hash); returns (pairs, oversized).
+    """Self-join on (band_id, band_hash); returns (pairs, dropped).
 
     ``pairs``: distinct (fid_a, fid_b) with fid_a < fid_b.
-    ``oversized``: buckets wider than cfg.max_bucket_width, excluded
-    from the join (skew guard) and reported.
+    ``dropped``: buckets STILL wider than cfg.max_bucket_width after
+    escalation, excluded from the join (skew guard) and reported with
+    the level they died at.
+
+    Escalation (SURVEY §7.4; generation precedent lib/shredder.c:47-60):
+    members of an over-cap bucket re-bucket at level L on
+    ``xxhash64(sig[0 : rows_per_band * 2^L])`` — a doubled signature
+    slice per level, the near-dup analog of the funnel hashing a longer
+    prefix for still-colliding groups. High-similarity pairs inside a
+    pathological bucket (identical long prefixes of minima) split into
+    under-cap sub-buckets and are recovered instead of silently traded
+    away; the slice doubles until it covers the full signature, so the
+    loop is bounded at ``log2(num_perm / rows_per_band)`` levels.
+    Escalated keys use band_id = -level (disjoint from real band ids).
+    Every per-level relation is a narrow (fid, band_id, band_hash)
+    projection of the oversized members only — the escalation path
+    never touches content and shrinks geometrically.
     """
-    buckets = band_buckets(signatures, cfg)
-    widths = buckets.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
-    oversized = widths.filter(F.col("width") > cfg.max_bucket_width)
-    ok = buckets.join(oversized.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_anti")
+    from rmlint_spark.operators.exact import _pin
+
+    r, num_perm = cfg.sig.rows_per_band, cfg.sig.num_perm
+    cur = band_buckets(signatures, cfg)
+    ok_levels: list[DataFrame] = []
+    level, slice_len = 0, r
+    while True:
+        cur = _pin(cur)
+        widths = cur.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
+        over = widths.filter(F.col("width") > cfg.max_bucket_width)
+        over_keys = over.select("band_id", "band_hash")
+        ok_levels.append(
+            cur.join(over_keys, ["band_id", "band_hash"], "left_anti")
+        )
+        if slice_len >= num_perm or level >= cfg.lsh_escalate_levels:
+            dropped = over.withColumn("level", F.lit(level))
+            break
+        over_fids = (
+            cur.join(over_keys, ["band_id", "band_hash"], "left_semi")
+            .select("fid")
+            .dropDuplicates(["fid"])
+        )
+        level += 1
+        slice_len = min(slice_len * 2, num_perm)
+        cur = (
+            signatures.join(over_fids, "fid", "left_semi")
+            .select(
+                "fid",
+                F.lit(-level).alias("band_id"),
+                F.xxhash64(F.expr(f"slice(sig, 1, {slice_len})")).alias("band_hash"),
+            )
+        )
+    ok = ok_levels[0]
+    for extra in ok_levels[1:]:
+        ok = ok.unionByName(extra)
     a = ok.select("band_id", "band_hash", F.col("fid").alias("fid_a"))
     b = ok.select("band_id", "band_hash", F.col("fid").alias("fid_b"))
     pairs = (
@@ -145,7 +191,7 @@ def candidate_pairs(
         .select("fid_a", "fid_b")
         .dropDuplicates(["fid_a", "fid_b"])
     )
-    return pairs, oversized
+    return pairs, dropped
 
 
 def jaccard_verify(

@@ -53,22 +53,62 @@ def simhash_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """Pairs within Hamming distance <= cfg.sig.simhash_max_hamming.
 
-    Returns (pairs(fid_a, fid_b, hamming), oversized_report).
+    Returns (pairs(fid_a, fid_b, hamming), dropped_report).
+
+    Escalation (SURVEY §7.4): members of an over-cap block bucket
+    re-bucket on (block, partner-block) agreement for EVERY partner
+    block — any pair agreeing on >= 2 of the B blocks is recovered
+    from an oversized bucket (a 2x-wide key splits same-vocabulary
+    pileups the way the funnel's longer prefix splits size groups).
+    Pairs whose differing bits hit all other blocks (agree on exactly
+    the oversized block) remain unrecoverable — the documented
+    residual, visible via the report. Buckets still over the cap under
+    the 2-block key are dropped and reported with level=1. All
+    escalation relations are narrow (fid, block ids/values) rows for
+    oversized members only.
     """
-    blocks = simhash_blocks(sims, cfg)
+    from rmlint_spark.operators.exact import _pin
+
+    blocks = _pin(simhash_blocks(sims, cfg))
     widths = blocks.groupBy("block_id", "block_value").agg(F.count("*").alias("width"))
     oversized = widths.filter(F.col("width") > cfg.simhash_max_bucket_width)
-    ok = blocks.join(
-        oversized.select("block_id", "block_value"), ["block_id", "block_value"], "left_anti"
-    )
+    over_keys = oversized.select("block_id", "block_value")
+    ok = blocks.join(over_keys, ["block_id", "block_value"], "left_anti")
     a = ok.select("block_id", "block_value", F.col("fid").alias("fid_a"))
     b = ok.select("block_id", "block_value", F.col("fid").alias("fid_b"))
     cand = (
         a.join(b, ["block_id", "block_value"])
         .filter(F.col("fid_a") < F.col("fid_b"))
         .select("fid_a", "fid_b")
-        .dropDuplicates(["fid_a", "fid_b"])
     )
+    if cfg.simhash_escalate:
+        esc_members = blocks.join(over_keys, ["block_id", "block_value"], "left_semi")
+        partners = blocks.select(
+            "fid",
+            F.col("block_id").alias("partner_id"),
+            F.col("block_value").alias("partner_value"),
+        )
+        esc = _pin(
+            esc_members.join(partners, "fid")
+            .filter(F.col("partner_id") != F.col("block_id"))
+        )
+        k2 = ["block_id", "block_value", "partner_id", "partner_value"]
+        w2 = esc.groupBy(*k2).agg(F.count("*").alias("width"))
+        over2 = w2.filter(F.col("width") > cfg.simhash_max_bucket_width)
+        ok2 = esc.join(over2.select(*k2), k2, "left_anti")
+        a2 = ok2.select(*k2, F.col("fid").alias("fid_a"))
+        b2 = ok2.select(*k2, F.col("fid").alias("fid_b"))
+        cand = cand.unionByName(
+            a2.join(b2, k2)
+            .filter(F.col("fid_a") < F.col("fid_b"))
+            .select("fid_a", "fid_b")
+        )
+        dropped = over2.select(
+            "block_id", "block_value", "width", F.lit(1).alias("level")
+        )
+    else:
+        dropped = oversized.withColumn("level", F.lit(0))
+    cand = cand.dropDuplicates(["fid_a", "fid_b"])
     s = sims.select("fid", "simhash")
     joined = (
         cand.join(s.withColumnRenamed("fid", "fid_a").withColumnRenamed("simhash", "sh_a"), "fid_a")
@@ -77,4 +117,4 @@ def simhash_candidates(
         .filter(F.col("hamming") <= cfg.sig.simhash_max_hamming)
         .select("fid_a", "fid_b", "hamming")
     )
-    return joined, oversized
+    return joined, dropped
