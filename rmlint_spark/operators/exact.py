@@ -41,6 +41,7 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -48,16 +49,51 @@ from rmlint_spark.config import DEFAULT, EngineConfig
 from rmlint_spark.operators.lint import KEY, size_filter
 from rmlint_spark.operators.rank import tag_originals
 
-DIGEST_ALGOS = {"sha224", "sha256", "sha384", "sha512", "md5", "xxhash64"}
+# JVM-native expressions (whole-stage codegen, the fast path)
+_JVM_ALGOS = {"sha224", "sha256", "sha384", "sha512", "md5", "xxhash64"}
+# hashlib-backed algorithms via an Arrow-batched pandas UDF — covers
+# the reference's default blake2b (lib/config.h.in:29) and the rest of
+# its selectable family (enum lib/checksum.c:815-851) that the JVM has
+# no built-in expression for
+_HASHLIB_ALGOS = {
+    "blake2b": "blake2b",
+    "blake2s": "blake2s",
+    "sha1": "sha1",
+    "sha3-256": "sha3_256",
+    "sha3-384": "sha3_384",
+    "sha3-512": "sha3_512",
+}
+DIGEST_ALGOS = _JVM_ALGOS | set(_HASHLIB_ALGOS)
+
+
+def _hashlib_udf(fn_name: str):
+    """Factory (a pandas_udf needs an active session): content string
+    -> hex digest via one hashlib call per value inside an Arrow batch.
+    Hashing is inherently per-value; the batching amortizes transfer
+    and the GIL is released inside hashlib's C core."""
+    import hashlib
+
+    @F.pandas_udf("string")
+    def _h(content: pd.Series) -> pd.Series:
+        fn = getattr(hashlib, fn_name)
+        return pd.Series(
+            [fn((s if s is not None else "").encode("utf-8")).hexdigest() for s in content]
+        )
+
+    return _h
 
 
 def digest(col: Column | str, algo: str = "sha256") -> Column:
-    """X1 hash-family selection (-a, lib/checksum.c:815-851). All
-    algorithms are JVM-native expressions; the digest is hex text so
-    cluster ids stay string-typed regardless of algorithm."""
+    """X1 hash-family selection (-a, lib/checksum.c:815-851). The
+    digest is hex text so cluster ids stay string-typed regardless of
+    algorithm. sha2/md5/xxhash64 compile to JVM expressions; blake2*/
+    sha3*/sha1 run through the vectorized hashlib UDF."""
     algo = algo.lower()
     if algo not in DIGEST_ALGOS:
         raise ValueError(f"unknown checksum algo {algo!r}; pick from {sorted(DIGEST_ALGOS)}")
+    if algo in _HASHLIB_ALGOS:
+        c = F.col(col) if isinstance(col, str) else col
+        return _hashlib_udf(_HASHLIB_ALGOS[algo])(c)
     if algo.startswith("sha"):
         return F.sha2(col, int(algo[3:]))
     if algo == "md5":

@@ -114,6 +114,20 @@ def test_unknown_digest_rejected():
         digest(F.col("content"), "crc99")
 
 
+def test_blake2b_matches_hashlib(spark):
+    # blake2b is the reference DEFAULT digest (lib/config.h.in:29);
+    # pin the engine's hex output to CPython's reference implementation
+    import hashlib
+
+    from rmlint_spark.operators.exact import digest
+
+    df = spark.createDataFrame([("same content",), ("other",)], ["content"])
+    got = {r["content"]: r["d"] for r in
+           df.select("content", digest(F.col("content"), "blake2b").alias("d")).collect()}
+    for text, hexd in got.items():
+        assert hexd == hashlib.blake2b(text.encode()).hexdigest()
+
+
 # ---------------------------------------------------------------- hidden
 
 def test_partial_hidden_policy(spark):
