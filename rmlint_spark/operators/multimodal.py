@@ -1,14 +1,22 @@
-"""Multimodal (binary) column plumbing.
+"""Multimodal (binary) column operators.
 
 Training-data pipelines carry image/audio/video as opaque ``binary``
-columns with typed metadata. The image/audio codec libraries are NOT
-in this container, so the decode kernels are stubbed — but everything
-Spark-side is real and tested: the asset schema, Arrow batch shapes,
-``mapInPandas`` signatures, partitioning, and the deterministic fake
-feature extractor (hash-seeded vector) standing in for a model.
+columns with typed metadata. Two header-simple formats are decoded for
+real in pure numpy (no codec libraries exist in this container):
 
-Swap ``decode_image``'s body for PIL/libvips and ``_fake_features``
-for a real encoder; no Spark-side code changes.
+- **PPM (P6)** binary images -> (h, w, 3) uint8 arrays; real feature
+  extraction (channel stats, luminance grid, gradients) and real
+  nearest-neighbor resize run on the decoded pixels.
+- **WAV (RIFF/PCM16)** audio -> int16 sample arrays; real features
+  (RMS, zero-crossings, FFT band energies, spectral centroid).
+
+Compressed codec formats (PNG/JPEG/MP3/MP4) still fall back to the
+deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
+real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
+asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
+partitioning are identical for both paths. Video frame DECODE remains
+a stub (no codec-free container format); the frame-sampling explode
+shape is real.
 """
 
 from __future__ import annotations
@@ -41,9 +49,136 @@ FEATURES_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode needs an image codec — not in this container."""
-    raise NotImplementedError("image codecs unavailable; use fake_features path")
+# ---------------------------------------------------- pure-numpy codecs
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Header grammar: 'P6',
+    whitespace/comment-separated width, height, maxval, ONE whitespace
+    byte, then raw interleaved RGB."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16 bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 -> (sample_rate, int16 samples). Walks the
+    chunk list; mono or interleaved multi-channel (flattened)."""
+    import struct
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload. PPM (P6) decodes in pure numpy; codec
+    formats (PNG/JPEG/...) need an image library not in this container."""
+    if payload and payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError("no codec for this image format; only PPM (P6) decodes here")
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode an audio payload. WAV (RIFF/PCM16) decodes in pure numpy."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError("no codec for this audio format; only WAV/PCM16 decodes here")
+
+
+# ---------------------------------------------------- feature kernels
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """16-dim deterministic descriptor from decoded pixels: per-channel
+    mean/std, 2x2 luminance grid, gradient energy, shape stats."""
+    f = img.astype(np.float64) / 255.0
+    h, w = f.shape[:2]
+    luma = f @ np.array([0.299, 0.587, 0.114])
+    hh, ww = max(h // 2, 1), max(w // 2, 1)
+    grid = [
+        luma[i * hh : (i + 1) * hh or None, j * ww : (j + 1) * ww or None].mean()
+        for i in range(2)
+        for j in range(2)
+    ]
+    gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
+    gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
+    v = np.array(
+        [*f.mean(axis=(0, 1)), *f.std(axis=(0, 1)), *grid,
+         gx, gy, luma.mean(), luma.std(), w / h, np.log10(h * w + 1)]
+    )
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """16-dim deterministic descriptor: level stats, zero-crossing
+    rate, 8 FFT band energies, spectral centroid, duration/rate."""
+    s = samples.astype(np.float64) / 32768.0
+    if len(s) == 0:
+        s = np.zeros(1)
+    rms = np.sqrt((s**2).mean())
+    zcr = float((np.diff(np.signbit(s)) != 0).mean()) if len(s) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(s))
+    bands = [b.mean() if len(b) else 0.0 for b in np.array_split(spec, 8)]
+    total = spec.sum()
+    centroid = float((spec * np.arange(len(spec))).sum() / total / len(spec)) if total > 0 else 0.0
+    v = np.array(
+        [rms, zcr, np.abs(s).max(), np.abs(s).mean(), *bands,
+         centroid, len(s) / rate / 10.0, np.log10(rate) / 5.0, 0.0]
+    )
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
@@ -55,15 +190,29 @@ def _fake_features(payload: bytes) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _features_for(payload: bytes) -> np.ndarray:
+    """Dispatch on payload magic: PPM and WAV decode for real; codec
+    formats fall back to the deterministic hash-seeded stand-in."""
+    try:
+        if payload and payload.startswith(b"P6"):
+            return _image_features(decode_ppm(payload))
+        if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _audio_features(*decode_wav(payload))
+    except ValueError:
+        pass  # malformed header: treat as opaque bytes
+    return _fake_features(payload)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction with real batch plumbing:
-    per-batch vectorized metadata + per-asset encoder call (the
-    encoder is the stub; batching/schema/shuffle shape are real)."""
+    """mapInPandas feature extraction: per-batch vectorized metadata +
+    per-asset decode/encode. PPM/WAV payloads produce REAL decoded
+    features; opaque payloads use the deterministic stand-in (swap for
+    a model encoder; batching/schema/shuffle shape are identical)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"].tolist()
-            feats = [list(map(float, _fake_features(p))) for p in payloads]
+            feats = [list(map(float, _features_for(p))) for p in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -99,18 +248,31 @@ def exact_asset_dupes(assets: DataFrame) -> DataFrame:
 RESIZED_SCHEMA = "asset_id long, width int, height int, thumb binary"
 
 
+def _resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample to (height, width, 3)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return img[yi[:, None], xi[None, :]]
+
+
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize plumbing: mapInPandas over image rows, one decoded-and-
-    resized thumbnail per asset. The resample kernel is the stub (a
-    deterministic payload-derived byte block of exactly the target
-    size); the Spark-side shape — image-only filter pushed to the
-    scan, Arrow batch in, typed binary thumb out — is real."""
+    """mapInPandas over image rows, one resized thumbnail per asset
+    (``thumb`` = raw interleaved RGB, width*height*3 bytes). PPM
+    payloads decode and resample for REAL (nearest-neighbor); opaque
+    codec payloads keep the deterministic payload-derived stub block
+    so the plumbing stays total."""
     n_bytes = width * height * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             thumbs = []
             for p in pdf["payload"].tolist():
+                if p is not None and bytes(p).startswith(b"P6"):
+                    thumbs.append(
+                        _resize_nn(decode_ppm(bytes(p)), width, height).tobytes()
+                    )
+                    continue
                 digest = hashlib.sha256(p or b"").digest()
                 reps = -(-n_bytes // len(digest))  # ceil
                 thumbs.append((digest * reps)[:n_bytes])

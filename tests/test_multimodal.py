@@ -14,9 +14,124 @@ from rmlint_spark.operators.multimodal import (
 )
 
 
-def test_decode_is_stubbed():
+def test_decode_codec_formats_still_stubbed():
+    # compressed codec formats need libraries absent from this
+    # container; only the honest NotImplementedError is acceptable
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    from rmlint_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3bytes")
+
+
+def test_ppm_roundtrip_and_real_decode():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # decode_image dispatches P6 for real
+    assert (decode_image(encode_ppm(img)) == img).all()
+    # header comments are part of the grammar
+    with_comment = b"P6\n# a comment\n9 5\n255\n" + img.tobytes()
+    assert (decode_ppm(with_comment) == img).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n9 5\n255\n\x00\x01")  # truncated raster
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(800)
+    samples = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    rate, got = decode_wav(encode_wav(samples, rate=16000))
+    assert rate == 16000
+    assert (got == samples).all()
+
+
+def test_real_image_features_reflect_pixels():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import _features_for, encode_ppm
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    blue = np.zeros((8, 8, 3), dtype=np.uint8)
+    blue[:, :, 2] = 200
+    f_red = _features_for(encode_ppm(red))
+    f_blue = _features_for(encode_ppm(blue))
+    # uniform images: zero std, zero gradients; channel means dominate
+    assert f_red[0] > 0 and f_red[1] == 0 and f_red[2] == 0
+    assert f_blue[2] > 0 and f_blue[0] == 0
+    assert not np.allclose(f_red, f_blue)
+    # deterministic
+    assert (f_red == _features_for(encode_ppm(red))).all()
+
+
+def test_real_audio_features_reflect_samples():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import _features_for, encode_wav
+
+    loud = (np.sin(np.linspace(0, 100, 1600)) * 30000).astype(np.int16)
+    quiet = (np.sin(np.linspace(0, 100, 1600)) * 300).astype(np.int16)
+    f_loud = _features_for(encode_wav(loud))
+    f_quiet = _features_for(encode_wav(quiet))
+    assert not np.allclose(f_loud, f_quiet)
+
+
+def test_real_resize_nearest_neighbor(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import encode_ppm, resize_images
+
+    # 4x4 image with distinct quadrant colors -> 2x2 picks one pixel
+    # per quadrant
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = (255, 0, 0)
+    img[:2, 2:] = (0, 255, 0)
+    img[2:, :2] = (0, 0, 255)
+    img[2:, 2:] = (255, 255, 0)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_ppm(img)), None, None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    out = resize_images(assets, width=2, height=2).collect()
+    thumb = np.frombuffer(bytes(out[0]["thumb"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert (thumb[0, 0] == (255, 0, 0)).all()
+    assert (thumb[0, 1] == (0, 255, 0)).all()
+    assert (thumb[1, 0] == (0, 0, 255)).all()
+    assert (thumb[1, 1] == (255, 255, 0)).all()
+
+
+def test_extract_features_decodes_real_payloads(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _features_for,
+        encode_ppm,
+        encode_wav,
+    )
+
+    img = np.full((6, 6, 3), 128, dtype=np.uint8)
+    wav = encode_wav((np.arange(400) % 100 * 300 - 15000).astype(np.int16))
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_ppm(img)), None, None, None, None),
+            (2, "audio", bytearray(wav), None, None, None, None),
+        ],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    rows = {r["asset_id"]: r["features"] for r in extract_features(assets).collect()}
+    assert np.allclose(rows[1], _features_for(encode_ppm(img)), atol=1e-6)
+    assert np.allclose(rows[2], _features_for(wav), atol=1e-6)
 
 
 def test_feature_extraction_shapes_and_determinism(spark):
