@@ -193,8 +193,19 @@ def q_dir_rollup(spark, sf_dir):
 
 
 def q_pair_confirm(spark, sf_dir):
-    # J6: bucketed self-join + byte-equality confirm
+    # J6: bucketed self-join + byte-equality confirm. Same width-cap
+    # discipline as every other self-join in the repo: (lang, n_chars)
+    # buckets wider than the cap are excluded (quadratic guard), so
+    # the exemplar stays bounded on any corpus.
+    cap = 64
     d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars", "text")
+    over = (
+        d.groupBy("lang", "n_chars")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") > cap)
+        .select("lang", "n_chars")
+    )
+    d = d.join(over, ["lang", "n_chars"], "left_anti")
     a, b_ = d.alias("a"), d.alias("b")
     return (
         a.join(
@@ -641,9 +652,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "pair_confirm": """
+            WITH over AS (
+              SELECT lang, n_chars FROM documents
+              GROUP BY 1, 2 HAVING count(*) > 64),
+            ok AS (
+              SELECT d.* FROM documents d
+              WHERE NOT EXISTS (SELECT 1 FROM over o
+                                WHERE o.lang = d.lang AND o.n_chars = d.n_chars))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CASE WHEN a.text = b.text THEN 1 ELSE 0 END AS same_text
-            FROM documents a JOIN documents b
+            FROM ok a JOIN ok b
               ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         """,
         "lint_classify": """

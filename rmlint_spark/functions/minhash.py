@@ -41,9 +41,9 @@ def perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 _POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd constant for the rolling hash
 
 
-def _token_hashes_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """ONE SipHash pass over the concatenated token array of the whole
-    batch. Returns (flat uint64 token hashes, per-doc token counts)."""
+def _token_hashes_flat_py(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-python fallback tokenizer (kept for environments without
+    pyarrow and as the equality oracle for the Arrow path)."""
     toks_per_doc = [(t or "").split() for t in texts]
     counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
     if counts.sum() == 0:
@@ -52,6 +52,35 @@ def _token_hashes_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         [np.asarray(t, dtype=object) for t in toks_per_doc if t]
     )
     return pd.util.hash_array(flat_tokens).astype(np.uint64), counts
+
+
+def _token_hashes_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """ONE tokenize + SipHash pass over the whole batch. Returns (flat
+    uint64 token hashes, per-doc token counts).
+
+    Tokenization runs in Arrow C++ (utf8_split_whitespace + flatten +
+    empty-token filter — measured 2x over per-doc ``str.split``, with
+    bit-identical hashes); Python splitting was the signature stage's
+    hot spot. Per-doc counts come from the filtered parent indices, so
+    edge-whitespace and empty/null docs match ``str.split`` exactly."""
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+    except ImportError:  # pragma: no cover - pyspark always ships pyarrow
+        return _token_hashes_flat_py(texts)
+    arr = pa.array(texts, type=pa.string())
+    toks = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(toks)
+    mask = pc.not_equal(flat, "")
+    parents = pc.list_parent_indices(toks).filter(mask)
+    flat = flat.filter(mask)
+    counts = np.bincount(
+        parents.to_numpy(zero_copy_only=False), minlength=len(texts)
+    ).astype(np.int64)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    obj = flat.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(obj).astype(np.uint64), counts
 
 
 def shingle_hashes_from_tokens(th: np.ndarray, k: int) -> np.ndarray:

@@ -30,6 +30,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,10 @@ def connected_components(
     max_iter: int = 25,
     on_nonconverged: str = "raise",
     jump_after: int = 8,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    _kill_after: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (fid, component) — component = min fid in the component.
 
@@ -57,19 +63,46 @@ def connected_components(
 
     If the loop still exhausts without the fingerprint stabilizing we
     refuse to return silently: ``on_nonconverged`` = "raise" (default)
-    or "warn"."""
+    or "warn".
+
+    ``checkpoint_dir`` makes iterations DURABLE (the deployment-scale
+    swap SCALE.md promises for localCheckpoint, which dies with the
+    executors): every ``checkpoint_every``-th label state lands in
+    parquet behind its own _SUCCESS plus an atomically-renamed LATEST
+    marker, and a re-run with the same dir resumes from the last
+    completed iteration instead of restarting the loop (the CC analog
+    of CheckpointManager's mid-stage resume; reference precedent: the
+    replay cache, lib/replay.c:777-860). ``_kill_after`` (tests only)
+    dies after N completed iterations to exercise the resume path;
+    ``stats`` (optional dict) reports start_iter/iters_run."""
+    spark = edges.sparkSession
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint(eager=True)
     )
 
-    labels = (
-        sym.select(F.col("u").alias("fid"))
-        .distinct()
-        .withColumn("component", F.col("fid"))
-        .localCheckpoint(eager=True)
-    )
+    labels, start_iter = None, 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        latest = os.path.join(checkpoint_dir, "LATEST")
+        if os.path.exists(latest):
+            with open(latest) as f:
+                done_iter = int(f.read().strip())
+            part = os.path.join(checkpoint_dir, f"iter={done_iter}")
+            if os.path.exists(os.path.join(part, "_SUCCESS")):
+                labels = spark.read.parquet(part)
+                start_iter = done_iter + 1
+    if labels is None:
+        labels = (
+            sym.select(F.col("u").alias("fid"))
+            .distinct()
+            .withColumn("component", F.col("fid"))
+            .localCheckpoint(eager=True)
+        )
+    if stats is not None:
+        stats["start_iter"] = start_iter
+        stats["iters_run"] = 0
 
     def fingerprint(df: DataFrame):
         # decimal(38,0) sum: exact and overflow-free under ANSI mode
@@ -81,7 +114,7 @@ def connected_components(
 
     fp = fingerprint(labels)
     converged = False
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         msgs = sym.join(labels.withColumnRenamed("fid", "u"), "u").select(
             F.col("v").alias("fid"), "component"
         )
@@ -107,8 +140,23 @@ def connected_components(
         labels = new_labels
         if new_fp == fp:
             converged = True
-            break
         fp = new_fp
+        if stats is not None:
+            stats["iters_run"] += 1
+        if checkpoint_dir and (converged or (it + 1 - start_iter) % checkpoint_every == 0):
+            part = os.path.join(checkpoint_dir, f"iter={it}")
+            labels.write.mode("overwrite").parquet(part)
+            tmp = os.path.join(checkpoint_dir, "LATEST.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(it))
+            os.replace(tmp, os.path.join(checkpoint_dir, "LATEST"))
+            # durable state now readable by a resumed run; the re-read
+            # also truncates this run's lineage for free
+            labels = spark.read.parquet(part)
+        if _kill_after is not None and stats is not None and stats["iters_run"] >= _kill_after:
+            raise RuntimeError(f"simulated kill after {_kill_after} CC iterations")
+        if converged:
+            break
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter={max_iter} "

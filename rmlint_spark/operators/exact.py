@@ -207,7 +207,7 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     # broadcasts at runtime when the survivor set is actually small.
     # Optional ranking columns (preference tags, hardlink counts) ride
     # along on the narrow projection so -S criteria can see them.
-    extras = [c for c in ("is_preferred", "link_count", "outer_link_count")
+    extras = [c for c in ("is_preferred", "link_count", "outer_link_count", "inode")
               if c in files.columns]
     final = (
         raw.join(surv1.select(*KEY), KEY, "left_semi")
@@ -242,6 +242,10 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     return tag_originals(out, cfg.rank_criteria).select(
         "repo", "path", "commit", "size", "checksum",
         "cluster_id", "cluster_size", "rank", "is_original",
+        # optional ranking/storage columns survive for post-processing
+        # (keep_hardlinked needs inode; forced-original flows need the
+        # preference tag)
+        *extras,
     )
 
 

@@ -91,6 +91,23 @@ def keep_all_tagged(clusters: DataFrame, preferred: Column) -> DataFrame:
     )
 
 
+def keep_hardlinked(clusters: DataFrame, inode: Column | None = None) -> DataFrame:
+    """W5 ``--keep-hardlinked`` (lib/shredder.c:1427-1455): a duplicate
+    that shares storage with an original is re-tagged as an original —
+    unlinking it would reclaim nothing, so it must not be reported as
+    removable. Storage identity in the table model is (repo, inode);
+    ``inode`` defaults to the ``inode`` column. One window over the
+    clustered subset, no join."""
+    ino = inode if inode is not None else F.col("inode")
+    w = W.partitionBy("cluster_id", "repo", "_ino")
+    return (
+        clusters.withColumn("_ino", ino)
+        .withColumn("_keep", F.max(F.col("is_original").cast("int")).over(w))
+        .withColumn("is_original", F.col("is_original") | (F.col("_keep") == 1))
+        .drop("_ino", "_keep")
+    )
+
+
 def needs_new_qualify(clusters: DataFrame, is_new: Column) -> DataFrame:
     """F6/NEEDS_NEW: keep only clusters containing at least one "new"
     member (rmlint ``-N/--newer-than``: old files still participate in

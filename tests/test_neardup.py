@@ -41,6 +41,22 @@ def test_minhash_deterministic_and_sensitive():
     assert est_ad < 0.1
 
 
+def test_arrow_tokenizer_matches_python_split():
+    # the Arrow fast path must be bit-identical to str.split semantics
+    # (edge whitespace, tabs/newlines, empty and None docs)
+    from rmlint_spark.functions.minhash import (
+        _token_hashes_flat,
+        _token_hashes_flat_py,
+    )
+
+    texts = ["", "  a  b ", "one two\tthree\nfour", None, "x", " \n\t ",
+             "word " * 50]
+    h1, c1 = _token_hashes_flat(texts)
+    h2, c2 = _token_hashes_flat_py(texts)
+    assert (c1 == c2).all()
+    assert (h1 == h2).all()
+
+
 def test_minhash_empty_doc_sentinel():
     s = minhash_batch(["", "word", None], k=5, num_perm=16, seed=1)
     assert (s[0] == -1).all()

@@ -71,3 +71,30 @@ def test_pending_keys_skips_done(spark, corpus, tmp_path):
     total = sigs.count()
     n_pending = pending.count()
     assert 0 < n_pending < total
+
+
+def test_cc_mid_iteration_kill_and_resume(spark, tmp_path):
+    """Durable CC iterations (the SCALE.md localCheckpoint->durable
+    swap): kill the label-propagation loop mid-iteration, resume from
+    the last durable iteration, produce identical components."""
+    from rmlint_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(30)], ["fid_a", "fid_b"]
+    )
+    baseline = sorted(map(tuple, connected_components(edges).collect()))
+
+    ckpt = str(tmp_path / "cc_state")
+    stats1: dict = {}
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        connected_components(
+            edges, checkpoint_dir=ckpt, checkpoint_every=2,
+            _kill_after=6, stats=stats1,
+        )
+    assert stats1["iters_run"] == 6
+
+    stats2: dict = {}
+    out = connected_components(edges, checkpoint_dir=ckpt, checkpoint_every=2, stats=stats2)
+    # resumed from the last durable iteration, not from scratch
+    assert stats2["start_iter"] == 6
+    assert sorted(map(tuple, out.collect())) == baseline

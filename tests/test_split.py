@@ -75,3 +75,36 @@ def test_keep_all_tagged(spark):
     out = keep_all_tagged(clusters(spark), pref)
     origs = {r["repo"] for r in out.filter("is_original").collect()}
     assert origs == {"r1", "r2", "r5"}  # rank-1s plus forced tagged
+
+
+def test_keep_hardlinked_end_to_end(spark):
+    # W5 --keep-hardlinked (lib/shredder.c:1427-1455): the planted
+    # scenario the round-2 audit asked for — two exact-dup families
+    # where one dupe shares storage (same repo+inode) with an original.
+    # Unlinking that dupe reclaims nothing, so it must be re-tagged
+    # original; the genuinely removable dupes must stay dupes.
+    from rmlint_spark.operators.exact import exact_clusters
+    from rmlint_spark.operators.split import keep_hardlinked
+
+    rows = [
+        # family AAA: o1 is the ranked original (lowest commit); d1 is
+        # a hardlink of o1 (same repo+inode); d2 is a real copy
+        ("r1", "a/orig.txt", "c1", "t", "AAA-content", 11),
+        ("r1", "a/hardlink.txt", "c2", "t", "AAA-content", 11),
+        ("r1", "a/copy.txt", "c3", "t", "AAA-content", 12),
+        # family BBB: no hardlinks — behavior unchanged
+        ("r2", "b/orig.txt", "c4", "t", "BBB-content", 21),
+        ("r2", "b/copy.txt", "c5", "t", "BBB-content", 22),
+    ]
+    files = spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content", "inode"]
+    )
+    plain = exact_clusters(files)
+    kept = keep_hardlinked(plain)
+    origs = {r["path"] for r in kept.filter("is_original").collect()}
+    assert origs == {"a/orig.txt", "a/hardlink.txt", "b/orig.txt"}
+    # the representative-bundling subsumption claim is NOT exact for
+    # the funnel path: without keep_hardlinked the hardlink ranks as a
+    # removable dupe (this is the planted evidence W5 lacked)
+    plain_origs = {r["path"] for r in plain.filter("is_original").collect()}
+    assert plain_origs == {"a/orig.txt", "b/orig.txt"}
