@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -77,6 +78,177 @@ class IncrementalDedup:
         )
         return sigs.join(groups, ["size", "checksum"]).withColumn(
             "cluster_id", F.col("checksum")
+        )
+
+    def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):
+        stream = (
+            spark.readStream.schema(FILES_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class IncrementalNearDup:
+    """foreachBatch NEAR-dup: fold each micro-batch into persistent
+    (signature, band-bucket, edge) stores.
+
+    The batch pipeline's economics, made incremental:
+    - node identity is the content sha (content-derived, so the same
+      text arriving in any batch/partition maps to the same node and
+      is signed exactly ONCE — the streaming form of representative
+      bundling, operators/lsh.py);
+    - each batch MinHashes only never-seen contents, bands them, and
+      joins the new bands against the ACCUMULATED bucket store:
+      candidate cost per batch is O(new x bucket-mates), never a
+      recompute of history (new-old and new-new pairs found now;
+      old-old pairs were found when they were new);
+    - the accumulated bucket width cap is the same quadratic guard as
+      the batch path (buckets past the cap stop producing pairs; the
+      pairs they produced while under it remain valid);
+    - verified edges append; clusters materialize on demand via the
+      iterative CC over the edge store.
+    """
+
+    def __init__(self, store_dir: str, cfg=None):
+        from rmlint_spark.config import DEFAULT
+
+        self.cfg = cfg or DEFAULT
+        self.store_dir = store_dir
+        self.index_path = os.path.join(store_dir, "index")      # (sha, repo, path, commit)
+        self.sig_path = os.path.join(store_dir, "neardup_sigs")  # (sha, sig)
+        self.band_path = os.path.join(store_dir, "bands")        # (sha, band_id, band_hash)
+        self.edge_path = os.path.join(store_dir, "edges")        # (sha_a, sha_b, est_jaccard)
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from rmlint_spark.functions.minhash import minhash_udf
+        from rmlint_spark.operators.lsh import band_buckets
+
+        spark = batch.sparkSession
+        rows = (
+            batch.filter(F.length("content") > 0)
+            .select(*KEY, F.sha2("content", 256).alias("sha"), "content")
+            .dropDuplicates(KEY)
+        )
+        new_index = rows.select("sha", *KEY)
+        existing_index = self._read(spark, self.index_path)
+        if existing_index is not None:
+            new_index = new_index.join(existing_index.select(*KEY), KEY, "left_anti")
+        new_index.write.mode("append").parquet(self.index_path)
+
+        # sign ONLY never-seen contents (one row per new sha)
+        new_contents = rows.dropDuplicates(["sha"])
+        old_sigs = self._read(spark, self.sig_path)
+        if old_sigs is not None:
+            new_contents = new_contents.join(old_sigs.select("sha"), "sha", "left_anti")
+        sig = minhash_udf(
+            self.cfg.sig.shingle_k, self.cfg.sig.num_perm, self.cfg.sig.minhash_seed
+        )
+        # materialize BEFORE appending: new_sigs' plan anti-joins a scan
+        # of sig_path, so appending first would make it re-evaluate to
+        # empty (the scan re-lists the directory it just extended)
+        new_sigs = new_contents.select(
+            "sha", sig(F.col("content")).alias("sig")
+        ).localCheckpoint(eager=True)
+        new_sigs.write.mode("append").parquet(self.sig_path)
+
+        new_bands = (
+            band_buckets(new_sigs.withColumnRenamed("sha", "fid"), self.cfg)
+            .withColumnRenamed("fid", "sha")
+            .localCheckpoint(eager=True)
+        )
+        old_bands = self._read(spark, self.band_path)
+        all_bands = (
+            new_bands if old_bands is None else old_bands.unionByName(new_bands)
+        )
+        # accumulated-width quadratic guard (same cap as the batch path)
+        over = (
+            all_bands.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") > self.cfg.max_bucket_width)
+            .select("band_id", "band_hash")
+        )
+        probe = new_bands.join(over, ["band_id", "band_hash"], "left_anti")
+        build = all_bands.join(over, ["band_id", "band_hash"], "left_anti")
+        cand = (
+            probe.select("band_id", "band_hash", F.col("sha").alias("sha_a"))
+            .join(
+                build.select("band_id", "band_hash", F.col("sha").alias("sha_b")),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("sha_a") != F.col("sha_b"))
+            .select(
+                F.least("sha_a", "sha_b").alias("sha_a"),
+                F.greatest("sha_a", "sha_b").alias("sha_b"),
+            )
+            .dropDuplicates(["sha_a", "sha_b"])
+        )
+        old_edges = self._read(spark, self.edge_path)
+        if old_edges is not None:
+            cand = cand.join(
+                old_edges.select("sha_a", "sha_b"), ["sha_a", "sha_b"], "left_anti"
+            )
+        # post-append read: every sha's signature exactly once
+        sigs_all = self._read(spark, self.sig_path)
+        from rmlint_spark.functions.minhash import estimated_jaccard
+
+        verified = (
+            cand.join(
+                sigs_all.select(F.col("sha").alias("sha_a"), F.col("sig").alias("sig_a")),
+                "sha_a",
+            )
+            .join(
+                sigs_all.select(F.col("sha").alias("sha_b"), F.col("sig").alias("sig_b")),
+                "sha_b",
+            )
+            .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+            .filter(F.col("est_jaccard") >= self.cfg.jaccard_threshold)
+            .select("sha_a", "sha_b", "est_jaccard")
+        )
+        verified.write.mode("append").parquet(self.edge_path)
+        new_bands.write.mode("append").parquet(self.band_path)
+
+    def current_clusters(self, spark: SparkSession) -> DataFrame:
+        """(repo, path, commit, cluster_id, cluster_size, rank,
+        is_original) — near-dup clusters over everything seen so far
+        (exact twins share a sha node, so they always co-cluster)."""
+        from rmlint_spark.operators.connected_components import connected_components
+        from rmlint_spark.operators.rank import tag_originals
+
+        index = self._read(spark, self.index_path)
+        assert index is not None, "no batches processed yet"
+        edges = self._read(spark, self.edge_path)
+        if edges is not None and not edges.isEmpty():
+            comp = connected_components(edges, src="sha_a", dst="sha_b").select(
+                F.col("fid").alias("sha"), "component"
+            )
+        else:
+            comp = spark.createDataFrame(
+                [], "sha string, component string"
+            )
+        sha_counts = index.groupBy("sha").agg(F.count("*").alias("n_rows"))
+        labeled = sha_counts.join(comp, "sha", "left").withColumn(
+            "cluster_id",
+            F.coalesce(
+                "component", F.when(F.col("n_rows") >= 2, F.col("sha"))
+            ),
+        ).filter(F.col("cluster_id").isNotNull()).select("sha", "cluster_id")
+        members = index.join(labeled, "sha").withColumn(
+            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+        )
+        return tag_originals(members, cluster_col="cluster_id").select(
+            "repo", "path", "commit", "cluster_id", "cluster_size", "rank", "is_original"
         )
 
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):

@@ -44,6 +44,53 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert got == {("r1", "a.py"), ("r2", "c.py")}
 
 
+def test_incremental_near_dup_across_batches(spark, tmp_path):
+    """A near-duplicate arriving in a LATER batch must cluster with its
+    earlier twin; already-seen content must not be re-signed."""
+    import os as _os
+
+    from rmlint_spark.streaming.incremental import IncrementalNearDup
+
+    src = str(tmp_path / "src_nd")
+    _os.makedirs(src)
+    base_tokens = [f"tok{i}" for i in range(200)]
+    base = " ".join(base_tokens)
+    edited = list(base_tokens)
+    edited[50] = "CHANGED"
+    near = " ".join(edited)  # ~0.95 shingle jaccard vs base
+    unrelated = " ".join(f"other{i}" for i in range(200))
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    rows1 = [("r1", "a.py", "c1", "py", base),
+             ("r1", "u.py", "c1", "py", unrelated)]
+    rows2 = [("r2", "b.py", "c2", "py", near),          # near-dup of batch-1 doc
+             ("r2", "a2.py", "c2", "py", base),          # exact dup of batch-1 doc
+             ("r1", "a.py", "c1", "py", base)]           # replayed row
+    spark.createDataFrame(rows1, cols).coalesce(1).write.mode("append").parquet(src)
+
+    nd = IncrementalNearDup(str(tmp_path / "nd_store"))
+    nd.start(spark, src, str(tmp_path / "nd_ck")).awaitTermination()
+    assert nd.current_clusters(spark).count() == 0  # nothing similar yet
+
+    spark.createDataFrame(rows2, cols).coalesce(1).write.mode("append").parquet(src)
+    nd.start(spark, src, str(tmp_path / "nd_ck")).awaitTermination()
+
+    # each distinct content signed exactly once (3 distinct shas)
+    assert spark.read.parquet(nd.sig_path).count() == 3
+    # replayed row not re-indexed
+    assert spark.read.parquet(nd.index_path).count() == 4
+
+    clusters = nd.current_clusters(spark)
+    by_cluster = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add((r["repo"], r["path"]))
+    assert len(by_cluster) == 1
+    (members,) = by_cluster.values()
+    assert members == {("r1", "a.py"), ("r2", "b.py"), ("r2", "a2.py")}
+    # exactly one original in the cluster
+    assert clusters.filter("is_original").count() == 1
+
+
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     import datetime as dt
 
