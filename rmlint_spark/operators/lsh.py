@@ -158,6 +158,15 @@ def candidate_pairs(
         cur = _pin(cur)
         widths = cur.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
         over = widths.filter(F.col("width") > cfg.max_bucket_width)
+        # cheap driver probe on the (small, pinned-input) width agg:
+        # the COMMON case has no oversized buckets, and short-circuiting
+        # here keeps the plan identical to the unescalated one instead
+        # of stacking log2(num_perm/r) empty-level join stages on every
+        # run (measured ~5x overhead on the candidate stage otherwise)
+        if over.isEmpty():
+            ok_levels.append(cur)
+            dropped = over.withColumn("level", F.lit(level))
+            break
         over_keys = over.select("band_id", "band_hash")
         ok_levels.append(
             cur.join(over_keys, ["band_id", "band_hash"], "left_anti")

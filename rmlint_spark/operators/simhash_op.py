@@ -72,8 +72,14 @@ def simhash_candidates(
     blocks = _pin(simhash_blocks(sims, cfg))
     widths = blocks.groupBy("block_id", "block_value").agg(F.count("*").alias("width"))
     oversized = widths.filter(F.col("width") > cfg.simhash_max_bucket_width)
+    # cheap driver probe (same short-circuit as lsh.candidate_pairs):
+    # with no oversized buckets, skip the anti-join AND the whole
+    # escalation branch — the common-case plan stays minimal
+    none_over = oversized.isEmpty()
     over_keys = oversized.select("block_id", "block_value")
-    ok = blocks.join(over_keys, ["block_id", "block_value"], "left_anti")
+    ok = blocks if none_over else blocks.join(
+        over_keys, ["block_id", "block_value"], "left_anti"
+    )
     a = ok.select("block_id", "block_value", F.col("fid").alias("fid_a"))
     b = ok.select("block_id", "block_value", F.col("fid").alias("fid_b"))
     cand = (
@@ -81,7 +87,9 @@ def simhash_candidates(
         .filter(F.col("fid_a") < F.col("fid_b"))
         .select("fid_a", "fid_b")
     )
-    if cfg.simhash_escalate:
+    if none_over:
+        dropped = oversized.withColumn("level", F.lit(0))
+    elif cfg.simhash_escalate:
         esc_members = blocks.join(over_keys, ["block_id", "block_value"], "left_semi")
         partners = blocks.select(
             "fid",
