@@ -246,6 +246,38 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_token_metrics(spark, sf_dir):
+    # LLM-budget tokenization: whitespace tokens AND BPE-ish regex
+    # tokens (GPT-2 pre-tokenizer approximation) per document
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs (exact form — the oracled
+    # verifier; the scale path buckets candidates via hyperplane LSH
+    # first, see q_ann_hyperplane). Threshold 0.35 sits in the test
+    # corpus's similarity mass (max pairwise cosine is ~0.48; the
+    # nearest pair is 4e-5 away from the cut, ~10^11 float ulps, so
+    # cross-engine summation-order noise can't flip membership).
+    # Output is id-only so float representation never enters the hash.
+    emb = load_table(spark, sf_dir, "embeddings")
+    from rmlint_spark.operators.ann import _as_double, cosine
+
+    e = _as_double(emb.select("vec_id", "embedding"), "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -530,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lint_classify": q_lint_classify,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "token_metrics": q_token_metrics,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
         "topk_per_group": q_topk_per_group,
@@ -679,6 +713,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS punct_cnt,
                    CAST({stop_cnt} AS BIGINT) AS stop_cnt
             FROM documents
+        """,
+        "token_metrics": f"""
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '{TX.BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
         "lang_id": f"""
             SELECT doc_id,
@@ -891,7 +940,7 @@ def oracle_sql() -> dict[str, str]:
             ok2 AS (
               SELECT e.* FROM esc e
               JOIN w2 USING (block_id, block_value, partner_id, partner_value)
-              WHERE w <= {CFG.simhash_max_bucket_width}),
+              WHERE w <= {min(CFG.simhash_escalate_cap, CFG.simhash_max_bucket_width)}),
             cand AS (
               SELECT DISTINCT a.fid AS fid_a, b.fid AS fid_b
               FROM ok a JOIN ok b

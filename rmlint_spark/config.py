@@ -82,12 +82,26 @@ class EngineConfig:
     # level budget runs out); only buckets still over the cap at the
     # final level are dropped (and reported with their level).
     lsh_escalate_levels: int = 8  # max doubling levels (full-sig bound wins)
+    # Escalated levels use a tighter cap (effective = min with the
+    # level-0 cap) for the same reason as simhash_escalate_cap: a WIDE
+    # bucket that still agrees on a long minima prefix is a shared-
+    # vocabulary pileup, not a near-dup family — families are small
+    # after representative bundling.
+    lsh_escalate_cap: int = 256
     # SimHash escalation: one level — over-cap block buckets re-key on
     # (block, partner-block) agreement for every partner, recovering
     # any pair that agrees on >= 2 of the 4 blocks. Pairs whose 3
     # differing bits hit 3 distinct blocks stay unrecoverable
     # (documented residual; visible via the oversized report).
     simhash_escalate: bool = True
+    # Escalated (2-block) buckets get a much TIGHTER cap than level 0
+    # (effective cap = min of the two): on same-vocabulary corpora even
+    # 32-bit agreement is weak, so wide 2-block buckets are frequency-
+    # profile pileups whose pairs all die at the Jaccard gate — A/B on
+    # the 400k corpus measured +615 s (3.2x pipeline) at the level-0
+    # cap with ZERO recovered edges, vs genuine near-dup families which
+    # are small after representative bundling.
+    simhash_escalate_cap: int = 32
     # SimHash blocks get a much tighter cap: a 16-bit block is a far
     # weaker filter than a 32-perm LSH band, so same-vocabulary corpora
     # (token-frequency profiles nearly identical at low Jaccard) land

@@ -37,6 +37,20 @@ def token_count(col: Column) -> Column:
     ).cast("long")
 
 
+# GPT-2-style pre-tokenizer arms (contractions, space-prefixed letter
+# runs, digit runs, punctuation runs), non-capturing so the whole match
+# is the token. Expressible identically in Java regex (Spark) and RE2
+# (DuckDB) — both support \p{L}/\p{N} — so the count is oracle-exact.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer regex
+    (the unit LLM-pipeline budgets are denominated in, approximated
+    without a merges table). JVM-side regexp_extract_all."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+
+
 def word_occurrences(col: Column, word: str) -> Column:
     """Occurrences of a whole token (pad-and-search)."""
     padded = F.concat(F.lit(" "), col, F.lit(" "))

@@ -154,10 +154,12 @@ def candidate_pairs(
     cur = band_buckets(signatures, cfg)
     ok_levels: list[DataFrame] = []
     level, slice_len = 0, r
+    esc_cap = min(cfg.lsh_escalate_cap, cfg.max_bucket_width)
     while True:
         cur = _pin(cur)
+        cap = cfg.max_bucket_width if level == 0 else esc_cap
         widths = cur.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
-        over = widths.filter(F.col("width") > cfg.max_bucket_width)
+        over = widths.filter(F.col("width") > cap)
         # cheap driver probe on the (small, pinned-input) width agg:
         # the COMMON case has no oversized buckets, and short-circuiting
         # here keeps the plan identical to the unescalated one instead

@@ -101,8 +101,9 @@ def simhash_candidates(
             .filter(F.col("partner_id") != F.col("block_id"))
         )
         k2 = ["block_id", "block_value", "partner_id", "partner_value"]
+        esc_cap = min(cfg.simhash_escalate_cap, cfg.simhash_max_bucket_width)
         w2 = esc.groupBy(*k2).agg(F.count("*").alias("width"))
-        over2 = w2.filter(F.col("width") > cfg.simhash_max_bucket_width)
+        over2 = w2.filter(F.col("width") > esc_cap)
         ok2 = esc.join(over2.select(*k2), k2, "left_anti")
         a2 = ok2.select(*k2, F.col("fid").alias("fid_a"))
         b2 = ok2.select(*k2, F.col("fid").alias("fid_b"))

@@ -35,10 +35,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    import os
+
     from rmlint_spark.config import EngineConfig, SignatureConfig
     from rmlint_spark.plans.pipeline import run_pipeline
 
-    cfg = EngineConfig(sig=SignatureConfig(prefix_len=4096))
+    # RMLINT_SPARK_ESCALATE: 1 (both, default) / 0 (none) / lsh / simhash
+    # (A/B knob for isolating escalation cost on pathological corpora)
+    esc = os.environ.get("RMLINT_SPARK_ESCALATE", "1")
+    cfg = EngineConfig(
+        sig=SignatureConfig(prefix_len=4096),
+        lsh_escalate_levels=8 if esc in ("1", "lsh") else 0,
+        simhash_escalate=esc in ("1", "simhash"),
+    )
     files = spark.read.parquet(corpus_dir)
     n_files = files.count()
 
