@@ -251,6 +251,31 @@ class IncrementalNearDup:
             "repo", "path", "commit", "cluster_id", "cluster_size", "rank", "is_original"
         )
 
+    def compact(self, spark: SparkSession, target_partitions: int = 8) -> dict:
+        """Rewrite each store into ``target_partitions`` files.
+
+        Every micro-batch appends a few small parquet files per store;
+        after many batches the accumulated-store scans (the per-batch
+        band join and CC reads) pay per-file open cost. Run this
+        OFFLINE (between stream runs — the swap is not concurrent-safe
+        with an active writer, exactly like any compaction job).
+        Returns {store: files_before} for observability."""
+        import shutil
+
+        report = {}
+        for path in (self.index_path, self.sig_path, self.band_path, self.edge_path):
+            if not os.path.exists(path):
+                continue
+            n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+            tmp = path + ".compact_tmp"
+            spark.read.parquet(path).coalesce(target_partitions).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(path)
+            os.replace(tmp, path)
+            report[os.path.basename(path)] = n_before
+        return report
+
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):
         stream = (
             spark.readStream.schema(FILES_SCHEMA)

@@ -90,6 +90,19 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
     # exactly one original in the cluster
     assert clusters.filter("is_original").count() == 1
 
+    # offline compaction: fewer files, identical clusters
+    report = nd.compact(spark, target_partitions=1)
+    assert set(report) == {"index", "neardup_sigs", "bands", "edges"}
+    after = {
+        (r["repo"], r["path"]): r["cluster_id"]
+        for r in nd.current_clusters(spark).collect()
+    }
+    assert set(after) == {("r1", "a.py"), ("r2", "b.py"), ("r2", "a2.py")}
+    for p in (nd.index_path, nd.sig_path, nd.band_path, nd.edge_path):
+        import os as _os2
+
+        assert sum(1 for f in _os2.listdir(p) if f.endswith(".parquet")) == 1
+
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
     import datetime as dt
