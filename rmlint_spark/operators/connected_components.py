@@ -86,13 +86,48 @@ def connected_components(
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         latest = os.path.join(checkpoint_dir, "LATEST")
+        # Checkpointed labels are only valid for the edge relation they
+        # were computed from: resuming against a grown/different edge
+        # list would silently omit nodes absent from the stored labels.
+        # One agg over the (already materialized) symmetric relation
+        # fingerprints it; orientation-invariant because sym carries
+        # both directions.
+        row = sym.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        edges_fp = f"{row['n']}:{row['h']}"
+        fp_file = os.path.join(checkpoint_dir, "EDGES_FP")
         if os.path.exists(latest):
+            if os.path.exists(fp_file):
+                with open(fp_file) as f:
+                    stored_fp = f.read().strip()
+                if stored_fp != edges_fp:
+                    raise ValueError(
+                        f"CC checkpoint at {checkpoint_dir} was written for a "
+                        f"different edge relation (fp {stored_fp} != {edges_fp}); "
+                        "refusing to resume — use a fresh checkpoint_dir"
+                    )
             with open(latest) as f:
                 done_iter = int(f.read().strip())
             part = os.path.join(checkpoint_dir, f"iter={done_iter}")
+            done_marker = os.path.join(checkpoint_dir, "DONE")
             if os.path.exists(os.path.join(part, "_SUCCESS")):
                 labels = spark.read.parquet(part)
+                if os.path.exists(done_marker):
+                    # the checkpointed state already converged — a resume
+                    # (even one landing at start_iter == max_iter) must
+                    # return it, not re-raise "did not converge"
+                    if stats is not None:
+                        stats["start_iter"] = done_iter + 1
+                        stats["iters_run"] = 0
+                    return labels
                 start_iter = done_iter + 1
+        else:
+            tmp = fp_file + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(edges_fp)
+            os.replace(tmp, fp_file)
     if labels is None:
         labels = (
             sym.select(F.col("u").alias("fid"))
@@ -150,6 +185,14 @@ def connected_components(
             with open(tmp, "w") as f:
                 f.write(str(it))
             os.replace(tmp, os.path.join(checkpoint_dir, "LATEST"))
+            if converged:
+                # marks the state as final: a later resume returns it
+                # directly instead of re-entering (and possibly
+                # exhausting) the loop
+                tmp = os.path.join(checkpoint_dir, "DONE.tmp")
+                with open(tmp, "w") as f:
+                    f.write(str(it))
+                os.replace(tmp, os.path.join(checkpoint_dir, "DONE"))
             # durable state now readable by a resumed run; the re-read
             # also truncates this run's lineage for free
             labels = spark.read.parquet(part)

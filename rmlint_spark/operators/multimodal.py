@@ -22,6 +22,7 @@ shape is real.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -78,6 +79,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     need = w * h * 3
@@ -111,15 +114,20 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, _ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+            if rate <= 0:
+                raise ValueError(f"invalid WAV sample rate {rate}")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, np.frombuffer(data, dtype="<i2")
+    # frombuffer needs an even byte count for int16
+    return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -190,6 +198,14 @@ def _fake_features(payload: bytes) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+# exceptions a malformed-but-magic-matching payload can raise out of
+# the decode/feature path: header validation (ValueError), chunk
+# struct unpacks on short slices (struct.error), and any residual
+# division/indexing on degenerate shapes. A malformed payload must
+# degrade to opaque bytes, never fail the job.
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError)
+
+
 def _features_for(payload: bytes) -> np.ndarray:
     """Dispatch on payload magic: PPM and WAV decode for real; codec
     formats fall back to the deterministic hash-seeded stand-in."""
@@ -198,8 +214,8 @@ def _features_for(payload: bytes) -> np.ndarray:
             return _image_features(decode_ppm(payload))
         if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*decode_wav(payload))
-    except ValueError:
-        pass  # malformed header: treat as opaque bytes
+    except _DECODE_ERRORS:
+        pass  # malformed payload: treat as opaque bytes
     return _fake_features(payload)
 
 
@@ -269,10 +285,13 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
             thumbs = []
             for p in pdf["payload"].tolist():
                 if p is not None and bytes(p).startswith(b"P6"):
-                    thumbs.append(
-                        _resize_nn(decode_ppm(bytes(p)), width, height).tobytes()
-                    )
-                    continue
+                    try:
+                        thumbs.append(
+                            _resize_nn(decode_ppm(bytes(p)), width, height).tobytes()
+                        )
+                        continue
+                    except _DECODE_ERRORS:
+                        pass  # malformed P6: fall through to the stub block
                 digest = hashlib.sha256(p or b"").digest()
                 reps = -(-n_bytes // len(digest))  # ceil
                 thumbs.append((digest * reps)[:n_bytes])

@@ -97,13 +97,24 @@ def keep_hardlinked(clusters: DataFrame, inode: Column | None = None) -> DataFra
     unlinking it would reclaim nothing, so it must not be reported as
     removable. Storage identity in the table model is (repo, inode);
     ``inode`` defaults to the ``inode`` column. One window over the
-    clustered subset, no join."""
+    clustered subset, no join.
+
+    Null inodes (the column is an optional extras field) mean "storage
+    identity unknown" — Spark windows group NULL keys together, so
+    without a guard every null-inode row in a (cluster, repo) would
+    share one partition and a single null-inode original would re-tag
+    all of them. Null-inode rows are therefore left untouched."""
     ino = inode if inode is not None else F.col("inode")
     w = W.partitionBy("cluster_id", "repo", "_ino")
+    keep = F.max((F.col("is_original") & F.col("_ino").isNotNull()).cast("int")).over(w)
     return (
         clusters.withColumn("_ino", ino)
-        .withColumn("_keep", F.max(F.col("is_original").cast("int")).over(w))
-        .withColumn("is_original", F.col("is_original") | (F.col("_keep") == 1))
+        .withColumn("_keep", keep)
+        .withColumn(
+            "is_original",
+            F.col("is_original")
+            | ((F.col("_keep") == 1) & F.col("_ino").isNotNull()),
+        )
         .drop("_ino", "_keep")
     )
 

@@ -21,7 +21,8 @@ Bucketed tables must go through the session catalog (``saveAsTable``)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -67,3 +68,67 @@ def n_exchanges_in_plan(df: DataFrame) -> int:
     return sum(
         1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
     )
+
+
+# --------------------------------------------------------------------
+# Hash-partitioned append stores (the streaming layer's layout).
+#
+# Catalog ``bucketBy`` tables give exchange-free joins but (a) need the
+# session catalog, (b) don't support value-level pruning on append
+# workloads the way we need. A directory layout partitioned by
+# ``hash(key) mod N`` is the faithful local stand-in for an Iceberg
+# ``bucket(N, key)`` partition TRANSFORM: appends land in their hash
+# directory, and a reader that knows which key values it wants prunes
+# to the matching directories (partition pruning) plus pushes an
+# ``In(key, ...)`` filter into the scan (row-group skip locally; bloom
+# filter / file skip on Iceberg). That combination is what makes the
+# incremental near-dup fold O(new x bucket-mates) per batch instead of
+# O(accumulated history) — see streaming/incremental.py.
+# --------------------------------------------------------------------
+
+def hex_pt(col: Column, n_partitions: int) -> Column:
+    """Partition id for a hex-string key (e.g. a sha256): the first 8
+    hex digits as an int, mod N. Mirrors ``hex_pt_py`` exactly so the
+    driver can compute partition lists without a collect."""
+    return F.pmod(
+        F.conv(F.substring(col, 1, 8), 16, 10).cast("long"), F.lit(n_partitions)
+    ).cast("int")
+
+
+def hex_pt_py(key: str, n_partitions: int) -> int:
+    """Driver-side twin of ``hex_pt`` (same bytes, same result)."""
+    return int(key[:8], 16) % n_partitions
+
+
+def long_pt(col: Column, n_partitions: int) -> Column:
+    """Partition id for a long key (e.g. an xxhash64 band hash)."""
+    return F.pmod(col, F.lit(n_partitions)).cast("int")
+
+
+def long_pt_py(key: int, n_partitions: int) -> int:
+    """Driver-side twin of ``long_pt`` (Python % matches pmod for
+    negative keys: both return the non-negative residue)."""
+    return key % n_partitions
+
+
+def append_partitioned(df: DataFrame, path: str) -> None:
+    """Append a relation carrying a ``pt`` partition column to its
+    hash-partitioned store directory."""
+    df.write.partitionBy("pt").mode("append").parquet(path)
+
+
+def pruned_read(
+    store: DataFrame,
+    pts: list[int],
+    key_col: str | None = None,
+    values: list | None = None,
+    isin_limit: int = 100_000,
+) -> DataFrame:
+    """Prune a hash-partitioned store scan to the partitions (and,
+    when the value list is small enough to ship as a literal In
+    filter, the exact key values) a batch touches. Falls back to
+    partition-level pruning alone for huge batches."""
+    out = store.filter(F.col("pt").isin(pts))
+    if key_col is not None and values is not None and len(values) <= isin_limit:
+        out = out.filter(F.col(key_col).isin(values))
+    return out

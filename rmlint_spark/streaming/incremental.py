@@ -96,7 +96,8 @@ class IncrementalDedup:
 
 class IncrementalNearDup:
     """foreachBatch NEAR-dup: fold each micro-batch into persistent
-    (signature, band-bucket, edge) stores.
+    hash-partitioned (index, signature, band-bucket, width, edge)
+    stores.
 
     The batch pipeline's economics, made incremental:
     - node identity is the content sha (content-derived, so the same
@@ -104,120 +105,332 @@ class IncrementalNearDup:
       is signed exactly ONCE — the streaming form of representative
       bundling, operators/lsh.py);
     - each batch MinHashes only never-seen contents, bands them, and
-      joins the new bands against the ACCUMULATED bucket store:
-      candidate cost per batch is O(new x bucket-mates), never a
-      recompute of history (new-old and new-new pairs found now;
-      old-old pairs were found when they were new);
+      joins the new bands against the accumulated bucket store;
     - the accumulated bucket width cap is the same quadratic guard as
       the batch path (buckets past the cap stop producing pairs; the
       pairs they produced while under it remain valid);
     - verified edges append; clusters materialize on demand via the
       iterative CC over the edge store.
+
+    **O(new), not O(history)** (sources/bucketed.py): every store is
+    laid out as a hash-partitioned directory tree (``pt = hash(key)
+    mod N`` — the local stand-in for an Iceberg ``bucket(N, key)``
+    transform), and every per-batch store access prunes to the
+    partitions the batch touches plus an ``In(key, ...)`` scan filter
+    on the exact key values. The band join therefore reads only the
+    accumulated BUCKET-MATES of the new bands — its input does not
+    grow as unrelated history accumulates — and plans as a broadcast
+    join of the (small) new side: zero ``Exchange hashpartitioning``
+    (audited per batch in ``last_stats``). A per-bucket width table
+    accumulates per-batch deltas (epoch-deduplicated, so replays don't
+    double-count) for the oversized-bucket report without a full
+    band-store scan.
+
+    **Replay safety** (foreachBatch is at-least-once): the ``seen``
+    store — the marker that gates signature work — is appended LAST,
+    after every derived append (sigs, bands, edges, widths, index)
+    committed. Every other append is idempotent on its own (pruned
+    anti-join against its store, or epoch-keyed dedup for width
+    deltas), so a replayed partially-committed epoch redoes the whole
+    fold without duplicating rows, and a replayed fully-committed
+    epoch short-circuits at the seen check. Reference analog: the
+    xattr/replay "pay-once" economy (lib/shredder.c:1121-1155,
+    lib/replay.c:777-860).
     """
 
-    def __init__(self, store_dir: str, cfg=None):
+    def __init__(
+        self,
+        store_dir: str,
+        cfg=None,
+        n_partitions: int = 16,
+        isin_limit: int = 100_000,
+        collect_stats: bool = False,
+    ):
         from rmlint_spark.config import DEFAULT
 
         self.cfg = cfg or DEFAULT
         self.store_dir = store_dir
-        self.index_path = os.path.join(store_dir, "index")      # (sha, repo, path, commit)
-        self.sig_path = os.path.join(store_dir, "neardup_sigs")  # (sha, sig)
-        self.band_path = os.path.join(store_dir, "bands")        # (sha, band_id, band_hash)
-        self.edge_path = os.path.join(store_dir, "edges")        # (sha_a, sha_b, est_jaccard)
+        self.n_partitions = n_partitions
+        self.isin_limit = isin_limit
+        self.collect_stats = collect_stats
+        self.last_stats: dict = {}
+        self.index_path = os.path.join(store_dir, "index")      # (sha, repo, path, commit, pt)
+        self.sig_path = os.path.join(store_dir, "neardup_sigs")  # (sha, sig, pt)
+        self.band_path = os.path.join(store_dir, "bands")        # (sha, band_id, band_hash, pt)
+        self.width_path = os.path.join(store_dir, "band_widths")  # (band_id, band_hash, delta, epoch, pt)
+        self.edge_path = os.path.join(store_dir, "edges")        # (sha_a, sha_b, est_jaccard, pt)
+        self.seen_path = os.path.join(store_dir, "seen")         # (sha, pt) — commit marker
+
+    @property
+    def _all_paths(self) -> list[str]:
+        return [
+            self.index_path,
+            self.sig_path,
+            self.band_path,
+            self.width_path,
+            self.edge_path,
+            self.seen_path,
+        ]
 
     def _read(self, spark: SparkSession, path: str) -> DataFrame | None:
+        if not os.path.isdir(path):
+            return None
         try:
             return spark.read.parquet(path)
         except Exception:
-            return None
+            return None  # store dir exists but holds no data files yet
+
+    def _sha_pt(self, col):
+        from rmlint_spark.sources.bucketed import hex_pt
+
+        return hex_pt(col, self.n_partitions)
+
+    def _sha_pt_py(self, sha: str) -> int:
+        from rmlint_spark.sources.bucketed import hex_pt_py
+
+        return hex_pt_py(sha, self.n_partitions)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        from rmlint_spark.functions.minhash import minhash_udf
+        from rmlint_spark.functions.minhash import estimated_jaccard, minhash_udf
         from rmlint_spark.operators.lsh import band_buckets
+        from rmlint_spark.sources.bucketed import (
+            append_partitioned,
+            long_pt,
+            n_exchanges_in_plan,
+            pruned_read,
+        )
 
+        self._recover()
         spark = batch.sparkSession
+        P = self.n_partitions
+        stats: dict = {"epoch": int(epoch_id)}
+        # pin the (small) batch: sha + dedup computed once, not per
+        # downstream derivation
         rows = (
             batch.filter(F.length("content") > 0)
             .select(*KEY, F.sha2("content", 256).alias("sha"), "content")
             .dropDuplicates(KEY)
+            .localCheckpoint(eager=True)
         )
-        new_index = rows.select("sha", *KEY)
-        existing_index = self._read(spark, self.index_path)
-        if existing_index is not None:
-            new_index = new_index.join(existing_index.select(*KEY), KEY, "left_anti")
-        new_index.write.mode("append").parquet(self.index_path)
+        shas = [r["sha"] for r in rows.select("sha").distinct().collect()]
+        if not shas:
+            self.last_stats = stats
+            return
+        sha_pts = sorted({self._sha_pt_py(s) for s in shas})
 
-        # sign ONLY never-seen contents (one row per new sha)
-        new_contents = rows.dropDuplicates(["sha"])
-        old_sigs = self._read(spark, self.sig_path)
-        if old_sigs is not None:
-            new_contents = new_contents.join(old_sigs.select("sha"), "sha", "left_anti")
+        # ---- index append (partitioned by content pt; idempotent via
+        # pruned self-anti-join — a replayed (repo,path,commit) row has
+        # the same content, hence the same pt)
+        new_index = rows.select("sha", *KEY).withColumn("pt", self._sha_pt(F.col("sha")))
+        idx_store = self._read(spark, self.index_path)
+        if idx_store is not None:
+            pruned = pruned_read(idx_store, sha_pts, "sha", shas, self.isin_limit)
+            new_index = new_index.join(pruned.select(*KEY), KEY, "left_anti")
+        append_partitioned(new_index, self.index_path)
+
+        # ---- never-seen check against the seen store (the marker
+        # written LAST): a driver-side set difference, no join
+        seen_store = self._read(spark, self.seen_path)
+        seen: set = set()
+        if seen_store is not None:
+            seen = {
+                r["sha"]
+                for r in pruned_read(seen_store, sha_pts, "sha", shas, self.isin_limit)
+                .select("sha")
+                .distinct()
+                .collect()
+            }
+        fresh = sorted(set(shas) - seen)
+        stats["new_shas"] = len(fresh)
+        if not fresh:
+            self.last_stats = stats  # fully-committed epoch replayed
+            return
+        fresh_pts = sorted({self._sha_pt_py(s) for s in fresh})
+        new_contents = rows.dropDuplicates(["sha"]).filter(F.col("sha").isin(fresh))
+
+        # ---- sign ONLY never-seen contents (one row per new sha);
+        # materialized so every downstream derivation reuses one pass
         sig = minhash_udf(
             self.cfg.sig.shingle_k, self.cfg.sig.num_perm, self.cfg.sig.minhash_seed
         )
-        # materialize BEFORE appending: new_sigs' plan anti-joins a scan
-        # of sig_path, so appending first would make it re-evaluate to
-        # empty (the scan re-lists the directory it just extended)
         new_sigs = new_contents.select(
             "sha", sig(F.col("content")).alias("sig")
         ).localCheckpoint(eager=True)
-        new_sigs.write.mode("append").parquet(self.sig_path)
 
+        # ---- band the new signatures; JVM-only derivation of the
+        # pinned sigs (cheap to re-derive, no checkpoint needed)
         new_bands = (
             band_buckets(new_sigs.withColumnRenamed("sha", "fid"), self.cfg)
             .withColumnRenamed("fid", "sha")
+            .withColumn("pt", long_pt(F.col("band_hash"), P))
+        )
+        band_keys = new_bands.select("band_id", "band_hash", "pt").distinct().collect()
+        band_pts = sorted({r["pt"] for r in band_keys})
+        band_hashes = [r["band_hash"] for r in band_keys]
+
+        # ---- accumulated bucket-mates scan: partition-pruned + exact
+        # In(band_hash) pushdown — input is O(mates of the new bands),
+        # independent of unrelated history
+        band_store = self._read(spark, self.band_path)
+        if band_store is not None:
+            mates = pruned_read(
+                band_store, band_pts, "band_hash", band_hashes, self.isin_limit
+            ).select("sha", "band_id", "band_hash", "pt")
+        else:
+            mates = spark.createDataFrame([], "sha string, band_id int, band_hash long, pt int")
+        if self.collect_stats:
+            stats["band_store_rows_scanned"] = mates.count()
+
+        # ---- accumulated-width quadratic guard: the mates scan holds
+        # the FULL history of every touched bucket, so widths computed
+        # from (mates + new) are exact. Materialized so the audited
+        # band join below contains no aggregation exchange.
+        all_build = mates.unionByName(new_bands)
+        over = (
+            all_build.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("width"))
+            .filter(F.col("width") > self.cfg.max_bucket_width)
+            .select("band_id", "band_hash")
             .localCheckpoint(eager=True)
         )
-        old_bands = self._read(spark, self.band_path)
-        all_bands = (
-            new_bands if old_bands is None else old_bands.unionByName(new_bands)
-        )
-        # accumulated-width quadratic guard (same cap as the batch path)
-        over = (
-            all_bands.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("w"))
-            .filter(F.col("w") > self.cfg.max_bucket_width)
-            .select("band_id", "band_hash")
-        )
-        probe = new_bands.join(over, ["band_id", "band_hash"], "left_anti")
-        build = all_bands.join(over, ["band_id", "band_hash"], "left_anti")
-        cand = (
+        probe = new_bands.join(F.broadcast(over), ["band_id", "band_hash"], "left_anti")
+        build = all_build.join(F.broadcast(over), ["band_id", "band_hash"], "left_anti")
+
+        # ---- THE per-batch band join: broadcast(new side) x pruned
+        # store scan — zero Exchange hashpartitioning by construction
+        joined = F.broadcast(
             probe.select("band_id", "band_hash", F.col("sha").alias("sha_a"))
-            .join(
-                build.select("band_id", "band_hash", F.col("sha").alias("sha_b")),
-                ["band_id", "band_hash"],
-            )
-            .filter(F.col("sha_a") != F.col("sha_b"))
+        ).join(
+            build.select("band_id", "band_hash", F.col("sha").alias("sha_b")),
+            ["band_id", "band_hash"],
+        )
+        stats["band_join_exchanges"] = n_exchanges_in_plan(joined)
+        cand = (
+            joined.filter(F.col("sha_a") != F.col("sha_b"))
             .select(
                 F.least("sha_a", "sha_b").alias("sha_a"),
                 F.greatest("sha_a", "sha_b").alias("sha_b"),
             )
             .dropDuplicates(["sha_a", "sha_b"])
+            .localCheckpoint(eager=True)
         )
-        old_edges = self._read(spark, self.edge_path)
-        if old_edges is not None:
-            cand = cand.join(
-                old_edges.select("sha_a", "sha_b"), ["sha_a", "sha_b"], "left_anti"
-            )
-        # post-append read: every sha's signature exactly once
-        sigs_all = self._read(spark, self.sig_path)
-        from rmlint_spark.functions.minhash import estimated_jaccard
+        cand_shas = [
+            r["sha"]
+            for r in cand.select(F.explode(F.array("sha_a", "sha_b")).alias("sha"))
+            .distinct()
+            .collect()
+        ]
+        stats["candidate_pairs"] = 0
 
-        verified = (
-            cand.join(
-                sigs_all.select(F.col("sha").alias("sha_a"), F.col("sig").alias("sig_a")),
-                "sha_a",
+        if cand_shas:
+            cand_pts = sorted({self._sha_pt_py(s) for s in cand_shas})
+            # ---- verify: re-attach signatures (new in-flight, old via
+            # a pruned sig-store read) and gate on estimated Jaccard
+            sig_store = self._read(spark, self.sig_path)
+            sigs_needed = new_sigs
+            if sig_store is not None:
+                sigs_needed = sigs_needed.unionByName(
+                    pruned_read(
+                        sig_store, cand_pts, "sha", cand_shas, self.isin_limit
+                    ).select("sha", "sig")
+                ).dropDuplicates(["sha"])  # replay: store may already hold new sigs
+            verified = (
+                F.broadcast(cand)
+                .join(
+                    sigs_needed.select(
+                        F.col("sha").alias("sha_a"), F.col("sig").alias("sig_a")
+                    ),
+                    "sha_a",
+                )
+                .join(
+                    sigs_needed.select(
+                        F.col("sha").alias("sha_b"), F.col("sig").alias("sig_b")
+                    ),
+                    "sha_b",
+                )
+                .withColumn(
+                    "est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b"))
+                )
+                .filter(F.col("est_jaccard") >= self.cfg.jaccard_threshold)
+                .select("sha_a", "sha_b", "est_jaccard")
             )
-            .join(
-                sigs_all.select(F.col("sha").alias("sha_b"), F.col("sig").alias("sig_b")),
-                "sha_b",
+            edge_store = self._read(spark, self.edge_path)
+            if edge_store is not None:
+                # idempotency: a replayed epoch's edges are already in
+                # the store — pruned anti-join keeps the append exact
+                verified = verified.join(
+                    pruned_read(
+                        edge_store, cand_pts, "sha_a", cand_shas, self.isin_limit
+                    ).select("sha_a", "sha_b"),
+                    ["sha_a", "sha_b"],
+                    "left_anti",
+                )
+            verified = verified.withColumn("pt", self._sha_pt(F.col("sha_a")))
+            if self.collect_stats:
+                stats["candidate_pairs"] = cand.count()
+            append_partitioned(verified, self.edge_path)
+
+        # ---- sigs append (idempotent: pruned anti-join vs sig store)
+        sig_store = self._read(spark, self.sig_path)
+        sigs_to_write = new_sigs
+        if sig_store is not None:
+            sigs_to_write = sigs_to_write.join(
+                pruned_read(sig_store, fresh_pts, "sha", fresh, self.isin_limit)
+                .select("sha"),
+                "sha",
+                "left_anti",
             )
-            .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
-            .filter(F.col("est_jaccard") >= self.cfg.jaccard_threshold)
-            .select("sha_a", "sha_b", "est_jaccard")
+        append_partitioned(
+            sigs_to_write.withColumn("pt", self._sha_pt(F.col("sha"))), self.sig_path
         )
-        verified.write.mode("append").parquet(self.edge_path)
-        new_bands.write.mode("append").parquet(self.band_path)
+
+        # ---- bands append (idempotent: a replayed band row is already
+        # among its own mates — the pruned mates scan covers it)
+        bands_to_write = new_bands.join(
+            mates.select("sha", "band_id", "band_hash"),
+            ["sha", "band_id", "band_hash"],
+            "left_anti",
+        )
+        append_partitioned(bands_to_write, self.band_path)
+
+        # ---- width-table delta append: per-bucket counts of the new
+        # bands, keyed by epoch so a replayed epoch deduplicates on
+        # read instead of double-counting
+        deltas = (
+            new_bands.groupBy("band_id", "band_hash", "pt")
+            .agg(F.count("*").alias("delta"))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        append_partitioned(deltas, self.width_path)
+
+        # ---- seen marker LAST: commits the whole fold for these
+        # contents; everything above is already durable + idempotent
+        append_partitioned(
+            new_sigs.select("sha").withColumn("pt", self._sha_pt(F.col("sha"))),
+            self.seen_path,
+        )
+        self.last_stats = stats
+
+    def bucket_widths(self, spark: SparkSession) -> DataFrame:
+        """(band_id, band_hash, width): accumulated bucket widths from
+        the delta table — epoch-deduplicated, so at-least-once replays
+        of a delta append don't double-count."""
+        w = self._read(spark, self.width_path)
+        assert w is not None, "no batches processed yet"
+        return (
+            w.dropDuplicates(["band_id", "band_hash", "epoch"])
+            .groupBy("band_id", "band_hash")
+            .agg(F.sum("delta").alias("width"))
+        )
+
+    def oversized_report(self, spark: SparkSession) -> DataFrame:
+        """Buckets over the accumulated-width cap (the skew-guard
+        visibility surface, same discipline as the batch path's
+        oversized report) — answered from the width table, not a full
+        band-store scan."""
+        return self.bucket_widths(spark).filter(
+            F.col("width") > self.cfg.max_bucket_width
+        )
 
     def current_clusters(self, spark: SparkSession) -> DataFrame:
         """(repo, path, commit, cluster_id, cluster_size, rank,
@@ -226,8 +439,10 @@ class IncrementalNearDup:
         from rmlint_spark.operators.connected_components import connected_components
         from rmlint_spark.operators.rank import tag_originals
 
+        self._recover()
         index = self._read(spark, self.index_path)
         assert index is not None, "no batches processed yet"
+        index = index.select("sha", "repo", "path", "commit")
         edges = self._read(spark, self.edge_path)
         if edges is not None and not edges.isEmpty():
             comp = connected_components(edges, src="sha_a", dst="sha_b").select(
@@ -251,28 +466,69 @@ class IncrementalNearDup:
             "repo", "path", "commit", "cluster_id", "cluster_size", "rank", "is_original"
         )
 
-    def compact(self, spark: SparkSession, target_partitions: int = 8) -> dict:
-        """Rewrite each store into ``target_partitions`` files.
+    def _recover(self) -> None:
+        """Adopt or discard the leftovers of a compaction that crashed
+        mid-swap (see ``compact`` — the swap is tmp-write, rename-aside,
+        rename-in, delete-old; every crash point leaves a recoverable
+        state, unlike a delete-then-rename which loses the store)."""
+        import shutil
+
+        for path in self._all_paths:
+            old, tmp = path + ".old", path + ".compact_tmp"
+            if os.path.exists(old):
+                if not os.path.exists(path):
+                    if os.path.exists(tmp):
+                        os.replace(tmp, path)  # crashed between the renames
+                    else:
+                        os.replace(old, path)  # compacted copy lost: keep original
+                if os.path.exists(path) and os.path.exists(old):
+                    shutil.rmtree(old)
+            if os.path.exists(tmp) and os.path.exists(path):
+                shutil.rmtree(tmp)  # crashed before the swap began
+
+    def compact(self, spark: SparkSession, target_files_per_pt: int = 1) -> dict:
+        """Rewrite each store to ``target_files_per_pt`` file(s) per
+        hash partition.
 
         Every micro-batch appends a few small parquet files per store;
         after many batches the accumulated-store scans (the per-batch
-        band join and CC reads) pay per-file open cost. Run this
-        OFFLINE (between stream runs — the swap is not concurrent-safe
-        with an active writer, exactly like any compaction job).
-        Returns {store: files_before} for observability."""
+        pruned reads and CC's edge read) pay per-file open cost. Run
+        this OFFLINE (between stream runs — the swap is not
+        concurrent-safe with an active writer, exactly like any
+        compaction job). Width-table deltas keep their epoch keys:
+        merging them would break the epoch-level dedup that makes a
+        replayed pre-compaction epoch idempotent.
+
+        Crash-safe swap: write ``.compact_tmp``, rename the live store
+        aside to ``.old``, rename tmp in, then delete ``.old``;
+        ``_recover()`` (called on every open) adopts whichever rename
+        a crash interrupted. Returns {store: files_before}."""
         import shutil
 
+        self._recover()
         report = {}
-        for path in (self.index_path, self.sig_path, self.band_path, self.edge_path):
-            if not os.path.exists(path):
+        for path in self._all_paths:
+            if not os.path.isdir(path):
                 continue
-            n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-            tmp = path + ".compact_tmp"
-            spark.read.parquet(path).coalesce(target_partitions).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            shutil.rmtree(path)
+            n_before = sum(
+                1
+                for _dir, _sub, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            tmp, old = path + ".compact_tmp", path + ".old"
+            df = spark.read.parquet(path)
+            # repartition by the partition column: each task owns whole
+            # pt directories, yielding target_files_per_pt files per pt
+            (
+                df.repartition(target_files_per_pt * self.n_partitions, "pt")
+                .write.partitionBy("pt")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            os.replace(path, old)
             os.replace(tmp, path)
+            shutil.rmtree(old)
             report[os.path.basename(path)] = n_before
         return report
 

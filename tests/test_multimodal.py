@@ -195,3 +195,69 @@ def test_frame_sampling_plumbing(spark):
     # timestamps stride by every_ms from 0
     first = sorted(r["t_ms"] for r in frames if r["asset_id"] == min(vids))
     assert first == list(range(0, durations[min(vids)] // 500 * 500, 500))
+
+
+def test_malformed_magic_payloads_degrade_to_opaque():
+    """ADVICE r3: magic-matching but malformed payloads used to raise
+    struct.error / ZeroDivisionError out of the feature UDF and fail
+    the whole job. The contract is 'malformed: treat as opaque bytes'
+    — every such payload must produce the deterministic stand-in."""
+    import struct
+
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        decode_ppm,
+        decode_wav,
+    )
+
+    # RIFF/WAVE with a truncated fmt chunk (struct.error before)
+    trunc_fmt = b"RIFF" + struct.pack("<I", 20) + b"WAVEfmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    # rate=0 (ZeroDivisionError in _audio_features before)
+    fmt0 = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    rate0 = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + struct.pack("<I", len(fmt0))
+        + fmt0 + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    # zero-height P6 (ZeroDivisionError in _image_features before)
+    zero_h = b"P6\n4 0\n255\n"
+    # truncated P6 header (fields never complete)
+    trunc_p6 = b"P6\n4"
+    for payload in (trunc_fmt, rate0, zero_h, trunc_p6):
+        got = _features_for(payload)
+        want = _fake_features(payload)
+        assert np.allclose(got, want), payload[:20]
+    # the decoders themselves fail uniformly with ValueError
+    with pytest.raises(ValueError):
+        decode_wav(trunc_fmt)
+    with pytest.raises(ValueError):
+        decode_wav(rate0)
+    with pytest.raises(ValueError):
+        decode_ppm(zero_h)
+
+
+def test_resize_malformed_p6_falls_back_to_stub(spark):
+    """resize_images used to call decode_ppm unguarded: a truncated or
+    zero-dim P6 payload crashed the resize job. It must now emit the
+    deterministic stub block instead."""
+    import hashlib
+
+    from rmlint_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, "image", bytearray(b"P6\n4 0\n255\n"), None, None, None, None),
+        (2, "image", bytearray(b"P6\n2 2\n255\n\x00\x01"), None, None, None, None),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    out = {r["asset_id"]: bytes(r["thumb"]) for r in resize_images(assets, 8, 8).collect()}
+    assert set(out) == {1, 2}
+    for aid, payload in ((1, b"P6\n4 0\n255\n"), (2, b"P6\n2 2\n255\n\x00\x01")):
+        digest = hashlib.sha256(payload).digest()
+        want = (digest * (-(-192 // len(digest))))[:192]
+        assert out[aid] == want

@@ -98,3 +98,47 @@ def test_cc_mid_iteration_kill_and_resume(spark, tmp_path):
     # resumed from the last durable iteration, not from scratch
     assert stats2["start_iter"] == 6
     assert sorted(map(tuple, out.collect())) == baseline
+
+
+def test_cc_resume_of_converged_checkpoint(spark, tmp_path):
+    """A checkpoint whose state already converged must short-circuit on
+    resume — even when the resume would land at start_iter == max_iter
+    (round-3 advice: that case used to raise 'did not converge')."""
+    from rmlint_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["fid_a", "fid_b"]
+    )
+    ckpt = str(tmp_path / "cc_done")
+    stats1: dict = {}
+    base = sorted(
+        map(tuple, connected_components(edges, checkpoint_dir=ckpt, stats=stats1).collect())
+    )
+    import os
+
+    assert os.path.exists(os.path.join(ckpt, "DONE"))
+    # resume with max_iter equal to the iterations already done: the
+    # loop body would never run — the DONE short-circuit must return
+    done_iter = stats1["start_iter"] + stats1["iters_run"] - 1
+    stats2: dict = {}
+    out = connected_components(
+        edges, checkpoint_dir=ckpt, max_iter=done_iter + 1, stats=stats2
+    )
+    assert stats2["iters_run"] == 0
+    assert sorted(map(tuple, out.collect())) == base
+
+
+def test_cc_checkpoint_refuses_different_edges(spark, tmp_path):
+    """Checkpointed labels are only valid for the edge relation they
+    came from: resuming against a grown edge list would silently omit
+    the new nodes, so it must refuse instead."""
+    import pytest as _pytest
+
+    from rmlint_spark.operators.connected_components import connected_components
+
+    edges1 = spark.createDataFrame([("a", "b")], ["fid_a", "fid_b"])
+    edges2 = spark.createDataFrame([("a", "b"), ("c", "d")], ["fid_a", "fid_b"])
+    ckpt = str(tmp_path / "cc_fp")
+    connected_components(edges1, checkpoint_dir=ckpt)
+    with _pytest.raises(ValueError, match="different edge relation"):
+        connected_components(edges2, checkpoint_dir=ckpt)

@@ -108,3 +108,29 @@ def test_keep_hardlinked_end_to_end(spark):
     # removable dupe (this is the planted evidence W5 lacked)
     plain_origs = {r["path"] for r in plain.filter("is_original").collect()}
     assert plain_origs == {"a/orig.txt", "b/orig.txt"}
+
+
+def test_keep_hardlinked_null_inodes_left_untouched(spark):
+    # inode is an OPTIONAL extras column; Spark windows group NULL keys
+    # together, so without the isNotNull gate a null-inode original
+    # would re-tag every null-inode dupe in its (cluster, repo) as an
+    # original (round-3 advice finding). Null inode = storage identity
+    # unknown = no hardlink inference.
+    from rmlint_spark.operators.exact import exact_clusters
+    from rmlint_spark.operators.split import keep_hardlinked
+
+    rows = [
+        ("r1", "a/orig.txt", "c1", "t", "AAA-content", None),
+        ("r1", "a/copy1.txt", "c2", "t", "AAA-content", None),
+        ("r1", "a/copy2.txt", "c3", "t", "AAA-content", None),
+        # a REAL hardlink family in the same frame still re-tags
+        ("r2", "b/orig.txt", "c4", "t", "BBB-content", 7),
+        ("r2", "b/hardlink.txt", "c5", "t", "BBB-content", 7),
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, inode long"
+    )
+    kept = keep_hardlinked(exact_clusters(files))
+    origs = {r["path"] for r in kept.filter("is_original").collect()}
+    assert origs == {"a/orig.txt", "b/orig.txt", "b/hardlink.txt"}

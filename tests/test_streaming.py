@@ -68,7 +68,7 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
              ("r1", "a.py", "c1", "py", base)]           # replayed row
     spark.createDataFrame(rows1, cols).coalesce(1).write.mode("append").parquet(src)
 
-    nd = IncrementalNearDup(str(tmp_path / "nd_store"))
+    nd = IncrementalNearDup(str(tmp_path / "nd_store"), n_partitions=8)
     nd.start(spark, src, str(tmp_path / "nd_ck")).awaitTermination()
     assert nd.current_clusters(spark).count() == 0  # nothing similar yet
 
@@ -79,6 +79,10 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
     assert spark.read.parquet(nd.sig_path).count() == 3
     # replayed row not re-indexed
     assert spark.read.parquet(nd.index_path).count() == 4
+    # the seen commit-marker covers every signed content
+    assert spark.read.parquet(nd.seen_path).count() == 3
+    # width table: every (sha x band) delta accounted, no bucket over cap
+    assert nd.oversized_report(spark).count() == 0
 
     clusters = nd.current_clusters(spark)
     by_cluster = {}
@@ -91,17 +95,164 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
     assert clusters.filter("is_original").count() == 1
 
     # offline compaction: fewer files, identical clusters
-    report = nd.compact(spark, target_partitions=1)
-    assert set(report) == {"index", "neardup_sigs", "bands", "edges"}
-    after = {
+    def n_files(p):
+        return sum(1 for _d, _s, fs in os.walk(p) for f in fs if f.endswith(".parquet"))
+
+    before = {p: n_files(p) for p in nd._all_paths}
+    report = nd.compact(spark)
+    assert set(report) == {
+        "index", "neardup_sigs", "bands", "band_widths", "edges", "seen"
+    }
+    after_clusters = {
         (r["repo"], r["path"]): r["cluster_id"]
         for r in nd.current_clusters(spark).collect()
     }
-    assert set(after) == {("r1", "a.py"), ("r2", "b.py"), ("r2", "a2.py")}
-    for p in (nd.index_path, nd.sig_path, nd.band_path, nd.edge_path):
-        import os as _os2
+    assert set(after_clusters) == {("r1", "a.py"), ("r2", "b.py"), ("r2", "a2.py")}
+    for p in nd._all_paths:
+        n_pts = sum(1 for d in os.listdir(p) if d.startswith("pt="))
+        # ~one file per live hash partition (vs one per partition per batch)
+        assert n_files(p) <= max(n_pts, 1)
+        assert n_files(p) <= max(before[p], 1)
 
-        assert sum(1 for f in _os2.listdir(p) if f.endswith(".parquet")) == 1
+
+def _nd_rows(tag: str, n_docs: int = 3):
+    """n_docs documents with a vocabulary disjoint per tag."""
+    return [
+        (f"r-{tag}", f"{tag}_{d}.py", "c1", "py",
+         " ".join(f"{tag}w{d}t{i}" for i in range(120)))
+        for d in range(n_docs)
+    ]
+
+
+def test_incremental_near_dup_scan_is_o_new(spark, tmp_path):
+    """The per-batch band join must (a) plan with zero shuffle
+    exchanges (broadcast of the new side against the pruned store) and
+    (b) scan a store input that does NOT grow as unrelated history
+    accumulates — the O(new x mates) economy the partition-pruned +
+    In-filtered store layout exists for."""
+    import os as _os
+
+    from rmlint_spark.streaming.incremental import IncrementalNearDup
+
+    src = str(tmp_path / "src_onew")
+    _os.makedirs(src)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    nd = IncrementalNearDup(
+        str(tmp_path / "onew_store"), n_partitions=8, collect_stats=True
+    )
+    scanned, store_sizes = [], []
+    for k in range(4):  # four batches of mutually-disjoint vocabulary
+        spark.createDataFrame(_nd_rows(f"b{k}"), cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        nd.start(spark, src, str(tmp_path / "onew_ck")).awaitTermination()
+        assert nd.last_stats["band_join_exchanges"] == 0
+        scanned.append(nd.last_stats["band_store_rows_scanned"])
+        store_sizes.append(spark.read.parquet(nd.band_path).count())
+    # the store grows every batch...
+    assert store_sizes == sorted(store_sizes) and store_sizes[-1] > store_sizes[0]
+    # ...but the per-batch join input does not (disjoint vocabulary →
+    # disjoint band hashes → the In-filter drops all unrelated history)
+    assert max(scanned) == 0, scanned
+    # a batch that IS similar to old content still finds its mates
+    base = _nd_rows("b0")[0]
+    edited = base[4].split()
+    edited[5] = "CHANGED"
+    near = [("r-new", "near.py", "c9", "py", " ".join(edited))]
+    spark.createDataFrame(near, cols).coalesce(1).write.mode("append").parquet(src)
+    nd.start(spark, src, str(tmp_path / "onew_ck")).awaitTermination()
+    assert nd.last_stats["band_store_rows_scanned"] > 0
+    assert nd.last_stats["band_join_exchanges"] == 0
+    got = {
+        (r["repo"], r["path"]) for r in nd.current_clusters(spark).collect()
+    }
+    assert got == {("r-b0", "b0_0.py"), ("r-new", "near.py")}
+
+
+def test_incremental_near_dup_replay_after_partial_crash(spark, tmp_path, monkeypatch):
+    """foreachBatch is at-least-once: a batch that crashes AFTER the
+    sig/band/edge appends but BEFORE the seen marker must, on replay,
+    redo the fold idempotently — same store contents as a clean run,
+    and crucially its bands/edges exist (round-3 ordering lost them)."""
+    from rmlint_spark.sources import bucketed as bk
+    from rmlint_spark.streaming.incremental import IncrementalNearDup
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    toks = [f"tok{i}" for i in range(150)]
+    edited = list(toks)
+    edited[10] = "CHANGED"
+    rows = [
+        ("r1", "a.py", "c1", "py", " ".join(toks)),
+        ("r1", "b.py", "c1", "py", " ".join(edited)),
+    ]
+    batch = spark.createDataFrame(rows, cols)
+    nd = IncrementalNearDup(str(tmp_path / "replay_store"), n_partitions=8)
+
+    real_append = bk.append_partitioned
+
+    def crash_on_seen(df, path):
+        if path == nd.seen_path:
+            raise RuntimeError("simulated crash before the seen marker")
+        return real_append(df, path)
+
+    monkeypatch.setattr(bk, "append_partitioned", crash_on_seen)
+    try:
+        nd.process_batch(batch, epoch_id=7)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(bk, "append_partitioned", real_append)
+    # sigs/bands/edges landed, seen did not
+    assert spark.read.parquet(nd.sig_path).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(nd.seen_path).count()
+
+    # replay of the same epoch: no duplicates anywhere, marker lands
+    nd.process_batch(batch, epoch_id=7)
+    n_bands = nd.cfg.sig.bands
+    assert spark.read.parquet(nd.sig_path).count() == 2
+    assert spark.read.parquet(nd.band_path).count() == 2 * n_bands
+    assert spark.read.parquet(nd.edge_path).count() == 1
+    assert spark.read.parquet(nd.seen_path).count() == 2
+    # width table replays dedup by epoch: accumulated width stays 1 per bucket
+    assert nd.bucket_widths(spark).agg(F.max("width")).collect()[0][0] <= 2
+    got = {(r["repo"], r["path"]) for r in nd.current_clusters(spark).collect()}
+    assert got == {("r1", "a.py"), ("r1", "b.py")}
+
+
+def test_incremental_near_dup_compact_crash_recovery(spark, tmp_path):
+    """A compaction that dies between the two directory renames must
+    not lose the store: _recover() (run on every open) adopts the
+    compacted copy or restores the original."""
+    import shutil
+
+    from rmlint_spark.streaming.incremental import IncrementalNearDup
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    rows = [
+        ("r1", "a.py", "c1", "py", " ".join(f"t{i}" for i in range(80))),
+        ("r1", "b.py", "c1", "py", " ".join(f"t{i}" for i in range(80))),
+    ]
+    nd = IncrementalNearDup(str(tmp_path / "cr_store"), n_partitions=8)
+    nd.process_batch(spark.createDataFrame(rows, cols), epoch_id=0)
+    before = {(r["repo"], r["path"]) for r in nd.current_clusters(spark).collect()}
+    assert before == {("r1", "a.py"), ("r1", "b.py")}
+
+    # crash point: tmp fully written, live store renamed aside, tmp not
+    # yet renamed in — the worst window of the old rmtree+replace swap
+    path = nd.sig_path
+    shutil.copytree(path, path + ".compact_tmp")
+    import os as _os
+
+    _os.replace(path, path + ".old")
+    assert not _os.path.exists(path)
+
+    after = {(r["repo"], r["path"]) for r in nd.current_clusters(spark).collect()}
+    assert after == before
+    assert _os.path.exists(path)
+    assert not _os.path.exists(path + ".old")
+    assert not _os.path.exists(path + ".compact_tmp")
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
