@@ -475,13 +475,20 @@ def q_ann_hyperplane(spark, sf_dir):
     # assignment (the one numpy-float stage SQL can't reproduce) is
     # materialized to parquet; DuckDB recomputes the width cap,
     # candidate join, and exact-cosine re-rank from the same bytes.
-    from rmlint_spark.operators.ann import hyperplane_buckets, topk_from_buckets
+    # The ladder output includes any escalated generations (negative
+    # band ids, ann.hyperplane_bucket_ladder); with the default
+    # esc_cap == max_bucket the oracle's single width predicate covers
+    # both level kinds.
+    from rmlint_spark.operators.ann import (
+        hyperplane_bucket_ladder,
+        score_bucket_relation,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = hyperplane_buckets(emb, n_bands=24, bits_per_band=4)
+    all_buckets, _dropped = hyperplane_bucket_ladder(emb, n_bands=24, bits_per_band=4)
     path = f"{ORACLE_SIDE}/ann_bands"
-    buckets.write.mode("overwrite").parquet(path)
-    return topk_from_buckets(spark.read.parquet(path), emb, k=5).select(
+    all_buckets.write.mode("overwrite").parquet(path)
+    return score_bucket_relation(spark.read.parquet(path), emb, k=5).select(
         "vec_id", "neighbor_id", "rk"
     )
 

@@ -236,22 +236,136 @@ def hyperplane_buckets(
     )
 
 
-def topk_from_buckets(
-    buckets: DataFrame,
+def bucket_widths(buckets: DataFrame) -> DataFrame:
+    return buckets.groupBy("band_id", "bucket").agg(F.count("*").alias("width"))
+
+
+def hyperplane_bucket_ladder(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    max_bucket: int = 2000,
+    esc_cap: int | None = None,
+    max_levels: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _collect_cap: int = 20000,
+) -> tuple[DataFrame, DataFrame]:
+    """Escalating hyperplane bucket assignment; returns
+    ``(all_buckets, dropped)``.
+
+    Mirrors the LSH escalation ladder (lsh.candidate_pairs, SURVEY
+    §7.4): members of a bucket wider than its cap re-bucket at level L
+    with DOUBLED sign bits per band (fresh seeded planes), so a dense
+    region splits 2^bits-fold per level instead of being traded away;
+    only buckets still over the cap at ``max_levels`` (or at the
+    62-bit representation bound — exact-duplicate vectors can never
+    split on sign planes) land in ``dropped`` (band_id, bucket, width,
+    level) — the reference's never-lose-lint-silently discipline
+    (tests/test_robustness/test_collisions.py:14-25).
+
+    ``all_buckets`` carries level 0 plus every escalated generation
+    UNFILTERED, with escalated band ids encoded negative
+    (``-((L-1)*n_bands + band + 1)``, disjoint per level), so an
+    external oracle can recompute widths, the per-level cap predicate
+    (level 0: ``max_bucket``; escalated: ``esc_cap``), the candidate
+    join, and the re-rank from the materialized bytes alone.
+
+    The over-cap probe is ONE driver action per level (limit+collect
+    of the width agg's over-cap slice): the common no-escalation case
+    costs a single small aggregate, and the collected keys drive the
+    member semi-join as a broadcast local relation. A wider-than-
+    ``_collect_cap`` over set falls back to the pure-join path."""
+    esc_cap = max_bucket if esc_cap is None else esc_cap
+    spark = embeddings.sparkSession
+    emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    cur = hyperplane_buckets(embeddings, n_bands, bits_per_band, seed, id_col, vec_col)
+    levels = [cur]
+    dropped = spark.createDataFrame([], "band_id int, bucket long, width long, level int")
+    level, bits = 0, bits_per_band
+    while True:
+        cap = max_bucket if level == 0 else esc_cap
+        over = bucket_widths(cur).filter(F.col("width") > cap)
+        over_local = over.limit(_collect_cap + 1).collect()
+        if not over_local:
+            break
+        if len(over_local) > _collect_cap:
+            over_keys = over.select("band_id", "bucket")  # join-path fallback
+        else:
+            over_keys = F.broadcast(
+                spark.createDataFrame(
+                    [(r["band_id"], r["bucket"]) for r in over_local],
+                    "band_id int, bucket long",
+                )
+            )
+        if level >= max_levels or bits >= 62:
+            dropped = (
+                over.withColumn("level", F.lit(level))
+                if len(over_local) > _collect_cap
+                else spark.createDataFrame(
+                    [
+                        (r["band_id"], r["bucket"], r["width"], level)
+                        for r in over_local
+                    ],
+                    "band_id int, bucket long, width long, level int",
+                )
+            )
+            break
+        over_ids = (
+            cur.join(over_keys, ["band_id", "bucket"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        level += 1
+        bits = min(bits * 2, 62)
+        sigs = hyperplane_sigs_udf(n_bands, bits, seed + level)
+        # escalated band ids: -((L-1)*n_bands + band + 1), disjoint per
+        # level and from the non-negative level-0 ids
+        cur = (
+            emb.join(over_ids, id_col, "left_semi")
+            .select(id_col, F.posexplode(sigs(F.col(vec_col))).alias("band_id", "bucket"))
+            .select(
+                id_col,
+                (F.lit(-((level - 1) * n_bands + 1)) - F.col("band_id")).alias("band_id"),
+                "bucket",
+            )
+        )
+        levels.append(cur)
+    all_buckets = levels[0]
+    for extra in levels[1:]:
+        all_buckets = all_buckets.unionByName(extra)
+    return all_buckets, dropped
+
+
+def score_bucket_relation(
+    all_buckets: DataFrame,
     embeddings: DataFrame,
     k: int = 5,
     max_bucket: int = 2000,
+    esc_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Candidate join + exact-cosine re-rank over a precomputed bucket
-    assignment (see hyperplane_buckets)."""
+    """Candidate join + exact-cosine re-rank over a (possibly
+    escalated) bucket relation. The width-cap predicate is recomputed
+    here from the relation itself — level 0 (band_id >= 0) against
+    ``max_bucket``, escalated levels (band_id < 0) against ``esc_cap``
+    — exactly the predicate the DuckDB oracle applies to the same
+    materialized bytes.
+
+    The candidate self-join carries only (band_id, bucket, id) — the
+    vectors (8 bytes x dim each) re-attach AFTER pair dedup, so the
+    pair explosion shuffles ids, not payloads."""
+    esc_cap = max_bucket if esc_cap is None else esc_cap
     emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
-    widths = buckets.groupBy("band_id", "bucket").agg(F.count("*").alias("w"))
-    ok = buckets.join(
-        widths.filter(F.col("w") > max_bucket).select("band_id", "bucket"),
-        ["band_id", "bucket"],
-        "left_anti",
+    ok = (
+        all_buckets.join(bucket_widths(all_buckets), ["band_id", "bucket"])
+        .filter(
+            ((F.col("band_id") >= 0) & (F.col("width") <= max_bucket))
+            | ((F.col("band_id") < 0) & (F.col("width") <= esc_cap))
+        )
+        .select("band_id", "bucket", id_col)
     )
     a = ok.select("band_id", "bucket", F.col(id_col).alias("qid"))
     b_ = ok.select("band_id", "bucket", F.col(id_col).alias("neighbor_id"))
@@ -275,6 +389,23 @@ def topk_from_buckets(
     return _rank_topk(scored, k, id_col)
 
 
+def topk_from_buckets(
+    buckets: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    max_bucket: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    esc_cap: int | None = None,
+) -> DataFrame:
+    """Candidate join + exact-cosine re-rank over a precomputed bucket
+    relation (level-0 only or a full ladder output — the per-level cap
+    predicate handles both)."""
+    return score_bucket_relation(
+        buckets, embeddings, k, max_bucket, esc_cap, id_col, vec_col
+    )
+
+
 def hyperplane_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -284,14 +415,18 @@ def hyperplane_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """LSH-bucketed top-k: candidates share a hyperplane-sign bucket in
-    at least one band; exact cosine re-scores candidates only.
-
-    The candidate self-join carries only (band_id, bucket, id) — the
-    vectors (8 bytes x dim each) re-attach AFTER pair dedup, so the
-    pair explosion shuffles ids, not payloads."""
-    buckets = hyperplane_buckets(
-        embeddings, n_bands, bits_per_band, seed, id_col, vec_col
+    esc_cap: int | None = None,
+    max_levels: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH-bucketed top-k with oversized-bucket escalation; returns
+    ``(topk, dropped)`` — the same contract as ``lsh.candidate_pairs``
+    (a bucket is only ever EXCLUDED after the escalation ladder is
+    exhausted, and then visibly via the dropped report)."""
+    all_buckets, dropped = hyperplane_bucket_ladder(
+        embeddings, n_bands, bits_per_band, max_bucket, esc_cap,
+        max_levels, seed, id_col, vec_col,
     )
-    return topk_from_buckets(buckets, embeddings, k, max_bucket, id_col, vec_col)
+    topk = score_bucket_relation(
+        all_buckets, embeddings, k, max_bucket, esc_cap, id_col, vec_col
+    )
+    return topk, dropped

@@ -43,12 +43,70 @@ def test_hyperplane_recall(embeddings):
         (r["vec_id"], r["neighbor_id"])
         for r in brute_force_topk(embeddings, k=5).collect()
     }
-    approx = {
-        (r["vec_id"], r["neighbor_id"])
-        for r in hyperplane_topk(embeddings, k=5, n_bands=24, bits_per_band=4).collect()
-    }
+    topk, dropped = hyperplane_topk(embeddings, k=5, n_bands=24, bits_per_band=4)
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in topk.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH ANN recall {recall:.3f}"
+    assert dropped.count() == 0  # no pathological buckets in this corpus
+
+
+def test_hyperplane_escalation_recovers_hot_bucket(spark):
+    """Planted pathological corpus: five tight sub-clusters sharing one
+    coarse sign pattern, so the level-0 bucket blows past the cap.
+    Without escalation the whole bucket is dropped (visibly — the
+    dropped report, round-3 advice: it used to vanish silently); with
+    the doubled-bits ladder the sub-clusters split below the cap and
+    their true neighbors are recovered."""
+    rng = np.random.RandomState(11)
+    dim, sub_n, n_subs = 16, 8, 5
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    rows = []
+    planted = []
+    vid = 0
+    for s in range(n_subs):
+        d = rng.standard_normal(dim)
+        d -= d @ base * base  # orthogonal offset per sub-cluster
+        d *= 0.2 / np.linalg.norm(d)
+        for _ in range(sub_n):
+            v = base + d + 0.01 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            planted.append(vid)
+            vid += 1
+    for _ in range(50):  # background vectors
+        v = rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kwargs = dict(k=5, n_bands=8, bits_per_band=4, max_bucket=sub_n, seed=7)
+    topk_no, dropped_no = hyperplane_topk(emb, max_levels=0, **kwargs)
+    topk_esc, dropped_esc = hyperplane_topk(emb, max_levels=3, **kwargs)
+
+    assert dropped_no.count() > 0  # the hot buckets are REPORTED, not silent
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5).collect()
+        if r["vec_id"] in set(planted)
+    }
+
+    def recall(df):
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in df.collect()
+            if r["vec_id"] in set(planted)
+        }
+        return len(exact & got) / len(exact)
+
+    r_no, r_esc = recall(topk_no), recall(topk_esc)
+    assert r_esc >= 0.9, f"escalated recall {r_esc:.3f}"
+    assert r_esc > r_no + 0.3, f"escalation gain {r_no:.3f} -> {r_esc:.3f}"
+    # residual dropped buckets (two sub-clusters colliding in one band
+    # at every level) are allowed — their pairs were recovered via
+    # other bands (the recall bar above) — but they must be REPORTED
+    # at an escalated level, never silently absorbed
+    for r in dropped_esc.collect():
+        assert r["level"] > 0 and r["band_id"] < 0
 
 
 def test_blas_variant_matches_sql_variant(embeddings):
