@@ -105,12 +105,62 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return shingle_hashes_from_tokens(th, k)
 
 
+def _per_doc_shingles(
+    th_flat: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    stop: np.ndarray | None = None,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Per-doc 32-bit shingle-hash arrays for the token-nonempty docs
+    (aligned to ``counts > 0``), with stop shingles removed when a stop
+    set is given (frequent/boilerplate shingles carry no near-dup
+    signal — config.SignatureConfig.stop_shingle_df)."""
+    nonempty = counts > 0
+    tok_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(counts[nonempty][:-1], out=tok_starts[1:])
+    per_doc = [
+        shingle_hashes_from_tokens(th_flat[s : s + c], k)
+        for s, c in zip(tok_starts, counts[nonempty])
+    ]
+    if stop is not None and len(stop):
+        stop = np.asarray(stop).astype(np.uint64)
+        per_doc = [h[~np.isin(h, stop)] for h in per_doc]
+    return per_doc, nonempty
+
+
+def minhash_from_shingles(
+    per_doc: list[np.ndarray], num_perm: int, seed: int
+) -> np.ndarray:
+    """(len(per_doc), num_perm) int64 signatures; docs whose shingle
+    array is empty (empty doc, or all shingles stopped) get the all -1
+    sentinel (never matches anything, never banded)."""
+    out = np.full((len(per_doc), num_perm), -1, dtype=np.int64)
+    sh_counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+    keep = sh_counts > 0
+    if not keep.any():
+        return out
+    flat = np.concatenate([h for h in per_doc if len(h)])
+    starts = np.zeros(int(keep.sum()), dtype=np.int64)
+    np.cumsum(sh_counts[keep][:-1], out=starts[1:])
+    a, b = perm_params(num_perm, seed)
+    sig = np.empty((int(keep.sum()), num_perm), dtype=np.int64)
+    for i in range(num_perm):
+        # multiply-shift permutation family (uint64 wraparound multiply,
+        # top 32 bits): universal-enough for MinHash, ~3x faster than
+        # the mod-Mersenne scheme (no vectorized integer division)
+        v = (a[i] * flat + b[i]) >> np.uint64(32)
+        sig[:, i] = np.minimum.reduceat(v, starts).astype(np.int64)
+    out[keep] = sig
+    return out
+
+
 def minhash_batch(
     texts: list[str],
     k: int,
     num_perm: int,
     seed: int,
     _pre: tuple[np.ndarray, np.ndarray] | None = None,
+    stop: np.ndarray | None = None,
 ) -> np.ndarray:
     """(len(texts), num_perm) int64 signature matrix. Empty docs get an
     all -1 sentinel signature (never matches anything).
@@ -125,57 +175,61 @@ def minhash_batch(
     nonempty = counts > 0
     if not nonempty.any():
         return out
-    tok_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(counts[nonempty][:-1], out=tok_starts[1:])
-    per_doc = [
-        shingle_hashes_from_tokens(th_flat[s : s + c], k)
-        for s, c in zip(tok_starts, counts[nonempty])
-    ]
-    sh_counts = np.array([len(h) for h in per_doc], dtype=np.int64)
-    flat = np.concatenate(per_doc)
-    starts = np.zeros(len(per_doc), dtype=np.int64)
-    np.cumsum(sh_counts[:-1], out=starts[1:])
-    a, b = perm_params(num_perm, seed)
-    sig = np.empty((len(per_doc), num_perm), dtype=np.int64)
-    for i in range(num_perm):
-        # multiply-shift permutation family (uint64 wraparound multiply,
-        # top 32 bits): universal-enough for MinHash, ~3x faster than
-        # the mod-Mersenne scheme (no vectorized integer division)
-        v = (a[i] * flat + b[i]) >> np.uint64(32)
-        sig[:, i] = np.minimum.reduceat(v, starts).astype(np.int64)
-    out[nonempty] = sig
+    per_doc, nonempty = _per_doc_shingles(th_flat, counts, k, stop)
+    out[nonempty] = minhash_from_shingles(per_doc, num_perm, seed)
     return out
 
 
-def minhash_udf(k: int, num_perm: int, seed: int):
+def minhash_udf(k: int, num_perm: int, seed: int, stop: np.ndarray | None = None):
     """pandas_udf: content string -> array<long> signature."""
 
     @F.pandas_udf("array<long>")
     def _minhash(content: pd.Series) -> pd.Series:
-        sig = minhash_batch(content.tolist(), k, num_perm, seed)
+        sig = minhash_batch(content.tolist(), k, num_perm, seed, stop=stop)
         return pd.Series(list(sig))
 
     return _minhash
 
 
-def combined_udf(k: int, num_perm: int, seed: int):
+def combined_udf(
+    k: int,
+    num_perm: int,
+    seed: int,
+    simhash_features: str = "token",
+    stop: np.ndarray | None = None,
+):
     """pandas_udf computing MinHash AND SimHash from ONE tokenize +
     SipHash pass per batch: struct<sig: array<long>, simhash: long>.
-    The pipeline's single content read for the whole near-dup layer."""
-    from rmlint_spark.functions.simhash import simhash_from_token_hashes
+    The pipeline's single content read for the whole near-dup layer.
+    With shingle-feature simhash the per-doc shingle arrays are shared
+    between both kernels (one rolling-hash pass total)."""
+    from rmlint_spark.functions.simhash import (
+        mix64,
+        simhash_from_feature_arrays,
+        simhash_from_token_hashes,
+    )
 
     @F.pandas_udf("struct<sig: array<long>, simhash: long>")
     def _both(content: pd.Series) -> pd.DataFrame:
         texts = content.tolist()
         th, counts = _token_hashes_flat(texts)
-        sig = minhash_batch(texts, k, num_perm, seed, _pre=(th, counts))
+        sig = np.full((len(texts), num_perm), -1, dtype=np.int64)
         simhash = np.zeros(len(texts), dtype=np.int64)
         nonempty = counts > 0
         if nonempty.any():
-            ne = counts[nonempty]
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(ne[:-1], out=starts[1:])
-            simhash[nonempty] = simhash_from_token_hashes(th, starts, ne).astype(np.int64)
+            per_doc, _ = _per_doc_shingles(th, counts, k, stop)
+            sig[nonempty] = minhash_from_shingles(per_doc, num_perm, seed)
+            if simhash_features == "shingle":
+                simhash[nonempty] = simhash_from_feature_arrays(
+                    [mix64(h) for h in per_doc]
+                ).astype(np.int64)
+            else:
+                ne = counts[nonempty]
+                starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(ne[:-1], out=starts[1:])
+                simhash[nonempty] = simhash_from_token_hashes(th, starts, ne).astype(
+                    np.int64
+                )
         return pd.DataFrame({"sig": list(sig), "simhash": simhash})
 
     return _both

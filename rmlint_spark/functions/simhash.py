@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 _SHIFTS = np.arange(64, dtype=np.uint64)
 
 
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: spread 32-bit shingle hashes over all 64
+    bit positions so shingle-feature simhash votes are unbiased (the
+    raw shingle hashes only occupy the low 32 bits)."""
+    x = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def simhash_from_token_hashes(h: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Packed uint64 simhash per doc from flat token hashes.
 
@@ -48,8 +58,29 @@ def simhash_from_token_hashes(h: np.ndarray, starts: np.ndarray, counts: np.ndar
     return out
 
 
-def simhash_batch(texts: list[str]) -> np.ndarray:
-    """int64 simhash per text (bit pattern reinterpreted as signed)."""
+def simhash_from_feature_arrays(per_doc: list[np.ndarray]) -> np.ndarray:
+    """Packed uint64 simhash per doc from per-doc uint64 feature-hash
+    arrays (the shingle-feature path); empty docs get the 0 sentinel."""
+    counts = np.array([len(a) for a in per_doc], dtype=np.int64)
+    out = np.zeros(len(per_doc), dtype=np.uint64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    flat = np.concatenate([a for a in per_doc if len(a)])
+    ne_counts = counts[nonempty]
+    starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(ne_counts[:-1], out=starts[1:])
+    out[nonempty] = simhash_from_token_hashes(flat, starts, ne_counts)
+    return out
+
+
+def simhash_batch(texts: list[str], features: str = "token", k: int = 5) -> np.ndarray:
+    """int64 simhash per text (bit pattern reinterpreted as signed).
+
+    ``features``: "token" votes with single-token hashes; "shingle"
+    votes with splitmix-spread k-token shingle hashes (the web-dedup
+    variant — see config.SignatureConfig.simhash_features for the
+    measured trade-off)."""
     toks_per_doc = [(t or "").split() for t in texts]
     counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.int64)
@@ -61,14 +92,23 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     ne_counts = counts[nonempty]
     starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(ne_counts[:-1], out=starts[1:])
-    out[nonempty] = simhash_from_token_hashes(h, starts, ne_counts).astype(np.int64)
+    if features == "shingle":
+        from rmlint_spark.functions.minhash import shingle_hashes_from_tokens
+
+        per_doc = [
+            mix64(shingle_hashes_from_tokens(h[s : s + c], k))
+            for s, c in zip(starts, ne_counts)
+        ]
+        out[nonempty] = simhash_from_feature_arrays(per_doc).astype(np.int64)
+    else:
+        out[nonempty] = simhash_from_token_hashes(h, starts, ne_counts).astype(np.int64)
     return out
 
 
-def simhash_udf():
+def simhash_udf(features: str = "token", k: int = 5):
     @F.pandas_udf("long")
     def _simhash(content: pd.Series) -> pd.Series:
-        return pd.Series(simhash_batch(content.tolist()))
+        return pd.Series(simhash_batch(content.tolist(), features, k))
 
     return _simhash
 

@@ -28,6 +28,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,33 +95,110 @@ def representative_rows(files: DataFrame) -> DataFrame:
     return joined.repartition(n_part, "fid").dropDuplicates(["fid"])
 
 
-def with_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def stop_shingle_hashes(contents: DataFrame, cfg: EngineConfig = DEFAULT):
+    """Document-frequency stop-shingle set: the 32-bit shingle hashes
+    present in more than ``cfg.sig.stop_shingle_df`` of (sampled)
+    distinct contents, as a numpy array for the signature UDFs.
+
+    Boilerplate (license headers, shared templates, generated
+    preambles) floods LSH bands with candidates whose pairs all die at
+    the Jaccard gate; removing high-df shingles BEFORE the minima
+    kills that pileup at the source (VERDICT r3 #3). The set is
+    computed ONCE per run from a deterministic hash-slice sample of
+    ``contents`` (any relation with a ``content`` column — typically
+    the pinned representative rows) and shipped to executors inside
+    the UDF closure (broadcast-sized by construction: df > p% shingles
+    are few, or the corpus is degenerate and the cap below applies).
+
+    Returns None when the filter is disabled (stop_shingle_df == 0)."""
+    frac, sample_n = cfg.sig.stop_shingle_df, cfg.sig.stop_shingle_sample
+    if frac <= 0:
+        return None
+    n = contents.count()
+    if n == 0:
+        return None
+    stride = max(1, -(-n // sample_n))  # ceil: keep ~sample_n docs
+    sample = contents.select("content").filter(
+        F.pmod(F.xxhash64("content"), F.lit(stride)) == 0
+    )
+    n_sampled = max(1, n // stride)
+    k = cfg.sig.shingle_k
+
+    @F.pandas_udf("array<long>")
+    def _distinct_shingles(content: pd.Series) -> pd.Series:
+        from rmlint_spark.functions.minhash import _token_hashes_flat, _per_doc_shingles
+
+        texts = content.tolist()
+        th, counts = _token_hashes_flat(texts)
+        out = [[] for _ in texts]
+        if (counts > 0).any():
+            per_doc, nonempty = _per_doc_shingles(th, counts, k)
+            for idx, h in zip(np.flatnonzero(nonempty), per_doc):
+                out[idx] = np.unique(h).astype(np.int64).tolist()
+        return pd.Series(out)
+
+    df_counts = (
+        sample.select(F.explode(_distinct_shingles("content")).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(max(2.0, frac * n_sampled)))
+    )
+    rows = df_counts.select("sh").limit(200_000).collect()
+    return np.array([r["sh"] for r in rows], dtype=np.int64).astype(np.uint64)
+
+
+def with_signatures(
+    files: DataFrame, cfg: EngineConfig = DEFAULT, stop=None
+) -> DataFrame:
     """(fid, repo, path, commit, sha, n_rows, sig) — one row per
     distinct content; signature in one vectorized Arrow pass."""
-    sig = minhash_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed)
-    return representative_rows(files).select(
+    from rmlint_spark.operators.exact import _pin
+
+    reps = representative_rows(files)
+    if stop is None and cfg.sig.stop_shingle_df > 0:
+        reps = _pin(reps)
+        stop = stop_shingle_hashes(reps, cfg)
+    sig = minhash_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed, stop)
+    return reps.select(
         "fid", *KEY, "sha", "n_rows", sig(F.col("content")).alias("sig")
     )
 
 
-def with_combined_signatures(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def with_combined_signatures(
+    files: DataFrame, cfg: EngineConfig = DEFAULT, stop=None
+) -> DataFrame:
     """(fid, repo, path, commit, sha, n_rows, sig, simhash) — both
     near-dup signatures from ONE content scan and ONE tokenize/SipHash
     pass per Arrow batch (the pipeline hot path)."""
-    both = combined_udf(cfg.sig.shingle_k, cfg.sig.num_perm, cfg.sig.minhash_seed)
-    reps = representative_rows(files).withColumn("b", both(F.col("content")))
+    from rmlint_spark.operators.exact import _pin
+
+    reps = representative_rows(files)
+    if stop is None and cfg.sig.stop_shingle_df > 0:
+        reps = _pin(reps)
+        stop = stop_shingle_hashes(reps, cfg)
+    both = combined_udf(
+        cfg.sig.shingle_k,
+        cfg.sig.num_perm,
+        cfg.sig.minhash_seed,
+        cfg.sig.simhash_features,
+        stop,
+    )
+    reps = reps.withColumn("b", both(F.col("content")))
     return reps.select("fid", *KEY, "sha", "n_rows", "b.sig", "b.simhash")
 
 
 def band_buckets(signatures: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """(fid, band_id, band_hash): xxhash64 over each signature slice.
-    JVM-side (no Python): transform+slice+xxhash64 inside codegen."""
+    JVM-side (no Python): transform+slice+xxhash64 inside codegen.
+    Sentinel signatures (all -1: empty doc, or every shingle stopped)
+    are excluded — banding them would collide all sentinel docs into
+    one giant spurious bucket per band."""
     bands, r = cfg.sig.bands, cfg.sig.rows_per_band
     expr = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> xxhash64(slice(sig, b * {r} + 1, {r})))"
     )
-    return signatures.select(
+    return signatures.filter(F.element_at("sig", 1) != -1).select(
         "fid", F.posexplode(F.expr(expr)).alias("band_id", "band_hash")
     )
 

@@ -28,8 +28,9 @@ from rmlint_spark.operators.lsh import representative_rows
 def with_simhash(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """(fid, repo, path, commit, sha, simhash) — one row per distinct
     content (representative bundling, see operators/lsh.py), one
-    vectorized pass."""
-    udf = simhash_udf()
+    vectorized pass. Feature granularity follows
+    cfg.sig.simhash_features (shingle default — see config.py)."""
+    udf = simhash_udf(cfg.sig.simhash_features, cfg.sig.shingle_k)
     return representative_rows(files).select(
         "fid", *KEY, "sha", udf(F.col("content")).alias("simhash")
     )
