@@ -58,18 +58,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    from rmlint_spark.operators.exact import exact_clusters
+    from rmlint_spark.operators.exact import exact_clusters, pin_scope
 
-    n_clustered = timed("exact_funnel", lambda: exact_clusters(corpus, cfg).count())
+    def scoped(name, fn):
+        # each stage releases everything it pinned once its result
+        # count is materialized (pin_scope discipline, VERDICT r3 #6);
+        # cross-stage relations (corpus, sigs) are cached OUTSIDE the
+        # scopes so the snapshot diff never touches them
+        with pin_scope(spark):
+            return timed(name, fn)
+
+    n_clustered = scoped("exact_funnel", lambda: exact_clusters(corpus, cfg).count())
 
     sigs = timed("minhash_signatures", lambda: with_signatures(corpus, cfg).cache())
     n_sigs = timed("minhash_signatures_materialize", lambda: sigs.count())
-    n_pairs = timed("lsh_candidate_pairs", lambda: verified_pairs(sigs, cfg)[0].count())
+    n_pairs = scoped("lsh_candidate_pairs", lambda: verified_pairs(sigs, cfg)[0].count())
     sims = with_simhash(corpus, cfg)
-    n_sh = timed("simhash_candidates", lambda: simhash_candidates(sims, cfg)[0].count())
-    pipeline = timed("full_near_dup_pipeline", lambda: run_pipeline(corpus, cfg).near_clusters.count())
-    n_sub = timed("substring_clones", lambda: substring_clones(corpus, cfg, min_shared=2)[0].count())
-    n_ann = timed("ann_bruteforce_topk", lambda: brute_force_topk_blas(emb, k=5).count())
+    n_sh = scoped("simhash_candidates", lambda: simhash_candidates(sims, cfg)[0].count())
+    pipeline = scoped("full_near_dup_pipeline", lambda: run_pipeline(corpus, cfg).near_clusters.count())
+    n_sub = scoped("substring_clones", lambda: substring_clones(corpus, cfg, min_shared=2)[0].count())
+    n_ann = scoped("ann_bruteforce_topk", lambda: brute_force_topk_blas(emb, k=5).count())
     qs = E.queries()
     for name in ["gap_sessions", "events_hourly", "text_stats", "dir_rollup"]:
         timed(f"q_{name}", lambda n=name: qs[n](spark, sf_dir).count())

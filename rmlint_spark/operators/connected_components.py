@@ -75,12 +75,16 @@ def connected_components(
     replay cache, lib/replay.c:777-860). ``_kill_after`` (tests only)
     dies after N completed iterations to exercise the resume path;
     ``stats`` (optional dict) reports start_iter/iters_run."""
+    from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+
     spark = edges.sparkSession
+    _ids0 = persistent_rdd_ids(spark)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint(eager=True)
     )
+    sym_ids = persistent_rdd_ids(spark) - _ids0
 
     labels, start_iter = None, 0
     if checkpoint_dir:
@@ -121,6 +125,7 @@ def connected_components(
                     if stats is not None:
                         stats["start_iter"] = done_iter + 1
                         stats["iters_run"] = 0
+                    unpersist_rdd_ids(spark, sym_ids)
                     return labels
                 start_iter = done_iter + 1
         else:
@@ -128,6 +133,7 @@ def connected_components(
             with open(tmp, "w") as f:
                 f.write(edges_fp)
             os.replace(tmp, fp_file)
+    _pre = persistent_rdd_ids(spark)
     if labels is None:
         labels = (
             sym.select(F.col("u").alias("fid"))
@@ -135,6 +141,12 @@ def connected_components(
             .withColumn("component", F.col("fid"))
             .localCheckpoint(eager=True)
         )
+    # storage discipline: each iteration's checkpoint supersedes the
+    # previous one; freeing superseded ids keeps a long CC run at one
+    # generation of executor storage instead of O(iterations) (id-diff
+    # based — safe while no concurrent pinning happens in the session,
+    # which holds for the driver-loop callers here)
+    prev_label_ids = persistent_rdd_ids(spark) - _pre
     if stats is not None:
         stats["start_iter"] = start_iter
         stats["iters_run"] = 0
@@ -170,8 +182,11 @@ def connected_components(
             new_labels = new_labels.join(parents, "component", "left").select(
                 "fid", F.coalesce("_parent", "component").alias("component")
             )
+        _pre_iter = persistent_rdd_ids(spark)
         new_labels = new_labels.localCheckpoint(eager=False)
-        new_fp = fingerprint(new_labels)
+        new_fp = fingerprint(new_labels)  # materializes the checkpoint
+        unpersist_rdd_ids(spark, prev_label_ids)
+        prev_label_ids = persistent_rdd_ids(spark) - _pre_iter
         labels = new_labels
         if new_fp == fp:
             converged = True
@@ -200,6 +215,7 @@ def connected_components(
             raise RuntimeError(f"simulated kill after {_kill_after} CC iterations")
         if converged:
             break
+    unpersist_rdd_ids(spark, sym_ids)  # final labels are materialized; sym is done
     if not converged:
         msg = (
             f"connected_components did not converge within max_iter={max_iter} "

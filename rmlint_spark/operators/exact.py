@@ -41,6 +41,8 @@ Scale notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -142,10 +144,43 @@ def _pin(df: DataFrame) -> DataFrame:
     the corpus scans ~6x per generation. All pinned relations are
     (key, size, sig) projections — tens of bytes per row; at
     deployment scale the same role is played by the durable stage
-    checkpoints (sources/checkpoint.py)."""
+    checkpoints (sources/checkpoint.py). Pair with ``pin_scope`` to
+    release everything a pipeline pinned once its results are
+    materialized."""
     from pyspark.storagelevel import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently held in executor storage (persist()
+    AND localCheckpoint() both land here — DataFrame.unpersist only
+    releases the former, so scope cleanup works at this level)."""
+    return {int(x) for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def unpersist_rdd_ids(spark, ids) -> None:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if m.containsKey(rid):
+            m.get(rid).unpersist(False)
+
+
+@contextmanager
+def pin_scope(spark):
+    """Release every relation pinned inside the scope (persist or
+    localCheckpoint) on exit — the unpersist discipline for pipeline
+    runs, snapshot-diff based so concurrently-held caches are never
+    touched.
+
+    Contract: MATERIALIZE (collect/write/count) anything you need
+    before leaving the scope; results still lazily derived from pinned
+    intermediates would recompute from scratch afterwards."""
+    before = persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
 
 
 def _qualify(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -37,6 +37,10 @@ from rmlint_spark.config import DEFAULT, EngineConfig
 from rmlint_spark.functions.minhash import combined_udf, estimated_jaccard, minhash_udf
 from rmlint_spark.operators.lint import KEY
 
+# max over-cap bucket keys pulled to the driver by the per-level
+# escalation probe before falling back to distributed joins
+_PROBE_CAP = 10_000
+
 
 def file_id(prefix: str = "") -> F.Column:
     """128-bit hex row key (collision-safe at 10^12 rows, unlike a
@@ -226,34 +230,53 @@ def candidate_pairs(
     Every per-level relation is a narrow (fid, band_id, band_hash)
     projection of the oversized members only — the escalation path
     never touches content and shrinks geometrically.
+
+    Driver-action economy: ONE limit+collect per level on the width
+    agg's over-cap slice replaces the former isEmpty probe AND the
+    later over-key join scans — the common no-escalation case costs a
+    single small aggregate, and when buckets ARE over cap the
+    collected keys drive the anti/semi joins as a broadcast local
+    relation instead of recomputing the width agg. Over sets wider
+    than ``_PROBE_CAP`` (pathological) fall back to the join path.
     """
     from rmlint_spark.operators.exact import _pin
 
+    spark = signatures.sparkSession
     r, num_perm = cfg.sig.rows_per_band, cfg.sig.num_perm
     cur = band_buckets(signatures, cfg)
     ok_levels: list[DataFrame] = []
     level, slice_len = 0, r
     esc_cap = min(cfg.lsh_escalate_cap, cfg.max_bucket_width)
+    dropped_schema = "band_id int, band_hash bigint, width bigint, level int"
     while True:
         cur = _pin(cur)
         cap = cfg.max_bucket_width if level == 0 else esc_cap
         widths = cur.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
         over = widths.filter(F.col("width") > cap)
-        # cheap driver probe on the (small, pinned-input) width agg:
-        # the COMMON case has no oversized buckets, and short-circuiting
-        # here keeps the plan identical to the unescalated one instead
-        # of stacking log2(num_perm/r) empty-level join stages on every
-        # run (measured ~5x overhead on the candidate stage otherwise)
-        if over.isEmpty():
+        over_rows = over.limit(_PROBE_CAP + 1).collect()
+        if not over_rows:
             ok_levels.append(cur)
-            dropped = over.withColumn("level", F.lit(level))
+            dropped = spark.createDataFrame([], dropped_schema)
             break
-        over_keys = over.select("band_id", "band_hash")
+        if len(over_rows) <= _PROBE_CAP:
+            over_keys = F.broadcast(
+                spark.createDataFrame(
+                    [(x["band_id"], x["band_hash"]) for x in over_rows],
+                    "band_id int, band_hash bigint",
+                )
+            )
+            dropped_now = spark.createDataFrame(
+                [(x["band_id"], x["band_hash"], x["width"], level) for x in over_rows],
+                dropped_schema,
+            )
+        else:  # over set itself huge: keep it distributed
+            over_keys = over.select("band_id", "band_hash")
+            dropped_now = over.withColumn("level", F.lit(level))
         ok_levels.append(
             cur.join(over_keys, ["band_id", "band_hash"], "left_anti")
         )
         if slice_len >= num_perm or level >= cfg.lsh_escalate_levels:
-            dropped = over.withColumn("level", F.lit(level))
+            dropped = dropped_now
             break
         over_fids = (
             cur.join(over_keys, ["band_id", "band_hash"], "left_semi")

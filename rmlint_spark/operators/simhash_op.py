@@ -69,15 +69,27 @@ def simhash_candidates(
     oversized members only.
     """
     from rmlint_spark.operators.exact import _pin
+    from rmlint_spark.operators.lsh import _PROBE_CAP
 
+    spark = sims.sparkSession
     blocks = _pin(simhash_blocks(sims, cfg))
     widths = blocks.groupBy("block_id", "block_value").agg(F.count("*").alias("width"))
     oversized = widths.filter(F.col("width") > cfg.simhash_max_bucket_width)
-    # cheap driver probe (same short-circuit as lsh.candidate_pairs):
-    # with no oversized buckets, skip the anti-join AND the whole
-    # escalation branch — the common-case plan stays minimal
-    none_over = oversized.isEmpty()
-    over_keys = oversized.select("block_id", "block_value")
+    # ONE limit+collect probe (same action economy as
+    # lsh.candidate_pairs): the common no-oversized case costs a single
+    # small aggregate; otherwise the collected keys drive the anti/semi
+    # joins as a broadcast local relation instead of a width-agg rescan
+    over_rows = oversized.limit(_PROBE_CAP + 1).collect()
+    none_over = not over_rows
+    if none_over or len(over_rows) > _PROBE_CAP:
+        over_keys = oversized.select("block_id", "block_value")
+    else:
+        over_keys = F.broadcast(
+            spark.createDataFrame(
+                [(x["block_id"], x["block_value"]) for x in over_rows],
+                "block_id int, block_value bigint",
+            )
+        )
     ok = blocks if none_over else blocks.join(
         over_keys, ["block_id", "block_value"], "left_anti"
     )
@@ -88,8 +100,9 @@ def simhash_candidates(
         .filter(F.col("fid_a") < F.col("fid_b"))
         .select("fid_a", "fid_b")
     )
+    dropped_schema = "block_id int, block_value bigint, width bigint, level int"
     if none_over:
-        dropped = oversized.withColumn("level", F.lit(0))
+        dropped = spark.createDataFrame([], dropped_schema)
     elif cfg.simhash_escalate:
         esc_members = blocks.join(over_keys, ["block_id", "block_value"], "left_semi")
         partners = blocks.select(
@@ -117,7 +130,14 @@ def simhash_candidates(
             "block_id", "block_value", "width", F.lit(1).alias("level")
         )
     else:
-        dropped = oversized.withColumn("level", F.lit(0))
+        dropped = (
+            spark.createDataFrame(
+                [(x["block_id"], x["block_value"], x["width"], 0) for x in over_rows],
+                dropped_schema,
+            )
+            if len(over_rows) <= _PROBE_CAP
+            else oversized.withColumn("level", F.lit(0))
+        )
     cand = cand.dropDuplicates(["fid_a", "fid_b"])
     s = sims.select("fid", "simhash")
     joined = (

@@ -154,6 +154,7 @@ class IncrementalNearDup:
         self.isin_limit = isin_limit
         self.collect_stats = collect_stats
         self.last_stats: dict = {}
+        self._snapshot_ids: set[int] = set()  # previous current_clusters generation
         self.index_path = os.path.join(store_dir, "index")      # (sha, repo, path, commit, pt)
         self.sig_path = os.path.join(store_dir, "neardup_sigs")  # (sha, sig, pt)
         self.band_path = os.path.join(store_dir, "bands")        # (sha, band_id, band_hash, pt)
@@ -191,6 +192,17 @@ class IncrementalNearDup:
         return hex_pt_py(sha, self.n_partitions)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from rmlint_spark.operators.exact import pin_scope
+
+        self._recover()
+        spark = batch.sparkSession
+        # every relation pinned during the fold (the four
+        # localCheckpoints) is batch-local: release on exit so a
+        # long-running stream's executor storage stays flat
+        with pin_scope(spark):
+            self._process_batch_inner(batch, epoch_id)
+
+    def _process_batch_inner(self, batch: DataFrame, epoch_id: int) -> None:
         from rmlint_spark.functions.minhash import estimated_jaccard, minhash_udf
         from rmlint_spark.operators.lsh import band_buckets
         from rmlint_spark.sources.bucketed import (
@@ -200,7 +212,6 @@ class IncrementalNearDup:
             pruned_read,
         )
 
-        self._recover()
         spark = batch.sparkSession
         P = self.n_partitions
         stats: dict = {"epoch": int(epoch_id)}
@@ -435,11 +446,21 @@ class IncrementalNearDup:
     def current_clusters(self, spark: SparkSession) -> DataFrame:
         """(repo, path, commit, cluster_id, cluster_size, rank,
         is_original) — near-dup clusters over everything seen so far
-        (exact twins share a sha node, so they always co-cluster)."""
+        (exact twins share a sha node, so they always co-cluster).
+
+        Returns a MATERIALIZED snapshot (eager localCheckpoint): the
+        iterative CC and its intermediates are released immediately,
+        and each call releases the previous call's snapshot — repeated
+        calls hold exactly one generation of executor storage (the
+        round-3 leak: every call's pins accumulated until GC). The
+        previous call's returned DataFrame is invalidated by the next
+        call."""
         from rmlint_spark.operators.connected_components import connected_components
+        from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
         from rmlint_spark.operators.rank import tag_originals
 
         self._recover()
+        before = persistent_rdd_ids(spark)
         index = self._read(spark, self.index_path)
         assert index is not None, "no batches processed yet"
         index = index.select("sha", "repo", "path", "commit")
@@ -462,9 +483,17 @@ class IncrementalNearDup:
         members = index.join(labeled, "sha").withColumn(
             "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
         )
-        return tag_originals(members, cluster_col="cluster_id").select(
+        out = tag_originals(members, cluster_col="cluster_id").select(
             "repo", "path", "commit", "cluster_id", "cluster_size", "rank", "is_original"
         )
+        mid = persistent_rdd_ids(spark)
+        out = out.localCheckpoint(eager=True)  # the snapshot
+        snapshot_ids = persistent_rdd_ids(spark) - mid
+        # CC iterations + intermediates of THIS call, then the whole
+        # previous generation (snapshot included)
+        unpersist_rdd_ids(spark, (mid - before) | self._snapshot_ids)
+        self._snapshot_ids = snapshot_ids
+        return out
 
     def _recover(self) -> None:
         """Adopt or discard the leftovers of a compaction that crashed

@@ -221,6 +221,37 @@ def test_incremental_near_dup_replay_after_partial_crash(spark, tmp_path, monkey
     assert got == {("r1", "a.py"), ("r1", "b.py")}
 
 
+def test_current_clusters_storage_does_not_grow(spark, tmp_path):
+    """VERDICT r3 #6 (unpersist discipline): repeated current_clusters
+    calls must hold exactly ONE generation of executor storage — the
+    CC iterations, pipeline pins, and the previous snapshot are all
+    released; only the latest materialized snapshot stays."""
+    from rmlint_spark.operators.exact import persistent_rdd_ids
+    from rmlint_spark.streaming.incremental import IncrementalNearDup
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    toks = [f"tok{i}" for i in range(150)]
+    edited = list(toks)
+    edited[10] = "CHANGED"
+    rows = [
+        ("r1", "a.py", "c1", "py", " ".join(toks)),
+        ("r1", "b.py", "c1", "py", " ".join(edited)),
+    ]
+    nd = IncrementalNearDup(str(tmp_path / "nogrow_store"), n_partitions=8)
+    nd.process_batch(spark.createDataFrame(rows, cols), epoch_id=0)
+    # batch-scope cleanup: the fold's four localCheckpoints are gone
+    baseline = len(persistent_rdd_ids(spark))
+
+    counts = []
+    for _ in range(3):
+        got = nd.current_clusters(spark).collect()
+        assert len(got) == 2
+        counts.append(len(persistent_rdd_ids(spark)))
+    # one snapshot generation live, no growth across calls
+    assert counts[1] == counts[0] and counts[2] == counts[0], counts
+    assert counts[0] <= baseline + 2, (baseline, counts)
+
+
 def test_incremental_near_dup_compact_crash_recovery(spark, tmp_path):
     """A compaction that dies between the two directory renames must
     not lose the store: _recover() (run on every open) adopts the
