@@ -1,14 +1,17 @@
 """Multimodal (binary) column operators.
 
 Training-data pipelines carry image/audio/video as opaque ``binary``
-columns with typed metadata. Two header-simple formats are decoded for
-real in pure numpy (no codec libraries exist in this container):
+columns with typed metadata. The header-simple format families decode
+for real in pure numpy (no codec libraries exist in this container):
 
-- **PPM (P6)** binary images -> (h, w, 3) uint8 arrays; real feature
+- **netpbm binary images** — PPM (P6) RGB, PGM (P5) grayscale, PBM
+  (P4) packed bitmaps -> (h, w, 3) uint8 arrays; real feature
   extraction (channel stats, luminance grid, gradients) and real
   nearest-neighbor resize run on the decoded pixels.
-- **WAV (RIFF/PCM16)** audio -> int16 sample arrays; real features
-  (RMS, zero-crossings, FFT band energies, spectral centroid).
+- **WAV (RIFF/PCM16)** and **AIFF (FORM/AIFF PCM16)** audio -> int16
+  sample arrays (AIFF's 80-bit extended-float sample rate decoded
+  exactly); real features (RMS, zero-crossings, FFT band energies,
+  spectral centroid).
 
 Compressed codec formats (PNG/JPEG/MP3/MP4) still fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
@@ -59,14 +62,14 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) -> (h, w, 3) uint8. Header grammar: 'P6',
-    whitespace/comment-separated width, height, maxval, ONE whitespace
-    byte, then raw interleaved RGB."""
-    if not payload or not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    pos, fields = 2, []
-    while len(fields) < 3:
+def _parse_pnm_header(payload: bytes, magic: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Shared netpbm binary header grammar: magic, then ``n_fields``
+    whitespace/comment-separated decimal fields, then ONE whitespace
+    byte before the raster. Returns (fields, raster_offset)."""
+    if not payload or not payload.startswith(magic):
+        raise ValueError(f"not a binary {magic.decode()} payload")
+    pos, fields = len(magic), []
+    while len(fields) < n_fields:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":  # comment to end-of-line
@@ -77,8 +80,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = fields
+    return fields, pos + 1  # single whitespace after the last field
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8."""
+    (w, h, maxval), pos = _parse_pnm_header(payload, b"P6", 3)
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
@@ -88,6 +95,56 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if len(raster) != need:
         raise ValueError("truncated PPM raster")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> binary PGM (P5, maxval 255)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) -> (h, w, 3) uint8 (grayscale replicated to RGB
+    so every netpbm decode feeds the same image-feature kernel)."""
+    (w, h, maxval), pos = _parse_pnm_header(payload, b"P5", 3)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PGM dimensions {w}x{h}")
+    if maxval != 255:
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    need = w * h
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PGM raster")
+    gray = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def encode_pbm(arr: np.ndarray) -> bytes:
+    """(h, w) 0/1 bitmap -> binary PBM (P4; rows packed MSB-first,
+    padded to byte boundaries; 1 = black)."""
+    arr = (np.asarray(arr) != 0).astype(np.uint8)
+    h, w = arr.shape[:2]
+    packed = np.packbits(arr, axis=1)  # per-row byte padding, MSB first
+    return b"P4\n%d %d\n" % (w, h) + packed.tobytes()
+
+
+def decode_pbm(payload: bytes) -> np.ndarray:
+    """Binary PBM (P4) -> (h, w, 3) uint8 (1=black -> 0, 0=white ->
+    255, replicated to RGB)."""
+    (w, h), pos = _parse_pnm_header(payload, b"P4", 2)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PBM dimensions {w}x{h}")
+    row_bytes = -(-w // 8)
+    need = row_bytes * h
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PBM raster")
+    bits = np.unpackbits(
+        np.frombuffer(raster, dtype=np.uint8).reshape(h, row_bytes), axis=1
+    )[:, :w]
+    gray = ((1 - bits) * 255).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -130,19 +187,97 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
 
 
+def _f80_to_int(b: bytes) -> int:
+    """Decode an IEEE 754 80-bit extended float (the AIFF sample-rate
+    encoding) to the nearest int — sample rates are exact integers."""
+    if len(b) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    exp = int.from_bytes(b[:2], "big") & 0x7FFF
+    mant = int.from_bytes(b[2:], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    return int(round(mant * 2.0 ** (exp - 16383 - 63)))
+
+
+def _int_to_f80(v: int) -> bytes:
+    if v == 0:
+        return b"\x00" * 10
+    exp = v.bit_length() - 1
+    mant = v << (63 - exp)
+    return (exp + 16383).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> AIFF (FORM/AIFF, big-endian PCM16)."""
+    import struct
+
+    data = np.asarray(samples, dtype=">i2").tobytes()
+    comm = struct.pack(">hLh", 1, len(samples), 16) + _int_to_f80(rate)
+    ssnd = struct.pack(">LL", 0, 0) + data
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">L", len(comm)) + comm
+    body += b"SSND" + struct.pack(">L", len(ssnd)) + ssnd + (b"\x00" * (len(ssnd) & 1))
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
+    """AIFF (FORM/AIFF PCM16) -> (sample_rate, int16 samples). Walks
+    the big-endian IFF chunk list; the sample rate is an 80-bit
+    extended float in COMM; multi-channel is flattened interleaved."""
+    import struct
+
+    if not payload or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    pos, rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack(">L", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("truncated AIFF COMM chunk")
+            _ch, _frames, bits = struct.unpack(">hLh", body[:8])
+            rate = _f80_to_int(body[8:18])
+            if bits != 16:
+                raise ValueError(f"unsupported AIFF sample size {bits}")
+            if rate <= 0:
+                raise ValueError(f"invalid AIFF sample rate {rate}")
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("truncated AIFF SSND chunk")
+            (off,) = struct.unpack(">L", body[:4])
+            data = body[8 + off :]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    return rate, np.frombuffer(data[: len(data) & ~1], dtype=">i2").astype(np.int16)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. PPM (P6) decodes in pure numpy; codec
-    formats (PNG/JPEG/...) need an image library not in this container."""
+    """Decode an image payload: the netpbm binary family (PPM P6,
+    PGM P5, PBM P4) decodes in pure numpy; codec formats (PNG/JPEG/
+    ...) need an image library not in this container."""
     if payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
-    raise NotImplementedError("no codec for this image format; only PPM (P6) decodes here")
+    if payload and payload.startswith(b"P5"):
+        return decode_pgm(payload)
+    if payload and payload.startswith(b"P4"):
+        return decode_pbm(payload)
+    raise NotImplementedError(
+        "no codec for this image format; only netpbm P4/P5/P6 decode here"
+    )
 
 
 def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode an audio payload. WAV (RIFF/PCM16) decodes in pure numpy."""
+    """Decode an audio payload. WAV (RIFF/PCM16) and AIFF (FORM/AIFF
+    PCM16) decode in pure numpy."""
     if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
-    raise NotImplementedError("no codec for this audio format; only WAV/PCM16 decodes here")
+    if payload and payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return decode_aiff(payload)
+    raise NotImplementedError(
+        "no codec for this audio format; only WAV/AIFF PCM16 decode here"
+    )
 
 
 # ---------------------------------------------------- feature kernels
@@ -207,13 +342,16 @@ _DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError)
 
 
 def _features_for(payload: bytes) -> np.ndarray:
-    """Dispatch on payload magic: PPM and WAV decode for real; codec
-    formats fall back to the deterministic hash-seeded stand-in."""
+    """Dispatch on payload magic: netpbm (P4/P5/P6) and WAV/AIFF
+    decode for real; codec formats fall back to the deterministic
+    hash-seeded stand-in."""
     try:
-        if payload and payload.startswith(b"P6"):
-            return _image_features(decode_ppm(payload))
+        if payload and payload[:2] in (b"P4", b"P5", b"P6"):
+            return _image_features(decode_image(payload))
         if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*decode_wav(payload))
+        if payload and payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            return _audio_features(*decode_aiff(payload))
     except _DECODE_ERRORS:
         pass  # malformed payload: treat as opaque bytes
     return _fake_features(payload)
@@ -274,24 +412,24 @@ def _resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """mapInPandas over image rows, one resized thumbnail per asset
-    (``thumb`` = raw interleaved RGB, width*height*3 bytes). PPM
-    payloads decode and resample for REAL (nearest-neighbor); opaque
-    codec payloads keep the deterministic payload-derived stub block
-    so the plumbing stays total."""
+    (``thumb`` = raw interleaved RGB, width*height*3 bytes). netpbm
+    payloads (P4/P5/P6) decode and resample for REAL (nearest-
+    neighbor); opaque codec payloads keep the deterministic
+    payload-derived stub block so the plumbing stays total."""
     n_bytes = width * height * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             thumbs = []
             for p in pdf["payload"].tolist():
-                if p is not None and bytes(p).startswith(b"P6"):
+                if p is not None and bytes(p)[:2] in (b"P4", b"P5", b"P6"):
                     try:
                         thumbs.append(
-                            _resize_nn(decode_ppm(bytes(p)), width, height).tobytes()
+                            _resize_nn(decode_image(bytes(p)), width, height).tobytes()
                         )
                         continue
                     except _DECODE_ERRORS:
-                        pass  # malformed P6: fall through to the stub block
+                        pass  # malformed netpbm: fall through to the stub block
                 digest = hashlib.sha256(p or b"").digest()
                 reps = -(-n_bytes // len(digest))  # ceil
                 thumbs.append((digest * reps)[:n_bytes])

@@ -261,3 +261,96 @@ def test_resize_malformed_p6_falls_back_to_stub(spark):
         digest = hashlib.sha256(payload).digest()
         want = (digest * (-(-192 // len(digest))))[:192]
         assert out[aid] == want
+
+
+def test_pgm_pbm_roundtrip_and_features():
+    """netpbm grayscale/bitmap decode (VERDICT r3 #7): P5 and P4
+    round-trip through the pure-numpy codecs, feed the real image
+    feature kernel, and malformed variants degrade to the stand-in."""
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        decode_pbm,
+        decode_pgm,
+        encode_pbm,
+        encode_pgm,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, size=(6, 11), dtype=np.uint8)
+    rgb = decode_pgm(encode_pgm(gray))
+    assert rgb.shape == (6, 11, 3)
+    assert (rgb[:, :, 0] == gray).all() and (rgb[:, :, 2] == gray).all()
+    assert (decode_image(encode_pgm(gray)) == rgb).all()
+
+    bits = rng.randint(0, 2, size=(5, 13))  # width not a byte multiple
+    bm = decode_pbm(encode_pbm(bits))
+    assert bm.shape == (5, 13, 3)
+    assert ((bm[:, :, 0] == 0) == (bits == 1)).all()  # 1 = black
+
+    # real features differ from the opaque stand-in (the decode ran)
+    f = _features_for(encode_pgm(gray))
+    assert not np.allclose(f, _fake_features(encode_pgm(gray)))
+    # malformed: truncated raster and zero-dim headers degrade
+    for bad in (b"P5\n4 4\n255\n\x00", b"P4\n0 3\n", b"P5\n3 3\n128\n" + b"\x00" * 9):
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+
+
+def test_aiff_roundtrip_and_features():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _audio_features,
+        _fake_features,
+        _features_for,
+        decode_aiff,
+        decode_audio,
+        encode_aiff,
+        encode_wav,
+    )
+
+    t = np.arange(600)
+    samples = (np.sin(2 * np.pi * 330 * t / 22050) * 15000).astype(np.int16)
+    rate, got = decode_aiff(encode_aiff(samples, rate=22050))
+    assert rate == 22050 and (got == samples).all()
+    rate2, got2 = decode_audio(encode_aiff(samples, rate=22050))
+    assert rate2 == 22050 and (got2 == samples).all()
+
+    # the SAME audio content produces the SAME features from either
+    # container (the features are of the samples, not the bytes)
+    f_aiff = _features_for(encode_aiff(samples, rate=16000))
+    f_wav = _features_for(encode_wav(samples, rate=16000))
+    assert np.allclose(f_aiff, f_wav)
+    assert np.allclose(f_aiff, _audio_features(16000, samples))
+
+    # malformed AIFFs degrade to the stand-in
+    for bad in (
+        b"FORM\x00\x00\x00\x04AIFF",                       # no chunks
+        b"FORM\x00\x00\x00\x10AIFFCOMM\x00\x00\x00\x04abcd",  # truncated COMM
+    ):
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+
+
+def test_resize_handles_pgm_and_pbm(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _resize_nn,
+        decode_image,
+        encode_pgm,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(9)
+    gray = rng.randint(0, 256, size=(10, 7), dtype=np.uint8)
+    payload = encode_pgm(gray)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None, None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    (row,) = resize_images(assets, 4, 4).collect()
+    want = _resize_nn(decode_image(payload), 4, 4).tobytes()
+    assert bytes(row["thumb"]) == want
