@@ -43,8 +43,16 @@ def main() -> None:
     # RMLINT_SPARK_ESCALATE: 1 (both, default) / 0 (none) / lsh / simhash
     # (A/B knob for isolating escalation cost on pathological corpora)
     esc = os.environ.get("RMLINT_SPARK_ESCALATE", "1")
+    # RMLINT_SPARK_SIMHASH_FEATURES: shingle (default) / token
+    # RMLINT_SPARK_STOP_SHINGLES: df fraction for the stop-shingle
+    # filter (0 = off, default) — both are scale A/B knobs for the
+    # round-4 source-level pileup mitigations
     cfg = EngineConfig(
-        sig=SignatureConfig(prefix_len=4096),
+        sig=SignatureConfig(
+            prefix_len=4096,
+            simhash_features=os.environ.get("RMLINT_SPARK_SIMHASH_FEATURES", "shingle"),
+            stop_shingle_df=float(os.environ.get("RMLINT_SPARK_STOP_SHINGLES", "0")),
+        ),
         lsh_escalate_levels=8 if esc in ("1", "lsh") else 0,
         simhash_escalate=esc in ("1", "simhash"),
     )
