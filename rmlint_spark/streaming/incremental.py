@@ -37,36 +37,73 @@ FILES_SCHEMA = T.StructType(
 
 class IncrementalDedup:
     """foreachBatch sink: maintain a signature store and an exact-dup
-    cluster table incrementally."""
+    cluster table incrementally.
 
-    def __init__(self, store_dir: str):
+    Same O(new) store economics as ``IncrementalNearDup``: the
+    signature store is hash-partitioned by the content checksum's pt,
+    and the per-batch already-seen anti-join reads only the partitions
+    (plus exact checksum values, via a pushed In filter) the batch
+    touches — a replayed (repo, path, commit) row carries the same
+    content, hence lands in the same pruned slice. Single-store
+    appends are atomic-enough under at-least-once replay: the
+    anti-join is the idempotency guard and there is no cross-store
+    ordering to break."""
+
+    def __init__(self, store_dir: str, n_partitions: int = 16, isin_limit: int = 100_000):
         self.store_dir = store_dir
+        self.n_partitions = n_partitions
+        self.isin_limit = isin_limit
         self.sig_path = os.path.join(store_dir, "signatures")
 
     def signatures(self, spark: SparkSession) -> DataFrame | None:
         try:
-            return spark.read.parquet(self.sig_path)
+            return spark.read.parquet(self.sig_path).select(
+                *KEY, "size", "checksum"
+            )
         except Exception:
             return None
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        # narrow-dedup discipline (operators/exact.py): hash map-side,
-        # dedup the projection — content never crosses the shuffle
-        new_sigs = (
-            batch.filter(F.length("content") > 0)
-            .select(
-                *KEY,
-                F.length("content").alias("size"),
-                F.sha2("content", 256).alias("checksum"),
-            )
-            .dropDuplicates(KEY)
+        from rmlint_spark.operators.exact import pin_scope
+        from rmlint_spark.sources.bucketed import (
+            append_partitioned,
+            hex_pt,
+            hex_pt_py,
+            pruned_read,
         )
-        existing = self.signatures(spark)
-        if existing is not None:
-            # R4: only rows not already in the store are appended
-            new_sigs = new_sigs.join(existing.select(*KEY), KEY, "left_anti")
-        new_sigs.write.mode("append").parquet(self.sig_path)
+
+        spark = batch.sparkSession
+        with pin_scope(spark):
+            # narrow-dedup discipline (operators/exact.py): hash
+            # map-side, dedup the projection — content never crosses
+            # the shuffle
+            new_sigs = (
+                batch.filter(F.length("content") > 0)
+                .select(
+                    *KEY,
+                    F.length("content").alias("size"),
+                    F.sha2("content", 256).alias("checksum"),
+                )
+                .dropDuplicates(KEY)
+                .localCheckpoint(eager=True)
+            )
+            sums = [r["checksum"] for r in new_sigs.select("checksum").distinct().collect()]
+            if not sums:
+                return
+            existing = None
+            if os.path.isdir(self.sig_path):
+                try:
+                    existing = spark.read.parquet(self.sig_path)
+                except Exception:
+                    existing = None
+            if existing is not None:
+                pts = sorted({hex_pt_py(c, self.n_partitions) for c in sums})
+                pruned = pruned_read(existing, pts, "checksum", sums, self.isin_limit)
+                new_sigs = new_sigs.join(pruned.select(*KEY), KEY, "left_anti")
+            append_partitioned(
+                new_sigs.withColumn("pt", hex_pt(F.col("checksum"), self.n_partitions)),
+                self.sig_path,
+            )
 
     def current_clusters(self, spark: SparkSession) -> DataFrame:
         sigs = self.signatures(spark)
