@@ -493,6 +493,29 @@ def q_ann_hyperplane(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    # IVF coarse-quantizer ANN (the clustered-data scale path beside
+    # the hyperplane LSH): the cell assignment — centroids trained by
+    # seeded driver-side spherical k-means, the one numpy stage SQL
+    # can't reproduce — is materialized to the side-channel; DuckDB
+    # replays the probe-cell x home-cell candidate join and the exact
+    # cosine re-rank from the same bytes (ann_hyperplane pattern).
+    from rmlint_spark.operators.ann import (
+        ivf_assignments,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, n_centroids=32)
+    assigns = ivf_assignments(emb, cent, n_probe=8)
+    path = f"{ORACLE_SIDE}/ann_ivf"
+    assigns.write.mode("overwrite").parquet(path)
+    return ivf_topk(
+        emb, k=5, assignments=spark.read.parquet(path)
+    ).select("vec_id", "neighbor_id", "rk")
+
+
 def _mirrored_corpus(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     files = documents_as_files(docs)
@@ -591,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_clones": q_substring_clones,
         "multimodal_features": q_multimodal_features,
         "ann_hyperplane": q_ann_hyperplane,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1030,6 +1054,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT asset_id, kind, CAST(64 AS BIGINT) AS n_bytes,
                    sha256(sha256('payload-42-' || CAST(pseed AS VARCHAR))) AS payload_sha
             FROM a
+        """,
+        "ann_ivf": f"""
+            WITH a AS (
+              SELECT vec_id, centroid_id, is_home
+              FROM read_parquet('{ORACLE_SIDE}/ann_ivf/*.parquet')),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS vec_id, h.vec_id AS neighbor_id
+              FROM a q JOIN a h ON q.centroid_id = h.centroid_id
+              WHERE h.is_home AND NOT q.is_home AND q.vec_id <> h.vec_id),
+            scored AS (
+              SELECT c.vec_id, c.neighbor_id,
+                     list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                            CAST(ne.embedding AS DOUBLE[])) AS cs
+              FROM cand c
+              JOIN embeddings qe ON qe.vec_id = c.vec_id
+              JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+            r AS (
+              SELECT vec_id, neighbor_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, neighbor_id) AS rk
+              FROM scored)
+            SELECT vec_id, neighbor_id, rk FROM r WHERE rk <= 5
         """,
         "ann_hyperplane": f"""
             WITH buckets AS (

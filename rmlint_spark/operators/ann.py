@@ -406,6 +406,127 @@ def topk_from_buckets(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    seed: int = 42,
+    sample_cap: int = 20000,
+    n_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer for IVF.
+
+    A hash-sliced sample (bounded by ``sample_cap``, no global sort)
+    trains unit-norm centroids with seeded init + fixed Lloyd
+    iterations on the driver — the centroid matrix is tiny
+    (n_centroids x dim) and broadcasts to every assignment task. At
+    deployment scale this is the standard IVF recipe: train on a
+    sample, assign in one distributed pass."""
+    n = embeddings.count()
+    stride = max(1, -(-n // sample_cap))
+    sample = embeddings.select(id_col, vec_col).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+    rows = sample.collect()
+    m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, is_home): for every vector its HOME cell
+    (nearest centroid — the cell the vector is indexed under) plus its
+    ``n_probe`` nearest cells as probe rows (the cells its QUERY visits;
+    the home cell is always among them). One vectorized matmul per
+    Arrow batch; the centroid matrix rides the UDF closure."""
+    k = len(centroids)
+    n_probe = min(n_probe, k)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<home: int, probes: array<int>>")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.DataFrame(
+            {"home": order[:, 0].astype(np.int32), "probes": list(order.astype(np.int32))}
+        )
+
+    a = embeddings.select(id_col, _assign(F.col(vec_col).cast("array<double>")).alias("a"))
+    home = a.select(id_col, F.col("a.home").alias("centroid_id"), F.lit(True).alias("is_home"))
+    probes = a.select(
+        id_col, F.explode("a.probes").alias("centroid_id"), F.lit(False).alias("is_home")
+    )
+    return home.unionByName(probes)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k by cosine: candidates = pairs
+    where the query's probe cells contain the neighbor's HOME cell;
+    exact cosine re-scores candidates only (same verify-the-survivors
+    funnel as the LSH paths). ``assignments`` accepts a precomputed
+    (and possibly materialized) ``ivf_assignments`` relation so an
+    external oracle can replay the candidate join + re-rank from the
+    same bytes — the hyperplane side-channel pattern."""
+    if assignments is None:
+        cent = train_ivf_centroids(embeddings, n_centroids, seed, id_col=id_col, vec_col=vec_col)
+        assignments = ivf_assignments(embeddings, cent, n_probe, id_col, vec_col)
+    emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    q = assignments.filter(~F.col("is_home")).select(
+        "centroid_id", F.col(id_col).alias("qid")
+    )
+    h = assignments.filter(F.col("is_home")).select(
+        "centroid_id", F.col(id_col).alias("neighbor_id")
+    )
+    cand = (
+        q.join(h, "centroid_id")
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .select("qid", "neighbor_id")
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    qv = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        cand.join(qv, "qid")
+        .join(nv, "neighbor_id")
+        .select(
+            F.col("qid").alias(id_col),
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    return _rank_topk(scored, k, id_col)
+
+
 def hyperplane_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -127,3 +127,54 @@ def test_blas_variant_matches_sql_variant(embeddings):
 def test_brute_force_self_excluded(embeddings):
     got = brute_force_topk(embeddings, k=3)
     assert got.filter(F.col("vec_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """IVF coarse quantization is the clustered-data scale path: tight
+    cosine clusters recover nearly all true neighbors with 1-2 probe
+    cells. (On structure-free uniform data IVF needs nprobe ->
+    n_centroids — documented behavior, not asserted here.)"""
+    from rmlint_spark.operators.ann import ivf_topk
+
+    rng = np.random.RandomState(4)
+    rows, vid = [], 0
+    for _c in range(20):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(30):
+            v = center + 0.08 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, k=5).collect()
+    }
+    got = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=5, n_centroids=20, n_probe=2).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.95, f"IVF recall {recall:.3f}"
+
+
+def test_ivf_deterministic_and_home_in_probes(spark):
+    from rmlint_spark.operators.ann import ivf_assignments, train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = train_ivf_centroids(emb, n_centroids=16, seed=7)
+    c2 = train_ivf_centroids(emb, n_centroids=16, seed=7)
+    assert np.allclose(c1, c2)  # same seed, same sample -> same centroids
+    a = ivf_assignments(emb, c1, n_probe=4)
+    # every vector has exactly one home cell, and that cell is among
+    # its probe rows (a query always visits its own cell)
+    homes = a.filter("is_home").groupBy("vec_id").count().collect()
+    assert all(r["count"] == 1 for r in homes)
+    from pyspark.sql import functions as F2
+
+    h = a.filter("is_home").select("vec_id", F2.col("centroid_id").alias("home"))
+    p = a.filter("NOT is_home").select("vec_id", "centroid_id")
+    missing = h.join(
+        p, (h.vec_id == p.vec_id) & (h.home == p.centroid_id), "left_anti"
+    )
+    assert missing.count() == 0
