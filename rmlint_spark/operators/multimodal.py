@@ -13,13 +13,22 @@ for real in pure numpy (no codec libraries exist in this container):
   exactly); real features (RMS, zero-crossings, FFT band energies,
   spectral centroid).
 
-Compressed codec formats (PNG/JPEG/MP3/MP4) still fall back to the
+- **PNG** — real DEFLATE-based decode via stdlib ``zlib`` + numpy
+  scanline unfiltering (filters 0-4: None/Sub/Up/Average/Paeth), all
+  five 8-bit color types (gray, RGB, palette, gray+alpha, RGBA), CRC
+  validated per chunk. Adam7 interlace and sub-8-bit depths raise
+  ValueError and degrade to opaque bytes.
+- **Y4M video (YUV4MPEG2)** — uncompressed planar YUV container ->
+  real per-frame (h, w, 3) RGB arrays (C444 / C420 family / Cmono);
+  frame sampling decodes REAL frames and hashes their pixels, and
+  video features are averaged real image features over sampled
+  frames.
+
+Entropy-coded codec formats (JPEG/MP3/MP4) still fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
 asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
-partitioning are identical for both paths. Video frame DECODE remains
-a stub (no codec-free container format); the frame-sampling explode
-shape is real.
+partitioning are identical for both paths.
 """
 
 from __future__ import annotations
@@ -253,18 +262,313 @@ def decode_aiff(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data[: len(data) & ~1], dtype=">i2").astype(np.int16)
 
 
+# ------------------------------------------- PNG (stdlib zlib + numpy)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per 8-bit color type: gray, RGB, palette-index, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, body) for each chunk, validating length and CRC32."""
+    import zlib
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size or pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, body
+        pos += 12 + size
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters. Sub is a mod-256 prefix sum
+    per channel lane (vectorized cumsum); Up is a vectorized wrap-add;
+    Average/Paeth depend on the reconstructed left byte so they run a
+    per-byte loop within the row (rows stay the sequential unit either
+    way — PNG filtering is inherently row-recurrent)."""
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: cumulative sum along each bpp lane, mod 256
+            rec = (
+                line.reshape(stride // bpp, bpp)
+                .cumsum(axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:  # Up
+            rec = line + prev  # uint8 wraps
+        elif ft == 3:  # Average
+            rec = line
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(rec[x]) + ((left + int(pv[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8. Real decode: stdlib zlib inflates the
+    IDAT stream, numpy reverses the scanline filters. Supports all
+    five 8-bit color types, non-interlaced; palette via PLTE LUT;
+    alpha dropped. CRC-validated chunks."""
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr = plte = None
+    idat = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if color == 2:  # RGB
+        return px.reshape(h, w, 3)
+    if color == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 3:  # palette
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/invalid PLTE")
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if idx.max(initial=0) >= len(lut):
+            raise ValueError("PNG palette index out of range")
+        return lut[idx]
+    gray = px[:, :, 0]  # color 0 gray / color 4 gray+alpha
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _png_filter_row(line: np.ndarray, prev: np.ndarray, ft: int, bpp: int) -> np.ndarray:
+    """Forward scanline filter (encoder side): residuals from ORIGINAL
+    neighbor bytes, fully vectorized."""
+    o = line.astype(np.int64)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int64), o[:-bpp]])
+    up = prev.astype(np.int64)
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
+    if ft == 0:
+        res = o
+    elif ft == 1:
+        res = o - left
+    elif ft == 2:
+        res = o - up
+    elif ft == 3:
+        res = o - ((left + up) >> 1)
+    elif ft == 4:
+        res = o - _paeth_predictor(left, up, upleft)
+    else:
+        raise ValueError(f"invalid PNG filter type {ft}")
+    return (res & 0xFF).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, bit depth 8,
+    one filter type for every scanline — 0 by default; 1-4 exercise
+    the decoder's unfilter paths)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w * 3)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        lines.append(bytes([filter_type]) + _png_filter_row(flat[y], prev, filter_type, 3).tobytes())
+        prev = flat[y]
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+# --------------------------------- Y4M video (YUV4MPEG2, uncompressed)
+
+_Y4M_SIG = b"YUV4MPEG2"
+# BT.601 full-range RGB<->YUV
+_RGB2Y = np.array([0.299, 0.587, 0.114])
+
+
+def encode_y4m(frames: list[np.ndarray], fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C444") -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> YUV4MPEG2 bytes.
+    ``C444`` (full-res planar YUV, BT.601) or ``Cmono`` (luma only —
+    exactly round-trippable for grayscale content)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = [b"%s W%d H%d F%d:%d Ip A1:1 %s\n"
+           % (_Y4M_SIG, w, h, fps[0], fps[1], colorspace.encode())]
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        f = fr.astype(np.float64)
+        y = f @ _RGB2Y
+        out.append(b"FRAME\n")
+        if colorspace == "Cmono":
+            out.append(np.clip(np.round(y), 0, 255).astype(np.uint8).tobytes())
+        elif colorspace == "C444":
+            u = 128.0 + (f[:, :, 2] - y) * 0.564
+            v = 128.0 + (f[:, :, 0] - y) * 0.713
+            for plane in (y, u, v):
+                out.append(np.clip(np.round(plane), 0, 255).astype(np.uint8).tobytes())
+        else:
+            raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
+    """YUV4MPEG2 -> ((fps_num, fps_den), [(h, w, 3) uint8 RGB frames]).
+    Real uncompressed-video decode: C444, the C420 family (chroma
+    upsampled by pixel-doubling) and Cmono."""
+    if not payload or not payload.startswith(_Y4M_SIG):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    fps = (25, 1)
+    cs = "C420jpeg"  # spec default when no C tag present
+    for tag in payload[len(_Y4M_SIG):nl].split():
+        t, val = chr(tag[0]), tag[1:]
+        if t == "W":
+            w = int(val)
+        elif t == "H":
+            h = int(val)
+        elif t == "F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif t == "C":
+            cs = tag.decode()
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("Y4M missing/invalid dimensions")
+    if fps[0] <= 0 or fps[1] <= 0:
+        raise ValueError("invalid Y4M frame rate")
+    if cs == "Cmono":
+        plane_sizes = [(h, w)]
+    elif cs == "C444":
+        plane_sizes = [(h, w)] * 3
+    elif cs.startswith("C420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        plane_sizes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    frame_bytes = sum(ph * pw for ph, pw in plane_sizes)
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        planes = []
+        for ph, pw in plane_sizes:
+            planes.append(
+                np.frombuffer(payload[pos : pos + ph * pw], dtype=np.uint8).reshape(ph, pw)
+            )
+            pos += ph * pw
+        y = planes[0].astype(np.float64)
+        if cs == "Cmono":
+            rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+        else:
+            u, v = planes[1].astype(np.float64), planes[2].astype(np.float64)
+            if cs.startswith("C420"):
+                u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+                v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+            r = y + (v - 128.0) / 0.713
+            b = y + (u - 128.0) / 0.564
+            g = (y - 0.299 * r - 0.114 * b) / 0.587
+            rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+        frames.append(rgb)
+    return fps, frames
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload: the netpbm binary family (PPM P6,
-    PGM P5, PBM P4) decodes in pure numpy; codec formats (PNG/JPEG/
-    ...) need an image library not in this container."""
+    PGM P5, PBM P4) and PNG decode in pure numpy+zlib; entropy-coded
+    formats (JPEG/...) need an image library not in this container."""
     if payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload and payload.startswith(b"P5"):
         return decode_pgm(payload)
     if payload and payload.startswith(b"P4"):
         return decode_pbm(payload)
+    if payload and payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     raise NotImplementedError(
-        "no codec for this image format; only netpbm P4/P5/P6 decode here"
+        "no codec for this image format; only netpbm P4/P5/P6 and PNG decode here"
+    )
+
+
+def _is_decodable_image(payload: bytes) -> bool:
+    return bool(payload) and (
+        payload[:2] in (b"P4", b"P5", b"P6") or payload.startswith(_PNG_SIG)
     )
 
 
@@ -335,23 +639,40 @@ def _fake_features(payload: bytes) -> np.ndarray:
 
 # exceptions a malformed-but-magic-matching payload can raise out of
 # the decode/feature path: header validation (ValueError), chunk
-# struct unpacks on short slices (struct.error), and any residual
-# division/indexing on degenerate shapes. A malformed payload must
-# degrade to opaque bytes, never fail the job.
-_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError)
+# struct unpacks on short slices (struct.error), zlib inflate failures
+# on corrupt IDAT, and any residual division/indexing on degenerate
+# shapes. A malformed payload must degrade to opaque bytes, never fail
+# the job.
+import zlib as _zlib
+
+_DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, _zlib.error)
+
+
+def _video_features(payload: bytes) -> np.ndarray:
+    """Real video descriptor: averaged image features over up to 4
+    evenly-spaced decoded frames, re-normalized. Deterministic."""
+    _fps, frames = decode_y4m(payload)
+    if not frames:
+        raise ValueError("Y4M with zero frames")
+    idx = sorted({(i * (len(frames) - 1)) // 3 for i in range(4)}) if len(frames) > 1 else [0]
+    v = np.mean([_image_features(frames[i]) for i in idx], axis=0)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
 
 
 def _features_for(payload: bytes) -> np.ndarray:
-    """Dispatch on payload magic: netpbm (P4/P5/P6) and WAV/AIFF
-    decode for real; codec formats fall back to the deterministic
-    hash-seeded stand-in."""
+    """Dispatch on payload magic: netpbm (P4/P5/P6), PNG, WAV/AIFF and
+    Y4M video decode for real; entropy-coded formats fall back to the
+    deterministic hash-seeded stand-in."""
     try:
-        if payload and payload[:2] in (b"P4", b"P5", b"P6"):
+        if payload and (payload[:2] in (b"P4", b"P5", b"P6") or payload.startswith(_PNG_SIG)):
             return _image_features(decode_image(payload))
         if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*decode_wav(payload))
         if payload and payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
             return _audio_features(*decode_aiff(payload))
+        if payload and payload.startswith(_Y4M_SIG):
+            return _video_features(payload)
     except _DECODE_ERRORS:
         pass  # malformed payload: treat as opaque bytes
     return _fake_features(payload)
@@ -413,7 +734,7 @@ def _resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
 def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """mapInPandas over image rows, one resized thumbnail per asset
     (``thumb`` = raw interleaved RGB, width*height*3 bytes). netpbm
-    payloads (P4/P5/P6) decode and resample for REAL (nearest-
+    (P4/P5/P6) and PNG payloads decode and resample for REAL (nearest-
     neighbor); opaque codec payloads keep the deterministic
     payload-derived stub block so the plumbing stays total."""
     n_bytes = width * height * 3
@@ -422,7 +743,7 @@ def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataF
         for pdf in batches:
             thumbs = []
             for p in pdf["payload"].tolist():
-                if p is not None and bytes(p)[:2] in (b"P4", b"P5", b"P6"):
+                if p is not None and _is_decodable_image(bytes(p)):
                     try:
                         thumbs.append(
                             _resize_nn(decode_image(bytes(p)), width, height).tobytes()
@@ -449,25 +770,44 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, t_ms long, frame_sha string"
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Frame-sampling plumbing: each video row explodes into one row
-    per sampled timestamp (0, every_ms, ... < duration_ms). The frame
-    decode is the stub (frame identity = sha of payload+timestamp);
-    the batch-explode shape and schema are real."""
+    """Frame sampling: each video row explodes into one row per
+    sampled timestamp (0, every_ms, ...). Y4M payloads decode for
+    REAL — the sampled timestamp maps to the nearest decoded frame via
+    the container's frame rate, duration comes from the actual frame
+    count, and ``frame_sha`` hashes the decoded RGB pixels (so two
+    videos containing identical frames dedupe regardless of container
+    metadata). Opaque codec payloads keep the deterministic stub
+    (duration from metadata, sha of payload+timestamp)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"asset_id": [], "frame_idx": [], "t_ms": [], "frame_sha": []}
+
+            def emit(aid, i, t_ms, sha):
+                rows["asset_id"].append(aid)
+                rows["frame_idx"].append(i)
+                rows["t_ms"].append(t_ms)
+                rows["frame_sha"].append(sha)
+
             for aid, payload, dur in zip(
                 pdf["asset_id"].tolist(), pdf["payload"].tolist(), pdf["duration_ms"].tolist()
             ):
+                p = bytes(payload) if payload is not None else b""
+                if p.startswith(_Y4M_SIG):
+                    try:
+                        (num, den), frames = decode_y4m(p)
+                        dur_ms = len(frames) * 1000 * den // num
+                        for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
+                            fi = min(t_ms * num // (1000 * den), len(frames) - 1)
+                            emit(aid, i, t_ms,
+                                 hashlib.sha256(frames[fi].tobytes()).hexdigest())
+                        continue
+                    except _DECODE_ERRORS:
+                        pass  # malformed Y4M: fall through to the stub path
                 n = 0 if dur is None or pd.isna(dur) else int(dur) // every_ms
                 for i in range(n):
-                    rows["asset_id"].append(aid)
-                    rows["frame_idx"].append(i)
-                    rows["t_ms"].append(i * every_ms)
-                    rows["frame_sha"].append(
-                        hashlib.sha256((payload or b"") + str(i * every_ms).encode()).hexdigest()
-                    )
+                    emit(aid, i, i * every_ms,
+                         hashlib.sha256(p + str(i * every_ms).encode()).hexdigest())
             yield pd.DataFrame(rows)
 
     return assets.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -15,10 +15,10 @@ from rmlint_spark.operators.multimodal import (
 
 
 def test_decode_codec_formats_still_stubbed():
-    # compressed codec formats need libraries absent from this
+    # entropy-coded formats (JPEG/MP3) need libraries absent from this
     # container; only the honest NotImplementedError is acceptable
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0jpegbytes")
     from rmlint_spark.operators.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -354,3 +354,231 @@ def test_resize_handles_pgm_and_pbm(spark):
     (row,) = resize_images(assets, 4, 4).collect()
     want = _resize_nn(decode_image(payload), 4, 4).tobytes()
     assert bytes(row["thumb"]) == want
+
+
+def test_png_roundtrip_all_filter_types():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_ppm,
+        _features_for,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for ft in range(5):  # None, Sub, Up, Average, Paeth
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+    # gradient image (the case where Sub/Paeth residuals actually shrink)
+    grad = (np.arange(24 * 24 * 3, dtype=np.uint64) % 256).astype(np.uint8).reshape(24, 24, 3)
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(grad, filter_type=ft)), grad)
+    # features are container-invariant: SAME pixels via PNG or PPM
+    assert np.allclose(_features_for(encode_png(img)), _features_for(encode_ppm(img)))
+
+
+def _png_raw(w, h, color, raster, plte=None, interlace=0, depth=8):
+    """Test-local PNG builder for color types encode_png doesn't emit."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+
+
+def test_png_color_types_gray_palette_alpha():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    # color 0: grayscale
+    gray = rng.randint(0, 256, size=(5, 4), dtype=np.uint8)
+    raster = b"".join(b"\x00" + row.tobytes() for row in gray)
+    got = decode_png(_png_raw(4, 5, 0, raster))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    # color 3: palette
+    plte = bytes(range(16 * 3))
+    idx = rng.randint(0, 16, size=(3, 6), dtype=np.uint8)
+    raster = b"".join(b"\x00" + row.tobytes() for row in idx)
+    got = decode_png(_png_raw(6, 3, 3, raster, plte=plte))
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(got, lut[idx])
+    # color 4: gray+alpha (alpha dropped)
+    ga = rng.randint(0, 256, size=(4, 3, 2), dtype=np.uint8)
+    raster = b"".join(b"\x00" + row.tobytes() for row in ga)
+    got = decode_png(_png_raw(3, 4, 4, raster))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    # color 6: RGBA (alpha dropped)
+    rgba = rng.randint(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    raster = b"".join(b"\x00" + row.tobytes() for row in rgba)
+    got = decode_png(_png_raw(5, 4, 6, raster))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_malformed_payloads_degrade():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        decode_png,
+        encode_png,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    flipped = bytearray(good)
+    flipped[-20] ^= 0xFF  # corrupt inside IDAT -> CRC mismatch
+    bads = [
+        bytes(flipped),
+        good[:30],                                        # truncated mid-chunk
+        _png_raw(4, 4, 2, b"\x00" * (4 * (1 + 12)), interlace=1),  # Adam7
+        _png_raw(4, 4, 2, b"\x00" * 10),                  # short raster
+        _png_raw(2, 2, 3, b"\x00\x05\x05\x00\x05\x05", plte=b"\x00\x00\x00"),  # idx>palette
+        _png_raw(2, 2, 2, b"\x09" + b"\x00" * 6 + b"\x00" * 7),  # bad filter type
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_png(bad)
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+    # zlib-corrupt IDAT with a VALID crc (recomputed) degrades too
+    broken = _png_raw(4, 4, 2, b"")
+    with pytest.raises(Exception):
+        decode_png(broken)
+    assert np.allclose(_features_for(broken), _fake_features(broken))
+
+
+def test_y4m_roundtrip_and_colorspaces():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(13)
+    # Cmono: grayscale content round-trips EXACTLY
+    gray = rng.randint(0, 256, size=(8, 10), dtype=np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    fps, frames = decode_y4m(encode_y4m([rgb, 255 - rgb], fps=(2, 1), colorspace="Cmono"))
+    assert fps == (2, 1) and len(frames) == 2
+    assert np.array_equal(frames[0], rgb)
+    assert np.array_equal(frames[1], 255 - rgb)
+    # C444: BT.601 round-trip within quantization error
+    ins = [rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8) for _ in range(3)]
+    _, back = decode_y4m(encode_y4m(ins, colorspace="C444"))
+    for a, b in zip(ins, back):
+        assert np.abs(b.astype(int) - a.astype(int)).max() <= 4
+    # C420 (half-res chroma, upsampled on decode)
+    y = np.full((4, 6), 100, np.uint8)
+    u = np.full((2, 3), 128, np.uint8)
+    payload = (
+        b"YUV4MPEG2 W6 H4 F25:1 C420jpeg\nFRAME\n"
+        + y.tobytes() + u.tobytes() + u.tobytes()
+    )
+    _, fr = decode_y4m(payload)
+    assert fr[0].shape == (4, 6, 3)
+    assert np.abs(fr[0].astype(int) - 100).max() <= 1
+    # malformed containers raise ValueError
+    from rmlint_spark.operators.multimodal import _fake_features, _features_for
+
+    for bad in (
+        b"YUV4MPEG2 W6 H4\nFRAME\n" + b"\x00" * 5,   # truncated frame
+        b"YUV4MPEG2 H4 F25:1\nFRAME\n",               # missing width
+        b"YUV4MPEG2 W6 H4 C999\nFRAME\n",             # unknown colorspace
+        b"YUV4MPEG2 W6 H4\nNOTAFRAME\n" + b"\x00" * 54,
+    ):
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+
+
+def test_y4m_video_features_real():
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(17)
+    frames = [rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(5)]
+    vid = encode_y4m(frames, colorspace="C444")
+    f = _features_for(vid)
+    assert f.shape == (16,) and np.isclose(np.linalg.norm(f), 1.0, atol=1e-5)
+    # real (pixel-derived), not the hash stand-in; deterministic
+    assert not np.allclose(f, _fake_features(vid))
+    assert np.array_equal(f, _features_for(vid))
+    # same pixels, different frame-rate tag -> same features
+    assert np.allclose(f, _features_for(encode_y4m(frames, fps=(30, 1), colorspace="C444")))
+
+
+def test_sample_frames_decodes_real_y4m(spark):
+    import hashlib
+
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(19)
+    frames = [rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(4)]
+    vid = encode_y4m(frames, fps=(2, 1), colorspace="Cmono")  # 4 frames @ 2fps = 2000ms
+    schema = (
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long"
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, "video", bytearray(vid), None, None, None, None),      # real decode
+            (2, "video", bytearray(b"opaque-mp4"), None, None, None, 1000),  # stub
+        ],
+        schema,
+    )
+    rows = sample_frames(assets, every_ms=500).orderBy("asset_id", "frame_idx").collect()
+    real = [r for r in rows if r["asset_id"] == 1]
+    stub = [r for r in rows if r["asset_id"] == 2]
+    # 2000ms duration FROM THE CONTAINER (metadata said None), 4 samples
+    assert [r["t_ms"] for r in real] == [0, 500, 1000, 1500]
+    decoded = decode_y4m(vid)[1]
+    want = [hashlib.sha256(fr.tobytes()).hexdigest() for fr in decoded]
+    assert [r["frame_sha"] for r in real] == want
+    # stub path: duration from metadata, payload-derived shas
+    assert [r["t_ms"] for r in stub] == [0, 500]
+    assert stub[0]["frame_sha"] == hashlib.sha256(b"opaque-mp4" + b"0").hexdigest()
+
+
+def test_resize_handles_png(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _resize_nn,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    payload = encode_png(img, filter_type=4)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None, None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    (row,) = resize_images(assets, 5, 5).collect()
+    assert bytes(row["thumb"]) == _resize_nn(decode_png(payload), 5, 5).tobytes()
