@@ -18,13 +18,17 @@ for real in pure numpy (no codec libraries exist in this container):
   five 8-bit color types (gray, RGB, palette, gray+alpha, RGBA), CRC
   validated per chunk. Adam7 interlace and sub-8-bit depths raise
   ValueError and degrade to opaque bytes.
+- **baseline JPEG (SOF0)** — real Huffman entropy decode, dequant,
+  IDCT via an 8x8 DCT-basis matmul, chroma upsampling, restart
+  markers (see ``rmlint_spark.operators.jpeg``). Progressive/
+  arithmetic raise ValueError and degrade.
 - **Y4M video (YUV4MPEG2)** — uncompressed planar YUV container ->
   real per-frame (h, w, 3) RGB arrays (C444 / C420 family / Cmono);
   frame sampling decodes REAL frames and hashes their pixels, and
   video features are averaged real image features over sampled
   frames.
 
-Entropy-coded codec formats (JPEG/MP3/MP4) still fall back to the
+Remaining opaque formats (MP3/MP4/GIF/...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
 asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
@@ -551,8 +555,9 @@ def decode_y4m(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload: the netpbm binary family (PPM P6,
-    PGM P5, PBM P4) and PNG decode in pure numpy+zlib; entropy-coded
-    formats (JPEG/...) need an image library not in this container."""
+    PGM P5, PBM P4), PNG and baseline JPEG decode in pure numpy +
+    stdlib; other formats (GIF/BMP/TIFF/...) need an image library not
+    in this container."""
     if payload and payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload and payload.startswith(b"P5"):
@@ -561,14 +566,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_pbm(payload)
     if payload and payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        from rmlint_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no codec for this image format; only netpbm P4/P5/P6 and PNG decode here"
+        "no codec for this image format; netpbm P4/P5/P6, PNG and "
+        "baseline JPEG decode here"
     )
 
 
 def _is_decodable_image(payload: bytes) -> bool:
     return bool(payload) and (
-        payload[:2] in (b"P4", b"P5", b"P6") or payload.startswith(_PNG_SIG)
+        payload[:2] in (b"P4", b"P5", b"P6", b"\xff\xd8")
+        or payload.startswith(_PNG_SIG)
     )
 
 
@@ -665,7 +676,7 @@ def _features_for(payload: bytes) -> np.ndarray:
     Y4M video decode for real; entropy-coded formats fall back to the
     deterministic hash-seeded stand-in."""
     try:
-        if payload and (payload[:2] in (b"P4", b"P5", b"P6") or payload.startswith(_PNG_SIG)):
+        if _is_decodable_image(payload):
             return _image_features(decode_image(payload))
         if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _audio_features(*decode_wav(payload))

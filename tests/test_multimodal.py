@@ -15,10 +15,10 @@ from rmlint_spark.operators.multimodal import (
 
 
 def test_decode_codec_formats_still_stubbed():
-    # entropy-coded formats (JPEG/MP3) need libraries absent from this
-    # container; only the honest NotImplementedError is acceptable
+    # formats with no pure-numpy codec here (GIF images, MP3 audio)
+    # keep the honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jpegbytes")
+        decode_image(b"GIF89a-gifbytes")
     from rmlint_spark.operators.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -582,3 +582,87 @@ def test_resize_handles_png(spark):
     )
     (row,) = resize_images(assets, 5, 5).collect()
     assert bytes(row["thumb"]) == _resize_nn(decode_png(payload), 5, 5).tobytes()
+
+
+def test_jpeg_roundtrip_and_modes():
+    import numpy as np
+
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    x = np.linspace(0, 255, 48)
+    img = np.stack(
+        [np.tile(x, (32, 1)), np.tile(x[::-1], (32, 1)), np.full((32, 48), 100.0)],
+        axis=2,
+    ).astype(np.uint8)
+    # 4:4:4 at two qualities
+    for q, tol in [(95, 6), (75, 16)]:
+        back = decode_jpeg(encode_jpeg(img, quality=q))
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= tol
+    # 4:2:0 chroma subsampling (16-aligned dims: no pad-seam ringing)
+    back = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 16
+    # restart markers: RSTn every 3 MCUs, DC predictors reset
+    back = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=3))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 6
+    # q=100 quantizes near-losslessly even for noise
+    noise = rng.randint(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(back.astype(int) - noise.astype(int)).max() <= 3
+    # odd dims + subsampling + DRI=1 (every MCU restarted)
+    odd = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, quality=90, subsample=True, restart_interval=1)).shape == odd.shape
+    # byte-deterministic encode
+    assert encode_jpeg(img, 80) == encode_jpeg(img, 80)
+    # decode_image dispatches JPEG for real
+    assert np.array_equal(decode_image(encode_jpeg(img, 95)), decode_jpeg(encode_jpeg(img, 95)))
+
+
+def test_jpeg_malformed_payloads_degrade():
+    import numpy as np
+
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rmlint_spark.operators.multimodal import _fake_features, _features_for
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    good = encode_jpeg(img, quality=90)
+    # flip the SOF0 marker to SOF2 (progressive): honest ValueError
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    bads = [
+        good[:40],          # truncated mid-segment
+        prog,               # progressive
+        good[:-4],          # missing scan terminator/EOI
+        b"\xff\xd8\xff\xd9",  # SOI+EOI, no scan
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+    # the intact payload produces REAL pixel-derived features
+    assert not np.allclose(_features_for(good), _fake_features(good))
+
+
+def test_jpeg_features_and_resize_in_spark(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rmlint_spark.operators.multimodal import (
+        _image_features,
+        _resize_nn,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=95)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None, None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    (feat,) = extract_features(assets).collect()
+    assert np.allclose(feat["features"], _image_features(decode_jpeg(payload)), atol=1e-6)
+    (row,) = resize_images(assets, 4, 4).collect()
+    assert bytes(row["thumb"]) == _resize_nn(decode_jpeg(payload), 4, 4).tobytes()
