@@ -815,6 +815,28 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
                         continue
                     except _DECODE_ERRORS:
                         pass  # malformed Y4M: fall through to the stub path
+                if p[4:8] == b"ftyp":
+                    # MP4: frame TIMING is real (stts sample table);
+                    # frame identity stays payload-derived (H.264 pixel
+                    # decode needs a codec library)
+                    try:
+                        from rmlint_spark.operators.mp4 import (
+                            parse_mp4,
+                            sample_timestamps,
+                        )
+
+                        meta = parse_mp4(p)
+                        stamps = sample_timestamps(meta)
+                        dur_ms = meta["duration_ms"]
+                        import bisect
+
+                        for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
+                            fi = max(bisect.bisect_right(stamps, t_ms) - 1, 0)
+                            emit(aid, i, t_ms,
+                                 hashlib.sha256(p + b"#sample%d" % fi).hexdigest())
+                        continue
+                    except _DECODE_ERRORS:
+                        pass  # malformed MP4: fall through to the stub path
                 n = 0 if dur is None or pd.isna(dur) else int(dur) // every_ms
                 for i in range(n):
                     emit(aid, i, i * every_ms,
@@ -822,6 +844,60 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+PROBE_SCHEMA = (
+    "asset_id long, container string, duration_ms long, width int, "
+    "height int, codec string, n_frames long"
+)
+
+
+def probe_videos(assets: DataFrame) -> DataFrame:
+    """Typed metadata extraction over video payloads — the `ffprobe`
+    analog a training pipeline runs before deciding what to decode.
+    Y4M and MP4/MOV containers parse for REAL (dimensions, duration,
+    codec fourcc, frame/sample count from the actual tables); opaque
+    or malformed payloads yield a row with container='unknown' and
+    metadata passed through from the asset columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload, dur in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist(), pdf["duration_ms"].tolist()
+            ):
+                p = bytes(payload) if payload is not None else b""
+                meta = None
+                try:
+                    if p.startswith(_Y4M_SIG):
+                        (num, den), frames = decode_y4m(p)
+                        h, w = frames[0].shape[:2] if frames else (None, None)
+                        meta = ("y4m", len(frames) * 1000 * den // num, w, h,
+                                "rawvideo", len(frames))
+                    elif p[4:8] == b"ftyp":
+                        from rmlint_spark.operators.mp4 import parse_mp4
+
+                        m = parse_mp4(p)
+                        vid = next(
+                            (t for t in m["tracks"] if t["kind"] == "video"), {}
+                        )
+                        meta = ("mp4/" + m["brand"], m["duration_ms"],
+                                vid.get("width"), vid.get("height"),
+                                vid.get("codec"), vid.get("n_samples"))
+                except _DECODE_ERRORS:
+                    meta = None
+                if meta is None:
+                    meta = ("unknown",
+                            None if dur is None or pd.isna(dur) else int(dur),
+                            None, None, None, None)
+                rows.append((aid, *meta))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "container", "duration_ms", "width",
+                         "height", "codec", "n_frames"],
+            )
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(run, schema=PROBE_SCHEMA)
 
 
 def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:

@@ -666,3 +666,79 @@ def test_jpeg_features_and_resize_in_spark(spark):
     assert np.allclose(feat["features"], _image_features(decode_jpeg(payload)), atol=1e-6)
     (row,) = resize_images(assets, 4, 4).collect()
     assert bytes(row["thumb"]) == _resize_nn(decode_jpeg(payload), 4, 4).tobytes()
+
+
+def test_mp4_parse_and_skeleton():
+    import pytest as _pytest
+
+    from rmlint_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4,
+        sample_timestamps,
+    )
+
+    p = encode_mp4_skeleton(width=320, height=240, fps=(4, 1), n_frames=8)
+    m = parse_mp4(p)
+    assert m["brand"] == "isom" and m["duration_ms"] == 2000
+    (tr,) = m["tracks"]
+    assert (tr["kind"], tr["codec"], tr["width"], tr["height"]) == ("video", "avc1", 320, 240)
+    assert tr["n_samples"] == 8
+    # stts-derived presentation timestamps: 8 frames at 4 fps
+    assert sample_timestamps(m) == [0, 250, 500, 750, 1000, 1250, 1500, 1750]
+    for bad in (b"", b"\x00\x00\x00\x08ftyp", p[:40], p[:-10]):
+        with _pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_sample_frames_mp4_real_timing(spark):
+    import hashlib
+
+    from rmlint_spark.operators.mp4 import encode_mp4_skeleton
+    from rmlint_spark.operators.multimodal import sample_frames
+
+    vid = encode_mp4_skeleton(fps=(2, 1), n_frames=3)  # 1500 ms, frames at 0/500/1000
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(vid), None, None, None, 99999)],  # metadata LIES (99999ms)
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    rows = sample_frames(assets, every_ms=600).orderBy("frame_idx").collect()
+    # duration 1500ms from the CONTAINER (not the lying metadata): t = 0, 600, 1200
+    assert [r["t_ms"] for r in rows] == [0, 600, 1200]
+    # t=600 falls in sample 1's interval [500, 1000), t=1200 in sample 2's
+    assert rows[1]["frame_sha"] == hashlib.sha256(vid + b"#sample1").hexdigest()
+    assert rows[2]["frame_sha"] == hashlib.sha256(vid + b"#sample2").hexdigest()
+
+
+def test_probe_videos(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.mp4 import encode_mp4_skeleton
+    from rmlint_spark.operators.multimodal import encode_y4m, probe_videos
+
+    y4m = encode_y4m(
+        [np.zeros((6, 8, 3), dtype=np.uint8)] * 5, fps=(5, 1), colorspace="C444"
+    )
+    mp4 = encode_mp4_skeleton(width=640, height=360, fps=(30, 1), n_frames=90)
+    schema = (
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long"
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, "video", bytearray(y4m), None, None, None, None),
+            (2, "video", bytearray(mp4), None, None, None, None),
+            (3, "video", bytearray(b"opaque"), None, None, None, 1234),
+            (4, "image", bytearray(b"not-a-video"), None, None, None, None),
+        ],
+        schema,
+    )
+    rows = {r["asset_id"]: r for r in probe_videos(assets).collect()}
+    assert set(rows) == {1, 2, 3}  # image row filtered out
+    assert rows[1]["container"] == "y4m"
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (8, 6, 5)
+    assert rows[1]["duration_ms"] == 1000
+    assert rows[2]["container"] == "mp4/isom" and rows[2]["codec"] == "avc1"
+    assert (rows[2]["width"], rows[2]["height"]) == (640, 360)
+    assert rows[2]["duration_ms"] == 3000 and rows[2]["n_frames"] == 90
+    assert rows[3]["container"] == "unknown" and rows[3]["duration_ms"] == 1234
