@@ -22,13 +22,20 @@ for real in pure numpy (no codec libraries exist in this container):
   IDCT via an 8x8 DCT-basis matmul, chroma upsampling, restart
   markers (see ``rmlint_spark.operators.jpeg``). Progressive/
   arithmetic raise ValueError and degrade.
+- **GIF87a/89a** — real LZW decode with interlace, transparency,
+  animation compositing and per-frame delays (see
+  ``rmlint_spark.operators.gif``); animated GIFs feed the frame
+  sampler on their real timeline.
 - **Y4M video (YUV4MPEG2)** — uncompressed planar YUV container ->
   real per-frame (h, w, 3) RGB arrays (C444 / C420 family / Cmono);
   frame sampling decodes REAL frames and hashes their pixels, and
   video features are averaged real image features over sampled
   frames.
+- **MP4/MOV** — real container metadata (duration, dimensions, codec
+  fourcc, stts sample timing via ``rmlint_spark.operators.mp4``);
+  frame pixel decode would need H.264 and stays stubbed.
 
-Remaining opaque formats (MP3/MP4/GIF/...) fall back to the
+Remaining opaque formats (MP3, H.264 essence, BMP/TIFF...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
 asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
@@ -570,9 +577,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         from rmlint_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from rmlint_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)[1][0]  # first frame
     raise NotImplementedError(
-        "no codec for this image format; netpbm P4/P5/P6, PNG and "
-        "baseline JPEG decode here"
+        "no codec for this image format; netpbm P4/P5/P6, PNG, baseline "
+        "JPEG and GIF decode here"
     )
 
 
@@ -580,6 +591,7 @@ def _is_decodable_image(payload: bytes) -> bool:
     return bool(payload) and (
         payload[:2] in (b"P4", b"P5", b"P6", b"\xff\xd8")
         or payload.startswith(_PNG_SIG)
+        or payload[:6] in (b"GIF87a", b"GIF89a")
     )
 
 
@@ -815,6 +827,20 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
                         continue
                     except _DECODE_ERRORS:
                         pass  # malformed Y4M: fall through to the stub path
+                if p[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        from rmlint_spark.operators.gif import decode_gif
+
+                        gdelays, gframes = decode_gif(p)
+                        starts = np.cumsum([0] + gdelays[:-1])
+                        dur_ms = int(sum(gdelays))
+                        for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
+                            fi = int(np.searchsorted(starts, t_ms, side="right")) - 1
+                            emit(aid, i, t_ms,
+                                 hashlib.sha256(gframes[fi].tobytes()).hexdigest())
+                        continue
+                    except _DECODE_ERRORS:
+                        pass  # malformed GIF: fall through to the stub path
                 if p[4:8] == b"ftyp":
                     # MP4: frame TIMING is real (stts sample table);
                     # frame identity stays payload-derived (H.264 pixel
@@ -874,6 +900,13 @@ def probe_videos(assets: DataFrame) -> DataFrame:
                         h, w = frames[0].shape[:2] if frames else (None, None)
                         meta = ("y4m", len(frames) * 1000 * den // num, w, h,
                                 "rawvideo", len(frames))
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        from rmlint_spark.operators.gif import decode_gif
+
+                        gdelays, gframes = decode_gif(p)
+                        gh, gw = gframes[0].shape[:2]
+                        meta = ("gif", int(sum(gdelays)), gw, gh, "lzw",
+                                len(gframes))
                     elif p[4:8] == b"ftyp":
                         from rmlint_spark.operators.mp4 import parse_mp4
 

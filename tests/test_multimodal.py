@@ -15,10 +15,10 @@ from rmlint_spark.operators.multimodal import (
 
 
 def test_decode_codec_formats_still_stubbed():
-    # formats with no pure-numpy codec here (GIF images, MP3 audio)
+    # formats with no pure-numpy codec here (BMP images, MP3 audio)
     # keep the honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a-gifbytes")
+        decode_image(b"BM-bmpbytes-here")
     from rmlint_spark.operators.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -742,3 +742,122 @@ def test_probe_videos(spark):
     assert (rows[2]["width"], rows[2]["height"]) == (640, 360)
     assert rows[2]["duration_ms"] == 3000 and rows[2]["n_frames"] == 90
     assert rows[3]["container"] == "unknown" and rows[3]["duration_ms"] == 1234
+
+
+def test_gif_roundtrip_interlace_lzw():
+    import struct
+
+    import numpy as np
+
+    from rmlint_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        _blocks,
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(20, 30))
+    img = pal[idx]
+    delays, frames = decode_gif(encode_gif(img))
+    assert len(frames) == 1 and np.array_equal(frames[0], img)
+    # animation with per-frame delays
+    f2 = pal[(idx + 1) % 16]
+    delays, frames = decode_gif(encode_gif([img, f2], delays_ms=[100, 250]))
+    assert delays == [100, 250]
+    assert np.array_equal(frames[0], img) and np.array_equal(frames[1], f2)
+    # full 256-color palette exercises LZW dictionary growth to 12 bits
+    pal256 = np.unique(rng.randint(0, 256, size=(256, 3), dtype=np.uint8), axis=0)
+    big = pal256[rng.randint(0, len(pal256), size=(100, 120))]
+    _, fr = decode_gif(encode_gif(big))
+    assert np.array_equal(fr[0], big)
+    # LZW kernel: repetitive input hits the KwKwK case and dict clears
+    data = bytes([0, 1, 0, 0, 1, 1, 0, 0, 0, 1, 1, 1] * 500)
+    assert _lzw_decode(_lzw_encode(data, 2), 2, len(data)) == data
+    # 4-pass interlaced image (hand-built: rows permuted into pass order)
+    h, w = 13, 7
+    idx13 = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)
+    gif += pal4.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    gif.append(2)
+    gif += _blocks(_lzw_encode(idx13[order].tobytes(), 2))
+    gif += b"\x3b"
+    _, fr = decode_gif(bytes(gif))
+    assert np.array_equal(fr[0], pal4[idx13])
+
+
+def test_gif_animation_transparency_disposal():
+    import struct
+
+    import numpy as np
+
+    from rmlint_spark.operators.gif import _blocks, _lzw_encode, decode_gif
+    from rmlint_spark.operators.multimodal import _fake_features, _features_for
+
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    gif2 = bytearray(b"GIF89a")
+    gif2 += struct.pack("<HHBBB", 6, 6, 0x80 | 1, 3, 0)  # bg = palette idx 3
+    gif2 += pal4.tobytes()
+    # frame 1: full-screen red
+    gif2 += b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 6, 0)
+    gif2.append(2)
+    gif2 += _blocks(_lzw_encode(bytes([1] * 36), 2))
+    # frame 2: GCE (disposal=2, transparent idx 0, delay 50ms) + 4x4
+    # patch at (1,1) with a 2x2 green core, transparent border
+    gif2 += b"\x21\xf9\x04" + struct.pack("<BHB", (2 << 2) | 1, 5, 0) + b"\x00"
+    gif2 += b"\x2c" + struct.pack("<HHHHB", 1, 1, 4, 4, 0)
+    patch = np.zeros((4, 4), np.uint8)
+    patch[1:3, 1:3] = 2
+    gif2.append(2)
+    gif2 += _blocks(_lzw_encode(patch.tobytes(), 2))
+    gif2 += b"\x3b"
+    delays, fr = decode_gif(bytes(gif2))
+    assert delays == [0, 50]
+    assert (fr[0] == [255, 0, 0]).all()
+    assert np.array_equal(fr[1][2, 2], [0, 255, 0])   # patch core
+    assert np.array_equal(fr[1][1, 1], [255, 0, 0])   # transparent: prior canvas
+    assert np.array_equal(fr[1][0, 0], [255, 0, 0])   # outside patch rect
+    # malformed GIFs degrade to opaque features
+    for bad in (b"GIF89a", bytes(gif2)[:-5], bytes(gif2)[:20]):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+    # intact GIF -> real pixel-derived image features (of frame 1)
+    assert not np.allclose(_features_for(bytes(gif2)), _fake_features(bytes(gif2)))
+
+
+def test_sample_frames_and_probe_animated_gif(spark):
+    import hashlib
+
+    import numpy as np
+
+    from rmlint_spark.operators.gif import decode_gif, encode_gif
+    from rmlint_spark.operators.multimodal import probe_videos, sample_frames
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rng = np.random.RandomState(31)
+    frames = [pal[rng.randint(0, 2, size=(5, 5))] for _ in range(3)]
+    gif = encode_gif(frames, delays_ms=[400, 400, 400])  # 1200ms timeline
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(gif), None, None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    rows = sample_frames(assets, every_ms=500).orderBy("frame_idx").collect()
+    # t = 0 (frame 0), 500 (frame 1: [400, 800)), 1000 (frame 2: [800, 1200))
+    decoded = decode_gif(gif)[1]
+    assert [r["t_ms"] for r in rows] == [0, 500, 1000]
+    assert [r["frame_sha"] for r in rows] == [
+        hashlib.sha256(decoded[i].tobytes()).hexdigest() for i in (0, 1, 2)
+    ]
+    (probe,) = probe_videos(assets).collect()
+    assert probe["container"] == "gif" and probe["codec"] == "lzw"
+    assert (probe["width"], probe["height"]) == (5, 5)
+    assert probe["duration_ms"] == 1200 and probe["n_frames"] == 3
