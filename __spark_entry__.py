@@ -577,6 +577,31 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frame_dedup(spark, sf_dir):
+    """Cross-video duplicate-frame detection over REAL containers:
+    sample_frames decodes Y4M and animated-GIF payloads (pure
+    numpy/LZW codecs) and hashes decoded pixels, so the same frame is
+    found across different container formats. The decoded frame table
+    goes to the side-channel; DuckDB recomputes the dedup aggregation
+    from the same bytes (decode determinism itself is pinned by
+    tests/test_multimodal.py)."""
+    from rmlint_spark.operators.multimodal import sample_frames, synthetic_video_assets
+
+    frames = sample_frames(synthetic_video_assets(spark, n=24), every_ms=250)
+    path = f"{ORACLE_SIDE}/frames"
+    frames.write.mode("overwrite").parquet(path)
+    f = spark.read.parquet(path)
+    return (
+        f.groupBy("frame_sha")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.min("asset_id").alias("first_asset"),
+        )
+        .filter(F.col("n_assets") >= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_groups": q_size_groups,
@@ -613,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_clones": q_substring_clones,
         "multimodal_features": q_multimodal_features,
+        "frame_dedup": q_frame_dedup,
         "ann_hyperplane": q_ann_hyperplane,
         "ann_ivf": q_ann_ivf,
     }
@@ -1054,6 +1080,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT asset_id, kind, CAST(64 AS BIGINT) AS n_bytes,
                    sha256(sha256('payload-42-' || CAST(pseed AS VARCHAR))) AS payload_sha
             FROM a
+        """,
+        "frame_dedup": f"""
+            SELECT frame_sha,
+                   COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT asset_id) AS n_assets,
+                   MIN(asset_id) AS first_asset
+            FROM read_parquet('{ORACLE_SIDE}/frames/*.parquet')
+            GROUP BY frame_sha
+            HAVING COUNT(DISTINCT asset_id) >= 2
         """,
         "ann_ivf": f"""
             WITH a AS (

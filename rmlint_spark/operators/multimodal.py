@@ -933,6 +933,36 @@ def probe_videos(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("kind") == "video").mapInPandas(run, schema=PROBE_SCHEMA)
 
 
+def synthetic_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-container video assets for the frame-dedup
+    query: an 8-frame pool of grayscale images; video ``i`` carries 4
+    consecutive pool frames starting at ``i % 8`` (wrap-around), so
+    neighboring videos overlap on 3 frames. Even ids encode Y4M
+    (Cmono, 2.5 fps = 400 ms/frame), odd ids GIF (400 ms delays) —
+    both decode to bit-identical RGB, so duplicate frames are found
+    ACROSS container formats purely by decoded pixel content."""
+    from rmlint_spark.operators.gif import encode_gif
+
+    rng = np.random.RandomState(seed)
+    pool = [
+        np.repeat(rng.randint(0, 256, size=(6, 8), dtype=np.uint8)[:, :, None], 3, axis=2)
+        for _ in range(8)
+    ]
+    rows = []
+    for i in range(n):
+        frames = [pool[(i + j) % 8] for j in range(4)]
+        if i % 2 == 0:
+            payload = encode_y4m(frames, fps=(5, 2), colorspace="Cmono")
+        else:
+            payload = encode_gif(frames, delays_ms=[400] * 4)
+        rows.append((i, "video", bytearray(payload), None, None, None, None))
+    return spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+
+
 def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:
     """Deterministic fake asset table (payload = seeded sha256 bytes —
     DuckDB-reproducible, which is what makes `multimodal_features`

@@ -861,3 +861,17 @@ def test_sample_frames_and_probe_animated_gif(spark):
     assert probe["container"] == "gif" and probe["codec"] == "lzw"
     assert (probe["width"], probe["height"]) == (5, 5)
     assert probe["duration_ms"] == 1200 and probe["n_frames"] == 3
+
+
+def test_cross_format_frame_dedup(spark):
+    from rmlint_spark.operators.multimodal import sample_frames, synthetic_video_assets
+
+    # asset 0 (Y4M) carries pool frames 0-3; asset 1 (GIF) carries 1-4:
+    # three frames overlap, found purely by decoded-pixel identity
+    assets = synthetic_video_assets(spark, n=2)
+    frames = sample_frames(assets, every_ms=250).collect()
+    shas = {}
+    for r in frames:
+        shas.setdefault(r["asset_id"], set()).add(r["frame_sha"])
+    assert len(shas[0]) == 4 and len(shas[1]) == 4
+    assert len(shas[0] & shas[1]) == 3  # cross-container duplicates
