@@ -188,7 +188,12 @@ def minhash_udf(k: int, num_perm: int, seed: int, stop: np.ndarray | None = None
         sig = minhash_batch(content.tolist(), k, num_perm, seed, stop=stop)
         return pd.Series(list(sig))
 
-    return _minhash
+    # The kernel IS pure, but leaving it "deterministic" lets Catalyst
+    # collapse a downstream filter (band_buckets' sentinel exclusion)
+    # into the projection and evaluate the UDF TWICE per content scan
+    # (observed: two ArrowEvalPython nodes, tests/test_plans.py).
+    # Nondeterministic = optimizer barrier: single evaluation.
+    return _minhash.asNondeterministic()
 
 
 def combined_udf(
@@ -232,7 +237,10 @@ def combined_udf(
                 )
         return pd.DataFrame({"sig": list(sig), "simhash": simhash})
 
-    return _both
+    # optimizer barrier — see minhash_udf: prevents double evaluation
+    # when a sentinel filter or multiple field extractions reference
+    # the struct output in one collapsed projection
+    return _both.asNondeterministic()
 
 
 def estimated_jaccard_expr(sig_a: Column, sig_b: Column) -> Column:

@@ -1,0 +1,107 @@
+"""Physical-plan regression tests: lock in the plan shapes PLANS.md
+audits, so a refactor that silently reintroduces a scale-killer
+(SortMergeJoin in the funnel, content in a shuffle, lost pushdown or
+pruning) fails CI instead of surfacing at 100x the data.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def final_plan(df) -> str:
+    """Executed (AQE-final) plan string: run the df, then read its own
+    query execution. A fresh action like count() would plan a separate
+    query and prove nothing about this df's joins."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    from rmlint_spark.sources.tables import documents_as_files, load_table
+
+    return documents_as_files(load_table(spark, SF_DIR, "documents"))
+
+
+def test_funnel_no_sortmergejoin_no_content_refirst(spark, files):
+    """The round-1 perf killers, pinned forever: every funnel join must
+    resolve to a broadcast (survivor keys are tiny by design) and no
+    aggregate may re-materialize content via first()."""
+    from rmlint_spark.config import DEFAULT
+    from rmlint_spark.operators.exact import exact_clusters, pin_scope
+
+    with pin_scope(spark):
+        plan = final_plan(exact_clusters(files, DEFAULT))
+        assert "SortMergeJoin" not in plan
+        assert "first(content" not in plan and "first(text" not in plan
+        # content must not ride a shuffle: no Exchange keyed or carrying it
+        bad = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and ("content" in ln or "text#" in ln)
+        ]
+        assert not bad, bad
+
+
+def test_projection_prunes_content_from_scan(spark):
+    """Column pruning must reach the parquet reader: a metadata-only
+    projection's ReadSchema excludes the (dominant) text column."""
+    from rmlint_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(docs.select("doc_id", "lang"))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("text" not in ln for ln in read_schema)
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    from rmlint_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = formatted_plan(docs.filter(F.col("lang") == "en").select("doc_id"))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+
+
+def test_lsh_single_python_stage(spark, files):
+    """The signature UDF must be ONE ArrowEvalPython stage feeding the
+    band explode — a second Python stage means the kernel re-runs."""
+    from rmlint_spark.config import DEFAULT
+    from rmlint_spark.operators.lsh import band_buckets, with_signatures
+
+    import re
+
+    buckets = band_buckets(with_signatures(files, DEFAULT), DEFAULT)
+    plan = formatted_plan(buckets.groupBy("band_id", "band_hash").count())
+    # formatted output lists each node in the tree AND a details
+    # section — count the numbered detail entries
+    n_python = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n_python == 1, plan
+    # row-at-a-time Python must never appear anywhere
+    assert "BatchEvalPython" not in plan
+
+
+def test_band_shuffle_carries_no_content(spark, files):
+    from rmlint_spark.config import DEFAULT
+    from rmlint_spark.operators.lsh import band_buckets, with_signatures
+
+    buckets = band_buckets(with_signatures(files, DEFAULT), DEFAULT)
+    plan = final_plan(buckets.groupBy("band_id", "band_hash").count())
+    bad = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and ("content" in ln or "text#" in ln)
+    ]
+    assert not bad, bad
