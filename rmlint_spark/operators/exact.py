@@ -65,7 +65,10 @@ _HASHLIB_ALGOS = {
     "sha3-384": "sha3_384",
     "sha3-512": "sha3_512",
 }
-DIGEST_ALGOS = _JVM_ALGOS | set(_HASHLIB_ALGOS)
+# pure-Python ports of reference-only algorithms with no hashlib/JVM
+# equivalent (config compatibility, not a throughput path)
+_PURE_ALGOS = {"murmur"}
+DIGEST_ALGOS = _JVM_ALGOS | set(_HASHLIB_ALGOS) | _PURE_ALGOS
 
 
 def _hashlib_udf(fn_name: str):
@@ -96,6 +99,20 @@ def digest(col: Column | str, algo: str = "sha256") -> Column:
     if algo in _HASHLIB_ALGOS:
         c = F.col(col) if isinstance(col, str) else col
         return _hashlib_udf(_HASHLIB_ALGOS[algo])(c)
+    if algo == "murmur":
+        from rmlint_spark.functions.murmur import murmur3_x64_128
+
+        @F.pandas_udf("string")
+        def _murmur(content: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    murmur3_x64_128((s if s is not None else "").encode("utf-8")).hex()
+                    for s in content
+                ]
+            )
+
+        c = F.col(col) if isinstance(col, str) else col
+        return _murmur(c)
     if algo.startswith("sha"):
         return F.sha2(col, int(algo[3:]))
     if algo == "md5":

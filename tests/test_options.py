@@ -281,3 +281,20 @@ def test_gap_sessions_timezone_invariant(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert utc == est and len(utc) > 0
+
+
+def test_murmur_matches_canonical_vectors(spark):
+    # MurmurHash3 x64 128 (reference 'murmur' checksum type,
+    # lib/checksum.c:815-851): pinned to the canonical smhasher output
+    from rmlint_spark.functions.murmur import murmur3_x64_128
+    from rmlint_spark.operators.exact import digest
+
+    assert murmur3_x64_128(b"").hex() == "00000000000000000000000000000000"
+    assert (
+        murmur3_x64_128(b"The quick brown fox jumps over the lazy dog").hex()
+        == "6c1b07bc7bbc4be347939ac4a93c437a"
+    )
+    assert murmur3_x64_128(b"a").hex() == "897859f6655555855a890e51483ab5e6"
+    df = spark.createDataFrame([("hello",)], "content string")
+    (row,) = df.select(digest(F.col("content"), "murmur").alias("d")).collect()
+    assert row["d"] == murmur3_x64_128(b"hello").hex()
