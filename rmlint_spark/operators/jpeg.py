@@ -352,6 +352,47 @@ def _decode_scan(payload, start, frame, scomp, qtables, htables, dri):
 
 # ------------------------------------------------------------- encoder
 
+def _encode_gray(y: np.ndarray, h: int, w: int, ql: np.ndarray,
+                 restart_interval: int = 0) -> bytes:
+    """Single-component (luma) baseline JPEG — exercises the decoder's
+    1-component scan path; grayscale decode replicates to RGB."""
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    plane = np.pad(
+        y, ((0, mcuy * 8 - h), (0, mcux * 8 - w)), mode="edge"
+    ) - 128.0
+    dc_l = _encode_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_l = _encode_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    chunks, bw, pred, rst = [], _BitWriter(), 0, 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.pad()
+            chunks.append(bytes(bw.out))
+            chunks.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            bw = _BitWriter()
+            pred = 0
+        my, mx = divmod(m, mcux)
+        block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+        zz = np.round((_D8 @ block @ _D8.T).reshape(64) / ql).astype(np.int64)[_ZIGZAG]
+        pred = _encode_block(bw, zz, pred, dc_l, ac_l)
+    bw.pad()
+    chunks.append(bytes(bw.out))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in ql[_ZIGZAG]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    return out + b"".join(chunks) + b"\xff\xd9"
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -410,10 +451,11 @@ def _encode_block(bw, zz, pred, dc_codes, ac_codes):
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, grayscale: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF JPEG. ``subsample`` picks
     4:2:0 (2x2 mean-pooled chroma) over the default 4:4:4;
-    ``restart_interval`` > 0 emits RSTn markers every that many MCUs."""
+    ``restart_interval`` > 0 emits RSTn markers every that many MCUs;
+    ``grayscale`` emits a single-component (luma-only) scan."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     f = arr.astype(np.float64)
@@ -424,6 +466,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False,
     ql = _scaled_quant(_QUANT_LUM, quality)
     qc = _scaled_quant(_QUANT_CHROM, quality)
 
+    if grayscale:
+        return _encode_gray(y, h, w, ql, restart_interval)
     if subsample:
         samp = [(2, 2), (1, 1), (1, 1)]
         he, we = h + (h & 1), w + (w & 1)  # pad to even before pooling

@@ -875,3 +875,21 @@ def test_cross_format_frame_dedup(spark):
         shas.setdefault(r["asset_id"], set()).add(r["frame_sha"])
     assert len(shas[0]) == 4 and len(shas[1]) == 4
     assert len(shas[0] & shas[1]) == 3  # cross-container duplicates
+
+
+def test_jpeg_grayscale_single_component():
+    import numpy as np
+
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rmlint_spark.operators.multimodal import _features_for, _fake_features
+
+    x = np.linspace(0, 255, 24).astype(np.uint8)
+    img = np.repeat(np.tile(x, (16, 1))[:, :, None], 3, axis=2)
+    for dri in (0, 2):
+        payload = encode_jpeg(img, quality=95, grayscale=True, restart_interval=dri)
+        back = decode_jpeg(payload)
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 8
+    # real pixel-derived features for grayscale JPEGs too
+    p = encode_jpeg(img, quality=95, grayscale=True)
+    assert not np.allclose(_features_for(p), _fake_features(p))
