@@ -116,6 +116,9 @@ def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
     w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
     if w == 0 or h == 0:
         raise ValueError(f"invalid GIF dimensions {w}x{h}")
+    # untrusted-input guard: 65535x65535 would allocate ~12 GB canvases
+    if w * h > (1 << 26):
+        raise ValueError(f"GIF dimensions {w}x{h} exceed decoder bound")
     pos = 13
     gct = None
     if flags & 0x80:

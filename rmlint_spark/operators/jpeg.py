@@ -23,6 +23,13 @@ import numpy as np
 
 # ----------------------------------------------------------- constants
 
+# Untrusted-input guard: a crafted SOF claiming 65535x65535 would
+# allocate ~12 GB of component planes before any entropy data is
+# read. 64M pixels bounds the decode at ~200 MB while covering any
+# plausible training-data asset; larger headers raise ValueError and
+# the caller degrades to opaque bytes.
+MAX_PIXELS = 1 << 26
+
 _ZIGZAG = np.array([
      0,  1,  8, 16,  9,  2,  3, 10,
     17, 24, 32, 25, 18, 11,  4,  5,
@@ -249,6 +256,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit JPEG precision supported")
             if h == 0 or w == 0:
                 raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+            if h * w > MAX_PIXELS:
+                raise ValueError(f"JPEG dimensions {w}x{h} exceed decoder bound")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]

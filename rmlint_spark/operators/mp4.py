@@ -138,11 +138,16 @@ def _parse_trak(data: bytes, start: int, end: int) -> dict:
         (n_entries,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
         if b0 + 8 + 8 * n_entries > b1:
             raise ValueError("truncated MP4 stts")
-        deltas = []
+        deltas, total = [], 0
         for i in range(n_entries):
             cnt, delta = struct.unpack(
                 ">II", data[b0 + 8 + 8 * i : b0 + 16 + 8 * i]
             )
+            total += cnt
+            # untrusted-input guard: a single crafted run (cnt up to
+            # 2^32) would expand to a multi-GB list
+            if total > (1 << 24):
+                raise ValueError("MP4 stts sample count exceeds decoder bound")
             deltas.extend([delta] * cnt)
         tr["n_samples"] = len(deltas)
         tr["sample_deltas"] = deltas

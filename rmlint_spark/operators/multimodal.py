@@ -73,6 +73,13 @@ FEATURES_SCHEMA = (
 )
 
 
+# Untrusted-input guard shared by the image/video decoders: a crafted
+# header claiming huge dimensions must raise ValueError (degrade to
+# opaque bytes) BEFORE any allocation sized by it, never OOM the
+# executor. 64M pixels covers any plausible training-data asset.
+_MAX_PIXELS = 1 << 26
+
+
 # ---------------------------------------------------- pure-numpy codecs
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -379,6 +386,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} exceed decoder bound")
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth}")
     if color not in _PNG_CHANNELS:
@@ -388,7 +397,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("Adam7 interlaced PNG not supported")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    # bounded inflate: the expected raster size is known from the
+    # header, so a zip-bomb IDAT cannot balloon past it — one extra
+    # byte is requested only to DETECT oversized output
+    expected = h * (w * ch + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
+    if len(raw) > expected or not d.eof and d.unconsumed_tail:
+        raise ValueError("PNG decompressed size mismatch")
     px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
     if color == 2:  # RGB
         return px.reshape(h, w, 3)
@@ -517,6 +533,8 @@ def decode_y4m(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
             cs = tag.decode()
     if not w or not h or w <= 0 or h <= 0:
         raise ValueError("Y4M missing/invalid dimensions")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"Y4M dimensions {w}x{h} exceed decoder bound")
     if fps[0] <= 0 or fps[1] <= 0:
         raise ValueError("invalid Y4M frame rate")
     if cs == "Cmono":

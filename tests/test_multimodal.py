@@ -893,3 +893,70 @@ def test_jpeg_grayscale_single_component():
     # real pixel-derived features for grayscale JPEGs too
     p = encode_jpeg(img, quality=95, grayscale=True)
     assert not np.allclose(_features_for(p), _fake_features(p))
+
+
+def test_resource_bounds_on_crafted_headers():
+    """Untrusted-input hardening: headers claiming huge outputs must
+    raise ValueError BEFORE any allocation sized by them (degrade to
+    opaque bytes), never OOM the executor — the engine decodes
+    crawled bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rmlint_spark.operators.gif import decode_gif
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from rmlint_spark.operators.mp4 import encode_mp4_skeleton, parse_mp4
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        decode_png,
+        decode_y4m,
+    )
+
+    # JPEG: rewrite the SOF dimensions of a valid payload to 65535^2
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
+    sof = good.index(b"\xff\xc0")
+    huge = (
+        good[: sof + 5]
+        + struct.pack(">HH", 65535, 65535)
+        + good[sof + 9 :]
+    )
+    with pytest.raises(ValueError, match="exceed"):
+        decode_jpeg(huge)
+
+    # PNG: huge IHDR dims
+    bomb_ihdr = _png_raw(60000, 60000, 2, zlib.compress(b"\x00") * 0 + b"\x00")
+    with pytest.raises(ValueError, match="exceed"):
+        decode_png(bomb_ihdr)
+    # PNG: zip-bomb IDAT (plausible dims, inflated output larger than
+    # the header-implied raster) is detected without full inflation
+    w = h = 16
+    bomb = _png_raw(w, h, 2, b"\x00" * (10 * h * (3 * w + 1)))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(bomb)
+
+    # GIF: huge logical screen
+    gif = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="exceed"):
+        decode_gif(gif)
+
+    # Y4M: huge frame dims
+    with pytest.raises(ValueError, match="exceed"):
+        decode_y4m(b"YUV4MPEG2 W99999 H99999 F25:1 C444\nFRAME\n")
+
+    # MP4: stts run expanding to billions of samples
+    mp4 = encode_mp4_skeleton(n_frames=4)
+    stts_at = mp4.index(b"stts")
+    crafted = (
+        mp4[: stts_at + 12]
+        + struct.pack(">II", 2**31, 1000)
+        + mp4[stts_at + 20 :]
+    )
+    with pytest.raises(ValueError, match="exceed"):
+        parse_mp4(crafted)
+
+    # every guard degrades at the feature layer instead of failing
+    for p in (huge, bomb, gif):
+        assert np.allclose(_features_for(p), _fake_features(p))
