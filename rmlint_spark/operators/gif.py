@@ -110,7 +110,62 @@ def _color_table(payload: bytes, pos: int, n: int) -> tuple[np.ndarray, int]:
 
 def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
     """GIF -> (per-frame delays in ms, [(h, w, 3) uint8 RGB frames]).
-    Static GIFs return one frame with delay 0."""
+    Static GIFs return one frame with delay 0. Materializes every
+    frame; `iter_gif_frames` streams them one at a time (compositing
+    is inherently sequential, but only one canvas stays live)."""
+    delays, frames = [], []
+    for delay, frame in iter_gif_frames(payload):
+        delays.append(delay)
+        frames.append(frame)
+    return delays, frames
+
+
+def gif_metadata(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, duration_ms) from a structural walk —
+    validates block framing but skips LZW decode entirely, so probing
+    a video-sized GIF costs O(bytes), not O(pixels)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid GIF dimensions {w}x{h}")
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    n_frames = duration = delay_ms = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            if n_frames == 0:
+                raise ValueError("GIF has no image data")
+            return w, h, n_frames, duration
+        if b == 0x21:
+            if pos + 2 > len(payload):
+                raise ValueError("GIF truncated extension")
+            label = payload[pos + 1]
+            body, pos = _sub_blocks(payload, pos + 2)
+            if label == 0xF9 and len(body) >= 4:
+                delay_ms = struct.unpack("<H", body[1:3])[0] * 10
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("GIF truncated image descriptor")
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 7))
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before LZW data")
+        _data, pos = _sub_blocks(payload, pos + 1)
+        n_frames += 1
+        duration += delay_ms
+        delay_ms = 0
+    raise ValueError("GIF missing trailer")
+
+
+def iter_gif_frames(payload: bytes):
+    """Yield (delay_ms, (h, w, 3) uint8 RGB) per animation frame."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -127,17 +182,16 @@ def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
     if gct is not None and bg < len(gct):
         canvas[:] = gct[bg]
     bg_canvas = canvas.copy()
-    frames: list[np.ndarray] = []
-    delays: list[int] = []
+    n_frames = 0
     transparent = None
     delay_ms = 0
     disposal = 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
-            if not frames:
+            if n_frames == 0:
                 raise ValueError("GIF has no image data")
-            return delays, frames
+            return
         if b == 0x21:  # extension
             if pos + 2 > len(payload):
                 raise ValueError("GIF truncated extension")
@@ -190,8 +244,8 @@ def decode_gif(payload: bytes) -> tuple[list[int], list[np.ndarray]]:
             region = rgb
         composed = canvas.copy()
         composed[iy : iy + ih, ix : ix + iw] = region
-        frames.append(composed)
-        delays.append(delay_ms)
+        yield delay_ms, composed
+        n_frames += 1
         if disposal == 2:  # restore to background
             canvas = bg_canvas.copy()
         else:  # none / leave in place

@@ -508,74 +508,112 @@ def encode_y4m(frames: list[np.ndarray], fps: tuple[int, int] = (25, 1),
     return b"".join(out)
 
 
+class _Y4MLayout:
+    """Parsed container geometry. Frames are FIXED SIZE, so frame i
+    lives at a computable offset — random access without decoding the
+    frames before it (the property sample_frames exploits to decode
+    only sampled frames instead of materializing a whole video)."""
+
+    __slots__ = (
+        "fps", "cs", "plane_sizes", "frame_bytes", "data_start", "n_frames",
+        "_offsets",
+    )
+
+    def __init__(self, payload: bytes):
+        if not payload or not payload.startswith(_Y4M_SIG):
+            raise ValueError("not a YUV4MPEG2 payload")
+        nl = payload.find(b"\n")
+        if nl < 0:
+            raise ValueError("truncated Y4M header")
+        w = h = None
+        self.fps = (25, 1)
+        self.cs = "C420jpeg"  # spec default when no C tag present
+        for tag in payload[len(_Y4M_SIG):nl].split():
+            t, val = chr(tag[0]), tag[1:]
+            if t == "W":
+                w = int(val)
+            elif t == "H":
+                h = int(val)
+            elif t == "F":
+                num, den = val.split(b":")
+                self.fps = (int(num), int(den))
+            elif t == "C":
+                self.cs = tag.decode()
+        if not w or not h or w <= 0 or h <= 0:
+            raise ValueError("Y4M missing/invalid dimensions")
+        if w * h > _MAX_PIXELS:
+            raise ValueError(f"Y4M dimensions {w}x{h} exceed decoder bound")
+        if self.fps[0] <= 0 or self.fps[1] <= 0:
+            raise ValueError("invalid Y4M frame rate")
+        if self.cs == "Cmono":
+            self.plane_sizes = [(h, w)]
+        elif self.cs == "C444":
+            self.plane_sizes = [(h, w)] * 3
+        elif self.cs.startswith("C420"):
+            if w % 2 or h % 2:
+                raise ValueError("C420 needs even dimensions")
+            self.plane_sizes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
+        else:
+            raise ValueError(f"unsupported Y4M colorspace {self.cs}")
+        self.frame_bytes = sum(ph * pw for ph, pw in self.plane_sizes)
+        self.data_start = nl + 1
+        # validate the frame grid once: every frame is marker + raster
+        stride = self.frame_bytes
+        n, pos = 0, self.data_start
+        while pos < len(payload):
+            fnl = payload.find(b"\n", pos)
+            if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+                raise ValueError("malformed Y4M FRAME marker")
+            pos = fnl + 1
+            if pos + stride > len(payload):
+                raise ValueError("truncated Y4M frame")
+            pos += stride
+            n += 1
+        self.n_frames = n
+        self._offsets = None  # built lazily (FRAME lines may carry params)
+
+    def frame_offset(self, payload: bytes, idx: int) -> int:
+        if self._offsets is None:
+            offs, pos = [], self.data_start
+            for _ in range(self.n_frames):
+                pos = payload.find(b"\n", pos) + 1
+                offs.append(pos)
+                pos += self.frame_bytes
+            self._offsets = offs
+        return self._offsets[idx]
+
+    def duration_ms(self) -> int:
+        return self.n_frames * 1000 * self.fps[1] // self.fps[0]
+
+
+def _y4m_frame_at(payload: bytes, lay: _Y4MLayout, idx: int) -> np.ndarray:
+    pos = lay.frame_offset(payload, idx)
+    planes = []
+    for ph, pw in lay.plane_sizes:
+        planes.append(
+            np.frombuffer(payload[pos : pos + ph * pw], dtype=np.uint8).reshape(ph, pw)
+        )
+        pos += ph * pw
+    if lay.cs == "Cmono":
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    y = planes[0].astype(np.float64)
+    u, v = planes[1].astype(np.float64), planes[2].astype(np.float64)
+    if lay.cs.startswith("C420"):
+        u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+        v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    r = y + (v - 128.0) / 0.713
+    b = y + (u - 128.0) / 0.564
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def decode_y4m(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     """YUV4MPEG2 -> ((fps_num, fps_den), [(h, w, 3) uint8 RGB frames]).
-    Real uncompressed-video decode: C444, the C420 family (chroma
-    upsampled by pixel-doubling) and Cmono."""
-    if not payload or not payload.startswith(_Y4M_SIG):
-        raise ValueError("not a YUV4MPEG2 payload")
-    nl = payload.find(b"\n")
-    if nl < 0:
-        raise ValueError("truncated Y4M header")
-    w = h = None
-    fps = (25, 1)
-    cs = "C420jpeg"  # spec default when no C tag present
-    for tag in payload[len(_Y4M_SIG):nl].split():
-        t, val = chr(tag[0]), tag[1:]
-        if t == "W":
-            w = int(val)
-        elif t == "H":
-            h = int(val)
-        elif t == "F":
-            num, den = val.split(b":")
-            fps = (int(num), int(den))
-        elif t == "C":
-            cs = tag.decode()
-    if not w or not h or w <= 0 or h <= 0:
-        raise ValueError("Y4M missing/invalid dimensions")
-    if w * h > _MAX_PIXELS:
-        raise ValueError(f"Y4M dimensions {w}x{h} exceed decoder bound")
-    if fps[0] <= 0 or fps[1] <= 0:
-        raise ValueError("invalid Y4M frame rate")
-    if cs == "Cmono":
-        plane_sizes = [(h, w)]
-    elif cs == "C444":
-        plane_sizes = [(h, w)] * 3
-    elif cs.startswith("C420"):
-        if w % 2 or h % 2:
-            raise ValueError("C420 needs even dimensions")
-        plane_sizes = [(h, w), (h // 2, w // 2), (h // 2, w // 2)]
-    else:
-        raise ValueError(f"unsupported Y4M colorspace {cs}")
-    frame_bytes = sum(ph * pw for ph, pw in plane_sizes)
-    frames, pos = [], nl + 1
-    while pos < len(payload):
-        fnl = payload.find(b"\n", pos)
-        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
-            raise ValueError("malformed Y4M FRAME marker")
-        pos = fnl + 1
-        if pos + frame_bytes > len(payload):
-            raise ValueError("truncated Y4M frame")
-        planes = []
-        for ph, pw in plane_sizes:
-            planes.append(
-                np.frombuffer(payload[pos : pos + ph * pw], dtype=np.uint8).reshape(ph, pw)
-            )
-            pos += ph * pw
-        y = planes[0].astype(np.float64)
-        if cs == "Cmono":
-            rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
-        else:
-            u, v = planes[1].astype(np.float64), planes[2].astype(np.float64)
-            if cs.startswith("C420"):
-                u = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
-                v = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
-            r = y + (v - 128.0) / 0.713
-            b = y + (u - 128.0) / 0.564
-            g = (y - 0.299 * r - 0.114 * b) / 0.587
-            rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
-        frames.append(rgb)
-    return fps, frames
+    Materializes EVERY frame — convenient for tests and short clips;
+    the sampling paths use `_Y4MLayout` + `_y4m_frame_at` to decode
+    only the frames they touch."""
+    lay = _Y4MLayout(payload)
+    return lay.fps, [_y4m_frame_at(payload, lay, i) for i in range(lay.n_frames)]
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -691,14 +729,17 @@ _DECODE_ERRORS = (ValueError, struct.error, ZeroDivisionError, IndexError, _zlib
 
 def _video_features(payload: bytes) -> np.ndarray:
     """Real video descriptor: averaged image features over up to 4
-    evenly-spaced decoded frames, re-normalized. Deterministic."""
-    _fps, frames = decode_y4m(payload)
-    if not frames:
+    evenly-spaced frames, re-normalized. Deterministic. Decodes ONLY
+    the sampled frames (fixed-size Y4M frames are random-access), so
+    a long clip costs 4 frame decodes, not a full materialization."""
+    lay = _Y4MLayout(payload)
+    if lay.n_frames == 0:
         raise ValueError("Y4M with zero frames")
-    idx = sorted({(i * (len(frames) - 1)) // 3 for i in range(4)}) if len(frames) > 1 else [0]
-    v = np.mean([_image_features(frames[i]) for i in idx], axis=0)
-    n = np.linalg.norm(v)
-    return (v / n if n > 0 else v).astype(np.float32)
+    n = lay.n_frames
+    idx = sorted({(i * (n - 1)) // 3 for i in range(4)}) if n > 1 else [0]
+    v = np.mean([_image_features(_y4m_frame_at(payload, lay, i)) for i in idx], axis=0)
+    norm = np.linalg.norm(v)
+    return (v / norm if norm > 0 else v).astype(np.float32)
 
 
 def _features_for(payload: bytes) -> np.ndarray:
@@ -835,27 +876,48 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
             ):
                 p = bytes(payload) if payload is not None else b""
                 if p.startswith(_Y4M_SIG):
+                    # decode ONLY the sampled frames (random access into
+                    # the fixed-size frame grid); a frame sampled at
+                    # several timestamps is decoded/hashed once
                     try:
-                        (num, den), frames = decode_y4m(p)
-                        dur_ms = len(frames) * 1000 * den // num
+                        lay = _Y4MLayout(p)
+                        num, den = lay.fps
+                        dur_ms = lay.duration_ms()
+                        sha_cache: dict[int, str] = {}
                         for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
-                            fi = min(t_ms * num // (1000 * den), len(frames) - 1)
-                            emit(aid, i, t_ms,
-                                 hashlib.sha256(frames[fi].tobytes()).hexdigest())
+                            fi = min(t_ms * num // (1000 * den), lay.n_frames - 1)
+                            if fi not in sha_cache:
+                                sha_cache[fi] = hashlib.sha256(
+                                    _y4m_frame_at(p, lay, fi).tobytes()
+                                ).hexdigest()
+                            emit(aid, i, t_ms, sha_cache[fi])
                         continue
                     except _DECODE_ERRORS:
                         pass  # malformed Y4M: fall through to the stub path
                 if p[:6] in (b"GIF87a", b"GIF89a"):
+                    # single sequential pass (compositing is inherently
+                    # ordered) holding ONE canvas; only sampled frames
+                    # are hashed
                     try:
-                        from rmlint_spark.operators.gif import decode_gif
+                        from rmlint_spark.operators.gif import (
+                            gif_metadata,
+                            iter_gif_frames,
+                        )
 
-                        gdelays, gframes = decode_gif(p)
-                        starts = np.cumsum([0] + gdelays[:-1])
-                        dur_ms = int(sum(gdelays))
-                        for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
-                            fi = int(np.searchsorted(starts, t_ms, side="right")) - 1
-                            emit(aid, i, t_ms,
-                                 hashlib.sha256(gframes[fi].tobytes()).hexdigest())
+                        _w, _h, _n, dur_ms = gif_metadata(p)
+                        stamps = list(range(0, dur_ms, every_ms))
+                        si, t_acc = 0, 0
+                        for frame_delay, frame in iter_gif_frames(p):
+                            end = t_acc + frame_delay
+                            sha = None
+                            while si < len(stamps) and stamps[si] < end:
+                                if sha is None:
+                                    sha = hashlib.sha256(frame.tobytes()).hexdigest()
+                                emit(aid, si, stamps[si], sha)
+                                si += 1
+                            t_acc = end
+                            if si >= len(stamps):
+                                break
                         continue
                     except _DECODE_ERRORS:
                         pass  # malformed GIF: fall through to the stub path
@@ -914,17 +976,17 @@ def probe_videos(assets: DataFrame) -> DataFrame:
                 meta = None
                 try:
                     if p.startswith(_Y4M_SIG):
-                        (num, den), frames = decode_y4m(p)
-                        h, w = frames[0].shape[:2] if frames else (None, None)
-                        meta = ("y4m", len(frames) * 1000 * den // num, w, h,
-                                "rawvideo", len(frames))
+                        # header + frame-grid walk only: no pixel decode
+                        lay = _Y4MLayout(p)
+                        h, w = lay.plane_sizes[0]
+                        meta = ("y4m", lay.duration_ms(), w, h, "rawvideo",
+                                lay.n_frames)
                     elif p[:6] in (b"GIF87a", b"GIF89a"):
-                        from rmlint_spark.operators.gif import decode_gif
+                        # structural walk only: no LZW decode
+                        from rmlint_spark.operators.gif import gif_metadata
 
-                        gdelays, gframes = decode_gif(p)
-                        gh, gw = gframes[0].shape[:2]
-                        meta = ("gif", int(sum(gdelays)), gw, gh, "lzw",
-                                len(gframes))
+                        gw, gh, gn, gdur = gif_metadata(p)
+                        meta = ("gif", gdur, gw, gh, "lzw", gn)
                     elif p[4:8] == b"ftyp":
                         from rmlint_spark.operators.mp4 import parse_mp4
 
