@@ -422,6 +422,20 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/Dolma-style repetition quality signals, pure JVM
+    higher-order functions (no UDF): duplicate-line fraction and
+    distinct-word fraction per document."""
+    d = _docs(spark, sf_dir)
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        TX.dup_line_fraction(F.col("text")).alias("dup_line_frac"),
+        TX.uniq_word_fraction(F.col("text")).alias("uniq_word_frac"),
+    )
+
+
 def q_cc_components(spark, sf_dir):
     # iterative connected components over a derived edge list:
     # consecutive doc_ids sharing a lang form chain edges
@@ -628,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "duplicate_dirs": q_duplicate_dirs,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "cc_components": q_cc_components,
         "needs_new": q_needs_new,
         "rank_criteria": q_rank_criteria,
@@ -913,6 +928,24 @@ def oracle_sql() -> dict[str, str]:
                                    END, 1)) * 5, 1.0)
                    ) / 3 AS quality
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) <> '') AS lines,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS words
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN len(words) > 0
+                        THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                        ELSE 0.0 END AS uniq_word_frac
+            FROM l
         """,
         "cc_components": """
             WITH r AS (

@@ -107,3 +107,24 @@ def quality_score(col: Column) -> Column:
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 10)
     stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
     return ((len_score + punct_pen + stop_score) / 3).cast("double")
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line
+    — the classic boilerplate/spam signal from published pretraining
+    quality rules (duplicate-line filters). Pure JVM higher-order
+    functions; 0.0 for documents with no non-blank lines."""
+    lines = F.filter(F.split(col, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def uniq_word_fraction(col: Column) -> Column:
+    """Distinct-word fraction (low = heavy word repetition)."""
+    words = F.filter(F.split(col, " "), lambda x: F.length(x) > 0)
+    n = F.size(words)
+    return F.when(
+        n > 0, F.size(F.array_distinct(words)).cast("double") / n
+    ).otherwise(F.lit(0.0))
