@@ -105,3 +105,19 @@ def test_band_shuffle_carries_no_content(spark, files):
         if "Exchange" in ln and ("content" in ln or "text#" in ln)
     ]
     assert not bad, bad
+
+
+def test_combined_signatures_single_python_stage(spark, files):
+    """MinHash+SimHash come from ONE UDF call even though the plan
+    extracts two struct fields and a downstream sentinel filter exists
+    — the exact collapse that double-ran the MinHash kernel before the
+    UDFs became optimizer barriers."""
+    import re
+
+    from rmlint_spark.config import DEFAULT
+    from rmlint_spark.operators.lsh import band_buckets, with_combined_signatures
+
+    sigs = with_combined_signatures(files, DEFAULT)
+    composed = band_buckets(sigs, DEFAULT).groupBy("band_id", "band_hash").count()
+    plan = formatted_plan(composed)
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1, plan
