@@ -436,6 +436,27 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Top-bigram repetition fraction (the published n-gram repetition
+    quality rule): fraction of all bigram occurrences claimed by the
+    most frequent bigram. Explode -> two-level aggregation, all JVM;
+    docs with fewer than 2 words are excluded."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 0)
+    w = d.select("doc_id", words.alias("w")).filter(F.size("w") >= 2)
+    bigrams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))")
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+
+
 def q_cc_components(spark, sf_dir):
     # iterative connected components over a derived edge list:
     # consecutive doc_ids sharing a lang form chain edges
@@ -643,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_dirs": q_duplicate_dirs,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
+        "ngram_repetition": q_ngram_repetition,
         "cc_components": q_cc_components,
         "needs_new": q_needs_new,
         "rank_criteria": q_rank_criteria,
@@ -946,6 +968,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
                         ELSE 0.0 END AS uniq_word_frac
             FROM l
+        """,
+        "ngram_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            bg AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+              FROM w, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2),
+            c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+            SELECT doc_id,
+                   CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM c GROUP BY doc_id
         """,
         "cc_components": """
             WITH r AS (
