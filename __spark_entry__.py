@@ -457,6 +457,18 @@ def q_ngram_repetition(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram overlap rule): corpus docs
+    sharing any word 13-gram with a deterministic benchmark slice
+    (doc_id % 97 == 0). Benchmark grams broadcast; corpus grams never
+    shuffle (plan-asserted in tests/test_decontaminate.py)."""
+    from rmlint_spark.operators.decontaminate import contaminated_docs
+
+    d = _docs(spark, sf_dir)
+    benchmark = d.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    return contaminated_docs(d, benchmark, n=13)
+
+
 def q_cc_components(spark, sf_dir):
     # iterative connected components over a derived edge list:
     # consecutive doc_ids sharing a lang form chain edges
@@ -665,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "ngram_repetition": q_ngram_repetition,
+        "decontaminate": q_decontaminate,
         "cc_components": q_cc_components,
         "needs_new": q_needs_new,
         "rank_criteria": q_rank_criteria,
@@ -983,6 +996,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
                    CAST(SUM(c) AS BIGINT) AS n_bigrams
             FROM c GROUP BY doc_id
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(list_slice(w, i, i + 12), ' ') AS g
+              FROM w, UNNEST(generate_series(1, len(w) - 12)) AS u(i)
+              WHERE len(w) >= 13),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (SELECT doc_id, g FROM grams JOIN bench USING (g))
+            SELECT doc_id, COUNT(*) AS n_hits,
+                   COUNT(DISTINCT g) AS n_grams_matched
+            FROM hits GROUP BY doc_id
         """,
         "cc_components": """
             WITH r AS (
