@@ -469,6 +469,14 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(d, benchmark, n=13)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: greedy fill of 2048-token bins, shard-
+    parallel (one shuffle on the shard key; no global serial packer)."""
+    from rmlint_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), capacity=2048, n_shards=16)
+
+
 def q_cc_components(spark, sf_dir):
     # iterative connected components over a derived edge list:
     # consecutive doc_ids sharing a lang form chain edges
@@ -678,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "ngram_repetition": q_ngram_repetition,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "cc_components": q_cc_components,
         "needs_new": q_needs_new,
         "rank_criteria": q_rank_criteria,
@@ -1011,6 +1020,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_hits,
                    COUNT(DISTINCT g) AS n_grams_matched
             FROM hits GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                          END AS BIGINT) AS n_tokens,
+                     CAST(doc_id % 16 AS BIGINT) AS shard_id
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens, shard_id,
+                     SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS start
+              FROM t)
+            SELECT doc_id, n_tokens, shard_id,
+                   CAST(floor(start / 2048.0) AS BIGINT) AS bin_id,
+                   CAST(start % 2048 AS BIGINT) AS offset_in_bin
+            FROM c
         """,
         "cc_components": """
             WITH r AS (
