@@ -477,6 +477,33 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), capacity=2048, n_shards=16)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping-window chunking (embedding/RAG prep): split each
+    document into 512-char chunks with 64-char overlap, one exploded
+    row per chunk with a content fingerprint. Pure JVM sequence/
+    substring expressions — the chunk boundaries are arithmetic, so
+    text bytes never shuffle (the fingerprint is computed map-side)."""
+    size, overlap = 512, 64
+    step = size - overlap
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.length("text").alias("n"))
+    d = d.filter(F.col("n") > 0)
+    # chunk count = ceil(max(n - overlap, 1) / step)
+    n_chunks = F.ceil((F.greatest(F.col("n") - overlap, F.lit(1))) / F.lit(step))
+    c = d.select(
+        "doc_id", "text", "n",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx").cast("long") * step + 1).alias("chunk_start")  # 1-based
+    chunk = F.substring(F.col("text"), F.col("chunk_idx") * step + 1, size)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start,
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.sha2(chunk, 256).alias("chunk_sha"),
+    )
+
+
 def q_cc_components(spark, sf_dir):
     # iterative connected components over a derived edge list:
     # consecutive doc_ids sharing a lang form chain edges
@@ -687,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "cc_components": q_cc_components,
         "needs_new": q_needs_new,
         "rank_criteria": q_rank_criteria,
@@ -1038,6 +1066,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, shard_id,
                    CAST(floor(start / 2048.0) AS BIGINT) AS bin_id,
                    CAST(start % 2048 AS BIGINT) AS offset_in_bin
+            FROM c
+        """,
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE length(text) > 0),
+            c AS (
+              SELECT doc_id, text,
+                     CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(i * 448 + 1 AS BIGINT) AS chunk_start
+              FROM d, UNNEST(generate_series(
+                       0, CAST(ceil(greatest(n - 64, 1) / 448.0) AS BIGINT) - 1))
+                   AS u(i))
+            SELECT doc_id, chunk_idx, chunk_start,
+                   CAST(length(substr(text, chunk_start, 512)) AS BIGINT) AS chunk_len,
+                   sha256(substr(text, chunk_start, 512)) AS chunk_sha
             FROM c
         """,
         "cc_components": """
