@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure codec/hash kernels.
+
+These run WITHOUT Spark — the kernels are deterministic functions of
+bytes, so roundtrip laws over random inputs are the strongest cheap
+evidence they implement the formats, not just the fixed test vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _img(draw, max_side=24, channels=3):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    data = draw(st.binary(min_size=h * w * channels, max_size=h * w * channels))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, channels)
+
+
+images = st.composite(_img)()
+
+
+@settings(max_examples=30, deadline=None)
+@given(images, st.integers(0, 4))
+def test_png_roundtrip_any_image_any_filter(img, ft):
+    from rmlint_spark.operators.multimodal import decode_png, encode_png
+
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(images)
+def test_jpeg_q100_bounded_error_and_determinism(img):
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = encode_jpeg(img, quality=100)
+    assert payload == encode_jpeg(img, quality=100)
+    back = decode_jpeg(payload)
+    assert back.shape == img.shape
+    # q=100 quantizers are all 1: error bounded by DCT rounding
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(2, 8))
+def test_gif_lzw_roundtrip_any_bytes(data, min_code):
+    from rmlint_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    # LZW input symbols must fit the code size
+    clipped = bytes(b % (1 << min_code) for b in data)
+    assert _lzw_decode(_lzw_encode(clipped, min_code), min_code, len(clipped)) == clipped
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(1, 255), min_size=1, max_size=40), st.integers(1, 16))
+def test_gif_palette_roundtrip(pixels, w):
+    from rmlint_spark.operators.gif import decode_gif, encode_gif
+
+    # build an image from a small palette; pad to a full rectangle
+    h = -(-len(pixels) // w)
+    idx = np.zeros(h * w, dtype=np.uint8)
+    idx[: len(pixels)] = np.array(pixels, dtype=np.uint8) % 7
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+         [255, 255, 0], [0, 255, 255], [255, 0, 255]], dtype=np.uint8
+    )
+    img = pal[idx.reshape(h, w)]
+    _, frames = decode_gif(encode_gif(img))
+    assert np.array_equal(frames[0], img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_wav_aiff_sample_roundtrip(data):
+    from rmlint_spark.operators.multimodal import (
+        decode_aiff,
+        decode_wav,
+        encode_aiff,
+        encode_wav,
+    )
+
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    r, got = decode_wav(encode_wav(samples, rate=8000))
+    assert r == 8000 and np.array_equal(got, samples)
+    r, got = decode_aiff(encode_aiff(samples, rate=44100))
+    assert r == 44100 and np.array_equal(got, samples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=128))
+def test_murmur_streaming_stability(data):
+    # pure function: equal inputs -> equal 16-byte digests; a one-byte
+    # change changes the digest (collision over 128 random bits at
+    # these sizes would indicate a broken mixer)
+    from rmlint_spark.functions.murmur import murmur3_x64_128
+
+    d = murmur3_x64_128(data)
+    assert len(d) == 16 and d == murmur3_x64_128(data)
+    flipped = bytes([data[0] ^ 1]) + data[1:] if data else b"\x01"
+    assert murmur3_x64_128(flipped) != d
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=1, max_size=4),
+       st.integers(1, 30))
+def test_mp4_skeleton_roundtrip_params(_unused, n_frames):
+    from rmlint_spark.operators.mp4 import encode_mp4_skeleton, parse_mp4, sample_timestamps
+
+    m = parse_mp4(encode_mp4_skeleton(fps=(10, 1), n_frames=n_frames))
+    assert m["tracks"][0]["n_samples"] == n_frames
+    ts = sample_timestamps(m)
+    assert ts == [i * 100 for i in range(n_frames)]
