@@ -68,8 +68,8 @@ ASSET_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 FEATURES_SCHEMA = (
-    "asset_id long, kind string, n_bytes long, payload_sha string, "
-    f"features array<float>"
+    "asset_id long, kind string, format string, n_bytes long, "
+    "payload_sha string, features array<float>"
 )
 
 
@@ -742,6 +742,29 @@ def _video_features(payload: bytes) -> np.ndarray:
     return (v / norm if norm > 0 else v).astype(np.float32)
 
 
+def detect_format(payload: bytes) -> str:
+    """Magic-based format sniff — what pipelines route on instead of
+    the (often wrong) claimed mime type. 'opaque' = no known magic."""
+    p = payload or b""
+    if p[:2] in (b"P4", b"P5", b"P6"):
+        return "pnm"
+    if p.startswith(_PNG_SIG):
+        return "png"
+    if p[:2] == b"\xff\xd8":
+        return "jpeg"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    if p[:4] == b"FORM" and p[8:12] == b"AIFF":
+        return "aiff"
+    if p.startswith(_Y4M_SIG):
+        return "y4m"
+    if p[4:8] == b"ftyp":
+        return "mp4"
+    return "opaque"
+
+
 def _features_for(payload: bytes) -> np.ndarray:
     """Dispatch on payload magic: netpbm (P4/P5/P6), PNG, WAV/AIFF and
     Y4M video decode for real; entropy-coded formats fall back to the
@@ -774,6 +797,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
+                    "format": [detect_format(p) for p in payloads],
                     "n_bytes": [len(p or b"") for p in payloads],
                     "payload_sha": [hashlib.sha256(p or b"").hexdigest() for p in payloads],
                     "features": feats,

@@ -960,3 +960,33 @@ def test_resource_bounds_on_crafted_headers():
     # every guard degrades at the feature layer instead of failing
     for p in (huge, bomb, gif):
         assert np.allclose(_features_for(p), _fake_features(p))
+
+
+def test_format_sniffing(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.jpeg import encode_jpeg
+    from rmlint_spark.operators.multimodal import (
+        detect_format,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    assert detect_format(encode_ppm(img)) == "pnm"
+    assert detect_format(encode_png(img)) == "png"
+    assert detect_format(encode_jpeg(img)) == "jpeg"
+    assert detect_format(encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
+    assert detect_format(b"") == "opaque"
+    assert detect_format(None) == "opaque"
+    # extract_features carries the sniffed format (mime-mismatch
+    # detection: the asset CLAIMS octet-stream, the bytes are PNG)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(img)), "application/octet-stream",
+          None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    (row,) = extract_features(assets).collect()
+    assert row["format"] == "png"
