@@ -34,8 +34,11 @@ for real in pure numpy (no codec libraries exist in this container):
 - **MP4/MOV** — real container metadata (duration, dimensions, codec
   fourcc, stts sample timing via ``rmlint_spark.operators.mp4``);
   frame pixel decode would need H.264 and stays stubbed.
+- **BMP** — 24/32-bit uncompressed DIB, bottom-up or top-down rows.
+- **TIFF** — baseline 8-bit gray/RGB(A) strips, uncompressed or
+  PackBits, both byte orders.
 
-Remaining opaque formats (MP3, H.264 essence, BMP/TIFF...) fall back to the
+Remaining opaque formats (MP3, H.264 essence, WebP/HEIC...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
 asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
@@ -472,6 +475,217 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+# ----------------------------------------------- BMP (uncompressed DIB)
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP (bottom-up rows,
+    4-byte row padding)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    # BGR order, bottom-up, padded rows
+    bgr = arr[::-1, :, ::-1]
+    raster = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    return header + dib + raster
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed (BI_RGB) BMP -> (h, w, 3) uint8 RGB.
+    Handles bottom-up and top-down (negative height) rows, 4-byte row
+    padding; compressed/paletted variants raise ValueError."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    w, h, planes, bpp, comp = struct.unpack("<iiHHI", payload[18:34])
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"BMP dimensions {w}x{h} exceed decoder bound")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    need = stride * h
+    raster = payload[data_off : data_off + need]
+    if len(raster) != need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    rgb = np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+    return rgb if top_down else rgb[::-1]
+
+
+# --------------------------- TIFF (uncompressed / PackBits, 8-bit)
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # n+1 literal bytes
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits underruns strip")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal PackBits encoder (for tests): runs of >=3 repeats become
+    replicate packets, everything else literal packets."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        while (
+            i < len(data)
+            and i - start < 128
+            and not (i + 2 < len(data) and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out += bytes([i - start - 1]) + data[start:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF -> (h, w, 3) uint8: first IFD, 8-bit gray or RGB
+    (+alpha dropped), strip-organized, compression none (1) or
+    PackBits (32773), either byte order. Anything else raises
+    ValueError and degrades to opaque bytes."""
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def read_values(type_, count, raw):
+        size = _TYPE_SIZE.get(type_)
+        if size is None:
+            raise ValueError(f"unsupported TIFF field type {type_}")
+        total = size * count
+        if total <= 4:
+            buf = raw[:total]
+        else:
+            (off,) = struct.unpack(bo + "I", raw)
+            if off + total > len(payload):
+                raise ValueError("TIFF field overruns payload")
+            buf = payload[off : off + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[type_]
+        return list(struct.unpack(bo + fmt * count, buf))
+
+    tags = {}
+    for e in range(n_entries):
+        at = ifd_off + 2 + 12 * e
+        tag, type_, count = struct.unpack(bo + "HHI", payload[at : at + 8])
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279):
+            tags[tag] = read_values(type_, count, payload[at + 8 : at + 12])
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid TIFF dimensions {w}x{h}")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"TIFF dimensions {w}x{h} exceed decoder bound")
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF layout bits={bits} spp={spp}")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    raster = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip overruns payload")
+        strip = payload[off : off + cnt]
+        rows = min(rows_per_strip, remaining_rows)
+        expected = rows * w * spp
+        remaining_rows -= rows
+        raster += _packbits_decode(strip, expected) if comp == 32773 else strip[:expected]
+        if comp == 1 and len(strip) < expected:
+            raise ValueError("truncated TIFF strip")
+    if len(raster) != h * w * spp:
+        raise ValueError("TIFF raster size mismatch")
+    px = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        gray = px[:, :, 0]
+        if tags.get(262, [1])[0] == 0:  # WhiteIsZero
+            gray = 255 - gray
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> little-endian single-strip TIFF
+    (compression none or PackBits)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    raster = arr.tobytes()
+    if packbits:
+        raster = _packbits_encode(raster)
+    # layout: header(8) + IFD + bits-per-sample array + raster
+    entries = []
+
+    def entry(tag, type_, count, value):
+        entries.append(struct.pack("<HHII", tag, type_, count, value))
+
+    n = 9
+    ifd_size = 2 + 12 * n + 4
+    bps_off = 8 + ifd_size
+    data_off = bps_off + 6
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 3, bps_off)
+    entry(259, 3, 1, 32773 if packbits else 1)
+    entry(262, 3, 1, 2)  # RGB
+    entry(273, 4, 1, data_off)
+    entry(277, 3, 1, 3)
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, len(raster))
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    return (
+        b"II*\x00" + struct.pack("<I", 8) + ifd
+        + struct.pack("<HHH", 8, 8, 8) + raster
+    )
+
+
 # --------------------------------- Y4M video (YUV4MPEG2, uncompressed)
 
 _Y4M_SIG = b"YUV4MPEG2"
@@ -637,6 +851,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from rmlint_spark.operators.gif import decode_gif
 
         return decode_gif(payload)[1][0]  # first frame
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise NotImplementedError(
         "no codec for this image format; netpbm P4/P5/P6, PNG, baseline "
         "JPEG and GIF decode here"
@@ -645,9 +863,10 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def _is_decodable_image(payload: bytes) -> bool:
     return bool(payload) and (
-        payload[:2] in (b"P4", b"P5", b"P6", b"\xff\xd8")
+        payload[:2] in (b"P4", b"P5", b"P6", b"\xff\xd8", b"BM")
         or payload.startswith(_PNG_SIG)
         or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:4] in (b"II*\x00", b"MM\x00*")
     )
 
 
@@ -754,6 +973,10 @@ def detect_format(payload: bytes) -> str:
         return "jpeg"
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if p[:2] == b"BM":
+        return "bmp"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
     if p[:4] == b"FORM" and p[8:12] == b"AIFF":

@@ -15,10 +15,10 @@ from rmlint_spark.operators.multimodal import (
 
 
 def test_decode_codec_formats_still_stubbed():
-    # formats with no pure-numpy codec here (BMP images, MP3 audio)
+    # formats with no pure-numpy codec here (WebP images, MP3 audio)
     # keep the honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_image(b"BM-bmpbytes-here")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPwebpbytes")
     from rmlint_spark.operators.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
@@ -990,3 +990,102 @@ def test_format_sniffing(spark):
     )
     (row,) = extract_features(assets).collect()
     assert row["format"] == "png"
+
+
+def test_bmp_roundtrip_and_variants():
+    import struct
+
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        decode_bmp,
+        detect_format,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(41)
+    # odd widths exercise the 4-byte row padding
+    for shape in [(7, 5, 3), (8, 8, 3), (3, 11, 3), (1, 1, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert detect_format(encode_bmp(img)) == "bmp"
+    # 32-bit BGRA, top-down (negative height): hand-built
+    w, h = 4, 2
+    px = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, w * h * 4, 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54 + w * h * 4, 0, 0, 54) + dib + px.tobytes()
+    assert np.array_equal(decode_bmp(bmp), px[:, :, 2::-1])
+    # malformed + unsupported variants degrade
+    bads = [
+        b"BMshort",
+        encode_bmp(np.zeros((4, 4, 3), np.uint8))[:30],
+        # RLE8 compression flag
+        b"BM" + struct.pack("<IHHI", 60, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 1, 0, 0, 0, 0, 0) + b"\x00" * 6,
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+        assert np.allclose(_features_for(bad), _fake_features(bad))
+
+
+def test_tiff_roundtrip_packbits_and_byte_orders():
+    import struct
+
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+        _packbits_decode,
+        _packbits_encode,
+        decode_tiff,
+        detect_format,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(43)
+    for shape in [(6, 9, 3), (1, 1, 3), (16, 4, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(img)), img)
+        assert np.array_equal(decode_tiff(encode_tiff(img, packbits=True)), img)
+        assert np.array_equal(decode_image(encode_tiff(img)), img)
+    assert detect_format(encode_tiff(img)) == "tiff"
+    # PackBits kernel over arbitrary byte patterns
+    for data in [b"", b"\x00" * 300, bytes(range(256)), b"aaabccccdde", rng.bytes(500)]:
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+    # big-endian grayscale with WhiteIsZero photometric inversion
+    h, w = 3, 5
+    gray = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    entries = []
+
+    def e(tag, type_, count, value):
+        entries.append(struct.pack(">HHII", tag, type_, count, value))
+
+    n = 8
+    data_off = 8 + 2 + 12 * n + 4
+    e(256, 4, 1, w); e(257, 4, 1, h)
+    e(258, 3, 1, 8 << 16)       # SHORT inline values sit in the FIRST
+    e(259, 3, 1, 1 << 16)       # bytes of the value field (big-endian)
+    e(262, 3, 1, 0)             # WhiteIsZero
+    e(273, 4, 1, data_off); e(277, 3, 1, 1 << 16); e(279, 4, 1, h * w)
+    tif = (b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", n)
+           + b"".join(entries) + struct.pack(">I", 0) + gray.tobytes())
+    assert np.array_equal(
+        decode_tiff(tif), np.repeat((255 - gray)[:, :, None], 3, axis=2)
+    )
+    # malformed / unsupported degrade
+    bads = [
+        b"II*\x00\x08\x00\x00\x00",           # truncated IFD
+        encode_tiff(np.zeros((4, 4, 3), np.uint8))[:40],
+        encode_tiff(np.zeros((4, 4, 3), np.uint8)).replace(
+            struct.pack("<HHII", 259, 3, 1, 1),
+            struct.pack("<HHII", 259, 3, 1, 5), 1),  # LZW compression
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            decode_tiff(bad)
+        assert np.allclose(_features_for(bad), _fake_features(bad))
