@@ -112,3 +112,46 @@ def test_mp4_skeleton_roundtrip_params(_unused, n_frames):
     assert m["tracks"][0]["n_samples"] == n_frames
     ts = sample_timestamps(m)
     assert ts == [i * 100 for i in range(n_frames)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(images)
+def test_bmp_roundtrip_any_image(img):
+    from rmlint_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(images, st.booleans())
+def test_tiff_roundtrip_any_image(img, packbits):
+    from rmlint_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    assert np.array_equal(decode_tiff(encode_tiff(img, packbits=packbits)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_packbits_roundtrip_any_bytes(data):
+    from rmlint_spark.operators.multimodal import _packbits_decode, _packbits_encode
+
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(images)
+def test_format_sniff_matches_encoder(img):
+    from rmlint_spark.operators.jpeg import encode_jpeg
+    from rmlint_spark.operators.multimodal import (
+        detect_format,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_tiff,
+    )
+
+    for enc, fmt in [
+        (encode_ppm, "pnm"), (encode_png, "png"), (encode_jpeg, "jpeg"),
+        (encode_bmp, "bmp"), (encode_tiff, "tiff"),
+    ]:
+        assert detect_format(enc(img)) == fmt
