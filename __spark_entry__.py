@@ -457,6 +457,125 @@ def q_ngram_repetition(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Full Gopher document-quality rule set (Rae et al. 2021, §A1.1):
+    word-count bounds, mean word length, symbol-to-word ratio
+    (#/ellipsis), bullet/ellipsis line fractions, alphabetic-word
+    fraction, and the 2-of-8 stopword requirement — all pure JVM
+    higher-order functions, one pass, no shuffle (per-doc map)."""
+    from functools import reduce
+    from operator import add
+
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    w = d.select("doc_id", "text", words.alias("w"), lines.alias("l"))
+    n_words = F.size("w").cast("long")
+    n_lines = F.size("l").cast("long")
+    sum_len = F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_wl = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    symbols = (
+        TX.occurrences(F.col("text"), "#")
+        + TX.occurrences(F.col("text"), "...")
+        + TX.occurrences(F.col("text"), "…")
+    )
+    sym_ratio = F.when(n_words > 0, symbols.cast("double") / n_words).otherwise(F.lit(0.0))
+    bullets = F.size(F.filter("l", lambda x: F.substring(x, 1, 1).isin("-", "*", "•")))
+    ellipsis = F.size(F.filter("l", lambda x: x.endswith("...") | x.endswith("…")))
+    bullet_frac = F.when(n_lines > 0, bullets.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(n_lines > 0, ellipsis.cast("double") / n_lines).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = reduce(add, [F.array_contains("w", s).cast("int") for s in stops]).cast("long")
+    out = w.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return out.withColumn("gopher_pass", passes.cast("int"))
+
+
+def q_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020, §2.2): keep lines
+    ending in terminal punctuation with >=5 words and no 'javascript';
+    drop pages with 'lorem ipsum', a curly brace, or <3 kept lines.
+    The kept text is fingerprinted (sha256 of the rejoined lines) so
+    the full cleaning transform — not just the counts — is oracled.
+    Pure JVM per-doc map, no shuffle; text bytes never leave the
+    scan partition."""
+    d = _docs(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    keep = lambda x: (
+        x.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(x, " "), lambda t: F.length(t) > 0)) >= 5)
+        & ~F.lower(x).contains("javascript")
+    )
+    w = d.select("doc_id", "text", lines.alias("l"))
+    w = w.select("doc_id", "text", "l", F.filter("l", keep).alias("kept"))
+    n_lines = F.size("l").cast("long")
+    n_kept = F.size("kept").cast("long")
+    page_bad = (
+        F.lower(F.col("text")).contains("lorem ipsum")
+        | F.col("text").contains("{")
+        | (n_kept < 3)
+    )
+    return w.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.when(n_lines > 0, n_kept.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("kept_frac"),
+        (~page_bad).cast("int").alias("page_kept"),
+        F.sha2(F.array_join("kept", "\n"), 256).alias("kept_sha"),
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    # SemDeDup semantic dedup: the k-means cell assignment (seeded
+    # driver-side training, the one numpy stage SQL can't reproduce)
+    # goes to the side-channel; DuckDB replays the in-cell pair join,
+    # cosine threshold, and min-id keep rule from the same bytes.
+    from rmlint_spark.operators.ann import (
+        ivf_assignments,
+        semdedup,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, n_centroids=32)
+    assigns = ivf_assignments(emb, cent, n_probe=1)
+    path = f"{ORACLE_SIDE}/semdedup"
+    assigns.filter(F.col("is_home")).select("vec_id", "centroid_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    side = spark.read.parquet(path).withColumn("is_home", F.lit(True))
+    return semdedup(emb, assignments=side)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (13-gram overlap rule): corpus docs
     sharing any word 13-gram with a deterministic benchmark slice
@@ -712,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "ngram_repetition": q_ngram_repetition,
+        "gopher_rules": q_gopher_rules,
+        "c4_lines": q_c4_lines,
+        "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
@@ -1033,6 +1155,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
                    CAST(SUM(c) AS BIGINT) AS n_bigrams
             FROM c GROUP BY doc_id
+        """,
+        "gopher_rules": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS w,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS l
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(list_sum(list_transform(w, x -> length(x)))
+                                    AS DOUBLE) / len(w)
+                          ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(
+                              CAST((length(text) - length(replace(text, '#', ''))) / 1 AS BIGINT)
+                            + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+                            + CAST((length(text) - length(replace(text, '…', ''))) / 1 AS BIGINT)
+                               AS DOUBLE) / len(w)
+                          ELSE 0.0 END AS symbol_word_ratio,
+                     CASE WHEN len(l) > 0
+                          THEN CAST(len(list_filter(l, x -> x[1] IN ('-', '*', '•')))
+                                    AS DOUBLE) / len(l)
+                          ELSE 0.0 END AS bullet_line_frac,
+                     CASE WHEN len(l) > 0
+                          THEN CAST(len(list_filter(l, x -> x LIKE '%...'
+                                                         OR x LIKE '%…'))
+                                    AS DOUBLE) / len(l)
+                          ELSE 0.0 END AS ellipsis_line_frac,
+                     CASE WHEN len(w) > 0
+                          THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                                    AS DOUBLE) / len(w)
+                          ELSE 0.0 END AS alpha_word_frac,
+                     CAST(CAST(list_contains(w, 'the') AS INT)
+                        + CAST(list_contains(w, 'be') AS INT)
+                        + CAST(list_contains(w, 'to') AS INT)
+                        + CAST(list_contains(w, 'of') AS INT)
+                        + CAST(list_contains(w, 'and') AS INT)
+                        + CAST(list_contains(w, 'that') AS INT)
+                        + CAST(list_contains(w, 'have') AS INT)
+                        + CAST(list_contains(w, 'with') AS INT) AS BIGINT) AS n_stop
+              FROM base)
+            SELECT *,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop >= 2 AS INT) AS gopher_pass
+            FROM s
+        """,
+        "c4_lines": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS l
+              FROM documents),
+            k AS (
+              SELECT doc_id, text, l,
+                     list_filter(l, x -> regexp_matches(x, '[.!?"]$')
+                         AND len(list_filter(string_split(x, ' '),
+                                             t -> t <> '')) >= 5
+                         AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM base)
+            SELECT doc_id,
+                   CAST(len(l) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CASE WHEN len(l) > 0
+                        THEN CAST(len(kept) AS DOUBLE) / len(l)
+                        ELSE 0.0 END AS kept_frac,
+                   CAST(NOT (contains(lower(text), 'lorem ipsum')
+                          OR contains(text, '{')
+                          OR len(kept) < 3) AS INT) AS page_kept,
+                   sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_sha
+            FROM k
+        """,
+        "semdedup": f"""
+            WITH a AS (
+              SELECT vec_id, centroid_id
+              FROM read_parquet('{ORACLE_SIDE}/semdedup/*.parquet')),
+            e AS (
+              SELECT a.vec_id, a.centroid_id,
+                     CAST(emb.embedding AS DOUBLE[]) AS v
+              FROM a JOIN embeddings emb USING (vec_id)),
+            rm AS (
+              SELECT DISTINCT y.vec_id
+              FROM e x JOIN e y
+                ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.v, y.v) >= 0.35)
+            SELECT e.vec_id,
+                   CAST(e.centroid_id AS INT) AS centroid_id,
+                   CAST(rm.vec_id IS NULL AS INT) AS is_kept
+            FROM e LEFT JOIN rm ON e.vec_id = rm.vec_id
         """,
         "decontaminate": """
             WITH w AS (

@@ -551,3 +551,60 @@ def hyperplane_topk(
         all_buckets, embeddings, k, max_bucket, esc_cap, id_col, vec_col
     )
     return topk, dropped
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    tau: float = 0.35,
+    seed: int = 42,
+    assignments: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means clustering bounds the pairwise
+    work, then exact cosine within each cluster marks near-duplicates;
+    of every duplicate pair the smaller id survives (a deterministic,
+    SQL-replayable greedy keep rule — the paper keeps the member
+    farthest from the centroid; the survivor CHOICE is policy, the
+    duplicate SET is the semantics being tested).
+
+    Scale: pairwise cosine runs within a home cell only, so per-cell
+    cost is O((N/k)^2) and k (``n_centroids``) grows with the corpus to
+    hold the expected cell width constant — the standard SemDeDup
+    recipe. One shuffle on ``centroid_id``; the removed-set join is
+    id-only, vectors never leave their cell's partition.
+
+    ``assignments`` accepts a precomputed home-cell relation
+    (id, centroid_id, is_home) so an external oracle can replay the
+    in-cell pair join + threshold + keep rule from the same bytes
+    (the ann_ivf side-channel pattern).
+
+    Returns (id, centroid_id:int, is_kept:int).
+    """
+    if assignments is None:
+        cent = train_ivf_centroids(
+            embeddings, n_centroids, seed, id_col=id_col, vec_col=vec_col
+        )
+        assignments = ivf_assignments(embeddings, cent, n_probe=1, id_col=id_col, vec_col=vec_col)
+    home = assignments.filter(F.col("is_home")).select(
+        id_col, F.col("centroid_id").cast("int").alias("centroid_id")
+    )
+    emb = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    e = emb.join(home, id_col)
+    a = e.select("centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = e.select("centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    removed = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return home.join(removed, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.when(F.col("_rm").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("is_kept"),
+    )

@@ -1,0 +1,125 @@
+"""Planted-edge-case tests for the document-quality queries
+(gopher_rules, c4_lines) and SemDeDup semantic dedup.
+
+The queries read ``documents.parquet`` from an sf_dir, so each test
+writes a tiny planted corpus to tmp_path and calls the driver query on
+it — the same surface the correctness gate exercises."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+)
+entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry)
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [
+        (i, t, "en", "src", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to town "
+    "with a friend that may have seen it be fast of late "
+) * 3  # ~60 words, all rules satisfied
+
+
+def test_gopher_rules_each_rule_fails_independently(spark, tmp_path):
+    texts = [
+        GOOD,                                        # 0: passes
+        "short text only",                           # 1: < 50 words
+        GOOD + " ###" * 20,                          # 2: symbol ratio > 0.1
+        "\n".join(["- " + GOOD[:20]] * 10),          # 3: 100% bullet lines (also <50 words)
+        GOOD.replace("the", "xx").replace("and", "yy")
+        .replace("to", "zz").replace("of", "qq")
+        .replace("that", "rr").replace("with", "ss")
+        .replace("have", "tt").replace("be", "uu"),  # 4: zero stopwords
+        " ".join(["a"] * 60),                        # 5: mean word len < 3
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = {r["doc_id"]: r.asDict() for r in entry.q_gopher_rules(spark, sf).collect()}
+    assert got[0]["gopher_pass"] == 1
+    assert got[1]["gopher_pass"] == 0 and got[1]["n_words"] < 50
+    assert got[2]["gopher_pass"] == 0 and got[2]["symbol_word_ratio"] > 0.1
+    assert got[3]["gopher_pass"] == 0 and got[3]["bullet_line_frac"] == 1.0
+    assert got[4]["gopher_pass"] == 0 and got[4]["n_stop"] < 2
+    assert got[5]["gopher_pass"] == 0 and got[5]["mean_word_len"] < 3.0
+    # empty-ish doc divides nothing by zero
+    sf2 = _write_docs(spark, tmp_path, [""])
+    row = entry.q_gopher_rules(spark, sf2).collect()[0]
+    assert row["n_words"] == 0 and row["gopher_pass"] == 0
+
+
+def test_c4_lines_keep_and_page_rules(spark, tmp_path):
+    keep1 = "this line has five good words."
+    keep2 = "another line that also keeps going fine!"
+    keep3 = "a third keeper sentence ends with a question mark?"
+    texts = [
+        # 0: three kept lines -> page kept
+        "\n".join([keep1, keep2, keep3, "no punct line here", "too short."]),
+        # 1: javascript line dropped -> only 2 kept -> page dropped
+        "\n".join([keep1, keep2, "enable javascript to view this page."]),
+        # 2: lorem ipsum poisons the page even with 3 kept lines
+        "\n".join([keep1, keep2, keep3, "lorem ipsum dolor sit amet."]),
+        # 3: curly brace poisons the page
+        "\n".join([keep1, keep2, keep3, "function f() { return 1; }"]),
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = {r["doc_id"]: r.asDict() for r in entry.q_c4_lines(spark, sf).collect()}
+    assert got[0]["page_kept"] == 1 and got[0]["n_kept"] == 3
+    assert got[1]["page_kept"] == 0 and got[1]["n_kept"] == 2
+    assert got[2]["page_kept"] == 0 and got[2]["n_kept"] == 4
+    assert got[3]["page_kept"] == 0
+    # the kept fingerprint is the sha of the rejoined kept lines
+    import hashlib
+
+    want = hashlib.sha256("\n".join([keep1, keep2, keep3]).encode()).hexdigest()
+    assert got[0]["kept_sha"] == want
+
+
+def test_semdedup_min_id_survivor(spark):
+    from rmlint_spark.operators.ann import semdedup
+
+    # two cells; cell 0 holds an identical pair (0,1) and an unrelated
+    # orthogonal vector 2; cell 1 holds a near-pair (3,4) and a far 5
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.0, 0.1, 1.0]),
+            (5, [0.0, -1.0, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    assigns = spark.createDataFrame(
+        [(i, i // 3, True) for i in range(6)],
+        "vec_id long, centroid_id int, is_home boolean",
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, tau=0.9, assignments=assigns).collect()}
+    assert out[0]["is_kept"] == 1       # min id of the dup pair survives
+    assert out[1]["is_kept"] == 0       # cos(0,1)=1 >= 0.9 -> removed
+    assert out[2]["is_kept"] == 1       # orthogonal: kept
+    assert out[3]["is_kept"] == 1       # cos(3,4)=0.995 -> 3 kept,
+    assert out[4]["is_kept"] == 0       #                   4 removed
+    assert out[5]["is_kept"] == 1
+    # cross-cell near-dups are NOT compared (coarse-quantizer contract)
+    assigns2 = spark.createDataFrame(
+        [(0, 0, True), (1, 1, True)],
+        "vec_id long, centroid_id int, is_home boolean",
+    )
+    out2 = semdedup(emb.filter(F.col("vec_id") < 2), tau=0.9, assignments=assigns2)
+    assert all(r["is_kept"] == 1 for r in out2.collect())

