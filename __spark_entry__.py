@@ -778,6 +778,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_audio_probe(spark, sf_dir):
+    """ffprobe-analog audio metadata sweep over REAL containers:
+    probe_audio walks WAV/AIFF chunk lists, FLAC STREAMINFO, and MP3
+    MPEG frame headers (header-only, no sample decode). The probe
+    table goes to the side-channel; DuckDB recomputes the per-container
+    rollup from the same bytes (header-walk determinism itself is
+    pinned by tests/test_multimodal.py::test_probe_audio)."""
+    from rmlint_spark.operators.multimodal import probe_audio, synthetic_audio_assets
+
+    probes = probe_audio(synthetic_audio_assets(spark, n=48))
+    path = f"{ORACLE_SIDE}/audio_probe"
+    probes.write.mode("overwrite").parquet(path)
+    p = spark.read.parquet(path)
+    return p.groupBy("container").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.countDistinct("sample_rate").alias("n_rates"),
+        F.sum("n_samples").alias("total_samples"),
+        F.min("bitrate_kbps").alias("min_kbps"),
+        F.max("bitrate_kbps").alias("max_kbps"),
+    )
+
+
 def q_frame_dedup(spark, sf_dir):
     """Cross-video duplicate-frame detection over REAL containers:
     sample_frames decodes Y4M and animated-GIF payloads (pure
@@ -847,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_clones": q_substring_clones,
         "multimodal_features": q_multimodal_features,
+        "audio_probe": q_audio_probe,
         "frame_dedup": q_frame_dedup,
         "ann_hyperplane": q_ann_hyperplane,
         "ann_ivf": q_ann_ivf,
@@ -1471,6 +1495,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT asset_id, kind, CAST(64 AS BIGINT) AS n_bytes,
                    sha256(sha256('payload-42-' || CAST(pseed AS VARCHAR))) AS payload_sha
             FROM a
+        """,
+        "audio_probe": f"""
+            SELECT container,
+                   COUNT(*) AS n_assets,
+                   CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+                   COUNT(DISTINCT sample_rate) AS n_rates,
+                   CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+                   MIN(bitrate_kbps) AS min_kbps,
+                   MAX(bitrate_kbps) AS max_kbps
+            FROM read_parquet('{ORACLE_SIDE}/audio_probe/*.parquet')
+            GROUP BY container
         """,
         "frame_dedup": f"""
             SELECT frame_sha,

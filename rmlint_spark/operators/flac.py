@@ -1,0 +1,438 @@
+"""FLAC and MP3 audio container parsing, pure stdlib + numpy.
+
+FLAC here is a real SUBSET codec, not a probe-only stub: STREAMINFO
+and the frame grammar (sync code, UTF-8 coded frame number, CRC-8
+header check, CRC-16 frame check) parse for real, and frames whose
+subframes are VERBATIM or CONSTANT decode to bit-exact samples.  The
+predictive subframe types (FIXED/LPC + Rice residuals) raise
+``ValueError`` so callers degrade to the metadata path — the same
+honest-subset policy the JPEG decoder takes for progressive scans.
+:func:`encode_flac` emits verbatim frames, so encode→decode roundtrips
+losslessly and cross-container duplicate detection (the same PCM pool
+encoded as WAV, AIFF and FLAC) works on decoded bytes.
+
+MP3 is metadata-only (an MPEG audio frame-header walk: ID3v2 skip,
+bitrate/samplerate tables, Xing/Info VBR header detection).  Full MP3
+audio decode needs a polyphase filterbank and stays honestly out of
+scope; the WALK is real, which is all ``probe_audio`` needs.
+
+Format grammar is public spec material: RFC 9639 (FLAC) and ISO/IEC
+11172-3 (MPEG-1 audio).  The reference tool treats audio files as
+opaque byte streams (lib/hasher.c reads raw blocks); typed audio
+metadata is part of this engine's training-pipeline surface instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- CRC
+
+# FLAC frame-header CRC-8 (poly x^8+x^2+x+1 = 0x07, init 0)
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+# FLAC frame CRC-16 (poly x^16+x^15+x^2+1 = 0x8005, init 0)
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC8_TABLE[c ^ byte]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC16_TABLE[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bytepos = pos
+        self.bitpos = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            if self.bytepos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            bit = (self.data[self.bytepos] >> (7 - self.bitpos)) & 1
+            v = (v << 1) | bit
+            self.bitpos += 1
+            if self.bitpos == 8:
+                self.bitpos = 0
+                self.bytepos += 1
+        return v
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.bytepos += 1
+
+
+# ------------------------------------------------- FLAC STREAMINFO
+
+_FLAC_MAGIC = b"fLaC"
+
+
+def flac_streaminfo(payload: bytes) -> dict:
+    """Parse the mandatory STREAMINFO metadata block: (min/max block
+    size, min/max frame size, sample rate, channels, bits/sample,
+    total samples, MD5 of the unencoded audio).  Raises ``ValueError``
+    on anything that is not a structurally valid FLAC stream head."""
+    if len(payload) < 42 or payload[:4] != _FLAC_MAGIC:
+        raise ValueError("not a FLAC payload")
+    btype = payload[4] & 0x7F
+    (blen,) = struct.unpack(">I", b"\x00" + payload[5:8])
+    if btype != 0 or blen != 34:
+        raise ValueError("FLAC stream must start with a 34-byte STREAMINFO")
+    b = payload[8:42]
+    min_bs, max_bs = struct.unpack(">HH", b[:4])
+    min_fs = int.from_bytes(b[4:7], "big")
+    max_fs = int.from_bytes(b[7:10], "big")
+    packed = int.from_bytes(b[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC STREAMINFO sample rate is 0")
+    return {
+        "min_block_size": min_bs,
+        "max_block_size": max_bs,
+        "min_frame_size": min_fs,
+        "max_frame_size": max_fs,
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "total_samples": total,
+        "audio_md5": b[18:34].hex(),
+        "duration_ms": int(total * 1000 // rate) if total else 0,
+    }
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of the frame number."""
+    if n < 0x80:
+        return bytes([n])
+    out, prefixes = [], {1: 0xC0, 2: 0xE0, 3: 0xF0, 4: 0xF8, 5: 0xFC}
+    cont = 0
+    while True:
+        cont += 1
+        out.append(0x80 | (n & 0x3F))
+        n >>= 6
+        if n < (0x40 >> cont):
+            out.append(prefixes[cont] | n)
+            return bytes(reversed(out))
+
+
+def _read_utf8_coded(r: "_BitReader") -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    ones = 0
+    while (first << ones) & 0x80:
+        ones += 1
+    if ones < 2 or ones > 7:
+        raise ValueError("invalid FLAC UTF-8 coded number")
+    v = first & (0x7F >> ones)
+    for _ in range(ones - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC UTF-8 continuation byte")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+# sample-rate codes with an exact table entry (others use end-of-header fields)
+_RATE_CODES = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+_RATE_FROM_CODE = {v: k for k, v in _RATE_CODES.items()}
+
+
+def encode_flac(samples: np.ndarray, rate: int = 16000,
+                block_size: int = 4096) -> bytes:
+    """int16 mono samples -> FLAC bytes (verbatim subframes: lossless,
+    zero prediction — the subset :func:`decode_flac` decodes)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if rate not in _RATE_CODES:
+        raise ValueError(f"unsupported FLAC sample rate {rate}")
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    packed = (rate << 44) | (0 << 41) | ((16 - 1) << 36) | len(s)
+    streaminfo = (
+        struct.pack(">HH", block_size, block_size)
+        + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+        + packed.to_bytes(8, "big") + md5
+    )
+    out = bytearray(_FLAC_MAGIC)
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    for fno, start in enumerate(range(0, len(s), block_size)):
+        blk = s[start : start + block_size]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)      # sync
+        w.write(0, 1)                       # reserved
+        w.write(0, 1)                       # fixed-blocksize stream
+        w.write(0b0111, 4)                  # blocksize: 16-bit field at end
+        w.write(_RATE_CODES[rate], 4)
+        w.write(0, 4)                       # channel assignment: mono
+        w.write(0b100, 3)                   # sample size: 16 bits
+        w.write(0, 1)                       # reserved
+        hdr = w.bytes() + _utf8_coded(fno) + struct.pack(">H", len(blk) - 1)
+        hdr += bytes([_crc8(hdr)])
+        body = _BitWriter()
+        body.write(0, 1)                    # subframe pad bit
+        body.write(0b000001, 6)             # VERBATIM
+        body.write(0, 1)                    # no wasted bits
+        for v in blk.tolist():
+            body.write(int(v) & 0xFFFF, 16)
+        body.pad_to_byte()
+        frame = hdr + body.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+_BLOCKSIZE_FROM_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                        8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                        13: 8192, 14: 16384, 15: 32768}
+_BITS_FROM_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """FLAC -> (sample_rate, int16 samples) for the verbatim/constant
+    subset.  CRC-8 (header) and CRC-16 (frame) are verified; a FIXED
+    or LPC subframe raises ``ValueError`` (unsupported subset) so the
+    caller can degrade to metadata-only handling."""
+    info = flac_streaminfo(payload)
+    if info["channels"] != 1 or info["bits_per_sample"] != 16:
+        raise ValueError("FLAC subset decoder handles mono 16-bit only")
+    # skip metadata blocks
+    pos = 4
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        last = payload[pos] & 0x80
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4 + blen
+        if last:
+            break
+    chunks: list[np.ndarray] = []
+    while pos < len(payload):
+        r = _BitReader(payload, pos)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("FLAC frame sync lost")
+        r.read(1)                           # reserved
+        r.read(1)                           # blocking strategy
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        chan = r.read(4)
+        size_code = r.read(3)
+        r.read(1)                           # reserved
+        if chan != 0:
+            raise ValueError("FLAC subset decoder handles mono only")
+        _read_utf8_coded(r)
+        if bs_code == 0b0110:
+            blocksize = r.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = r.read(16) + 1
+        elif bs_code in _BLOCKSIZE_FROM_CODE:
+            blocksize = _BLOCKSIZE_FROM_CODE[bs_code]
+        else:
+            raise ValueError(f"invalid FLAC blocksize code {bs_code}")
+        if rate_code == 12:
+            r.read(8)
+        elif rate_code in (13, 14):
+            r.read(16)
+        elif rate_code not in _RATE_FROM_CODE and rate_code != 0:
+            raise ValueError(f"invalid FLAC sample-rate code {rate_code}")
+        bits = _BITS_FROM_CODE.get(size_code, info["bits_per_sample"])
+        if bits != 16:
+            raise ValueError("FLAC subset decoder handles 16-bit only")
+        hdr_end = r.bytepos + (1 if r.bitpos else 0)
+        if _crc8(payload[pos:hdr_end]) != payload[hdr_end]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        r = _BitReader(payload, hdr_end + 1)
+        r.read(1)                           # subframe pad bit
+        stype = r.read(6)
+        wasted = r.read(1)
+        if wasted:
+            raise ValueError("FLAC wasted-bits subframes unsupported")
+        if stype == 0b000000:               # CONSTANT
+            v = r.read(16)
+            v -= 1 << 16 if v & 0x8000 else 0
+            blk = np.full(blocksize, v, dtype=np.int16)
+        elif stype == 0b000001:             # VERBATIM
+            vals = [r.read(16) for _ in range(blocksize)]
+            blk = np.array(vals, dtype=np.uint16).astype(np.int16)
+        else:
+            raise ValueError(
+                f"FLAC subframe type {stype:#08b} outside verbatim/constant subset"
+            )
+        r.align()
+        crc_pos = r.bytepos
+        if crc_pos + 2 > len(payload):
+            raise ValueError("FLAC frame CRC truncated")
+        (want,) = struct.unpack(">H", payload[crc_pos : crc_pos + 2])
+        if _crc16(payload[pos:crc_pos]) != want:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        chunks.append(blk)
+        pos = crc_pos + 2
+    samples = np.concatenate(chunks) if chunks else np.array([], dtype=np.int16)
+    if info["total_samples"] and len(samples) != info["total_samples"]:
+        raise ValueError("FLAC sample count disagrees with STREAMINFO")
+    if hashlib.md5(samples.astype("<i2").tobytes()).hexdigest() != info["audio_md5"]:
+        raise ValueError("FLAC audio MD5 mismatch")
+    return info["sample_rate"], samples
+
+
+# ------------------------------------------------------------- MP3
+
+# bitrate (kbps) tables, index 1..14; index 0 = free format, 15 = bad
+_MP3_BITRATES = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              25: [11025, 12000, 8000]}
+_SAMPLES_PER_FRAME = {(1, 3): 1152, (2, 3): 576, (25, 3): 576}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none) — the size
+    field is 4 syncsafe (7-bit) bytes."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    b = payload[6:10]
+    if any(x & 0x80 for x in b):
+        return 0
+    size = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+    return 10 + size
+
+
+def encode_mp3_stub(n_frames: int, bitrate_kbps: int = 128,
+                    rate: int = 44100, id3_bytes: int = 0) -> bytes:
+    """Structurally valid MPEG-1 Layer III frame sequence with ZEROED
+    audio payloads (clearly a stub: real Huffman audio data would need
+    an encoder).  The frame HEADERS are spec-exact, which is what the
+    metadata walk consumes — analogous to the MP4 path where container
+    timing is real and pixel decode is stubbed."""
+    vtab = _MP3_BITRATES[(1, 3)]
+    if bitrate_kbps not in vtab[1:]:
+        raise ValueError(f"invalid MPEG-1 L3 bitrate {bitrate_kbps}")
+    if rate not in _MP3_RATES[1]:
+        raise ValueError(f"invalid MPEG-1 sample rate {rate}")
+    out = bytearray(b"ID3" + bytes([4, 0, 0]) +
+                    bytes([(id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+                           (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F]) +
+                    b"\x00" * id3_bytes) if id3_bytes else bytearray()
+    br_idx = vtab.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[1].index(rate)
+    for _ in range(n_frames):
+        hdr = (0xFFF << 20) | (0b11 << 19) | (0b01 << 17) | (1 << 16)  # MPEG1 L3, no CRC
+        hdr |= (br_idx << 12) | (sr_idx << 10) | (0 << 9)              # no padding
+        hdr |= 0b11 << 6                                               # mono
+        flen = 144 * bitrate_kbps * 1000 // rate
+        out += hdr.to_bytes(4, "big") + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """MPEG audio frame-header walk: skips a leading ID3v2 tag, then
+    parses each frame header (version, layer, bitrate, sample rate,
+    padding) to step exact frame lengths.  Returns frame count, summed
+    duration, mean bitrate, VBR flag (bitrate varies across frames or
+    a Xing/Info tag is present).  Raises ``ValueError`` if no valid
+    frame sync is found where one is required."""
+    pos = _id3v2_size(payload)
+    has_id3 = pos > 0
+    n, dur_ms, bitrates, rate_out, channels = 0, 0.0, set(), None, None
+    kbps_sum, xing = 0, False
+    while pos + 4 <= len(payload):
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            if n == 0:
+                raise ValueError("no MPEG frame sync at stream start")
+            break  # trailing tag (e.g. ID3v1) — stop cleanly
+        ver_bits = (hdr >> 19) & 0x3
+        version = {0b11: 1, 0b10: 2, 0b00: 25}.get(ver_bits)
+        layer = {0b01: 3, 0b10: 2, 0b11: 1}.get((hdr >> 17) & 0x3)
+        if version is None or layer != 3:
+            raise ValueError("unsupported MPEG version/layer")
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 0x3
+        padding = (hdr >> 9) & 0x1
+        mode = (hdr >> 6) & 0x3
+        vtab = _MP3_BITRATES[(min(version, 2), 3)]
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/invalid MP3 frame header")
+        kbps = vtab[br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        spf = _SAMPLES_PER_FRAME[(version, 3)]
+        flen = spf // 8 * kbps * 1000 // rate + padding
+        if flen <= 4 or pos + flen > len(payload):
+            break  # final truncated frame: count what fully fits
+        side_info = (32 if mode != 0b11 else 17) if version == 1 else \
+                    (17 if mode != 0b11 else 9)
+        tag_off = pos + 4 + side_info
+        if n == 0 and payload[tag_off : tag_off + 4] in (b"Xing", b"Info"):
+            xing = True
+        bitrates.add(kbps)
+        kbps_sum += kbps
+        rate_out, channels = rate, (1 if mode == 0b11 else 2)
+        dur_ms += spf * 1000.0 / rate
+        n += 1
+        pos += flen
+    if n == 0:
+        raise ValueError("no complete MPEG audio frame")
+    return {
+        "n_frames": n,
+        "duration_ms": int(round(dur_ms)),
+        "sample_rate": rate_out,
+        "channels": channels,
+        "bitrate_kbps": int(round(kbps_sum / n)),
+        "vbr": xing or len(bitrates) > 1,
+        "id3v2": has_id3,
+    }

@@ -871,14 +871,21 @@ def _is_decodable_image(payload: bytes) -> bool:
 
 
 def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode an audio payload. WAV (RIFF/PCM16) and AIFF (FORM/AIFF
-    PCM16) decode in pure numpy."""
+    """Decode an audio payload. WAV (RIFF/PCM16), AIFF (FORM/AIFF
+    PCM16) and FLAC (verbatim/constant subset, CRC-verified) decode in
+    pure numpy — the same PCM pool encoded in any of the three yields
+    bit-identical samples, so duplicate audio is found ACROSS
+    container formats."""
     if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload and payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         return decode_aiff(payload)
+    if payload and payload[:4] == b"fLaC":
+        from rmlint_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "no codec for this audio format; only WAV/AIFF PCM16 decode here"
+        "no codec for this audio format; WAV/AIFF/FLAC PCM16 decode here"
     )
 
 
@@ -981,6 +988,10 @@ def detect_format(payload: bytes) -> str:
         return "wav"
     if p[:4] == b"FORM" and p[8:12] == b"AIFF":
         return "aiff"
+    if p[:4] == b"fLaC":
+        return "flac"
+    if p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and p[1] & 0xE0 == 0xE0):
+        return "mp3"
     if p.startswith(_Y4M_SIG):
         return "y4m"
     if p[4:8] == b"ftyp":
@@ -999,6 +1010,10 @@ def _features_for(payload: bytes) -> np.ndarray:
             return _audio_features(*decode_wav(payload))
         if payload and payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
             return _audio_features(*decode_aiff(payload))
+        if payload and payload[:4] == b"fLaC":
+            from rmlint_spark.operators.flac import decode_flac
+
+            return _audio_features(*decode_flac(payload))
         if payload and payload.startswith(_Y4M_SIG):
             return _video_features(payload)
     except _DECODE_ERRORS:
@@ -1322,4 +1337,136 @@ def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         duration.alias("duration_ms"),
+    )
+
+
+# ------------------------------------------------- audio probing
+
+def _wav_info(p: bytes) -> tuple[int, int, int, int]:
+    """(rate, channels, bits, n_samples) from RIFF headers only — the
+    chunk walk never materializes sample data (probe = O(chunks))."""
+    if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, ch, bits, nbytes = 12, None, None, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        (size,) = struct.unpack("<I", p[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= len(p):
+            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", p[pos + 8 : pos + 24])
+        elif cid == b"data":
+            nbytes = size
+        pos += 8 + size + (size & 1)
+    if rate is None or nbytes is None or not rate or not ch or not bits:
+        raise ValueError("WAV missing/invalid fmt or data chunk")
+    return rate, ch, bits, nbytes // (ch * bits // 8)
+
+
+def _aiff_info(p: bytes) -> tuple[int, int, int, int]:
+    """(rate, channels, bits, n_samples) from FORM/AIFF COMM only."""
+    if p[:4] != b"FORM" or p[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    pos = 12
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        (size,) = struct.unpack(">L", p[pos + 4 : pos + 8])
+        if cid == b"COMM" and pos + 26 <= len(p):
+            ch, frames, bits = struct.unpack(">hLh", p[pos + 8 : pos + 16])
+            rate = _f80_to_int(p[pos + 16 : pos + 26])
+            if not rate or not ch or not bits:
+                raise ValueError("invalid AIFF COMM chunk")
+            return rate, ch, bits, frames
+        pos += 8 + size + (size & 1)
+    raise ValueError("AIFF missing COMM chunk")
+
+
+AUDIO_PROBE_SCHEMA = (
+    "asset_id long, container string, sample_rate int, channels int, "
+    "bits_per_sample int, bitrate_kbps int, duration_ms long, n_samples long"
+)
+
+
+def probe_audio(assets: DataFrame) -> DataFrame:
+    """Typed metadata extraction over audio payloads — the audio half
+    of the `ffprobe` analog (:func:`probe_videos` is the video half).
+    WAV/AIFF walk their chunk lists, FLAC parses STREAMINFO, MP3 walks
+    MPEG frame headers (ID3v2 skip, CBR/VBR detection) — all header
+    work, no sample decode. Opaque or malformed payloads yield
+    container='unknown' with the asset's claimed duration passed
+    through, mirroring the video probe's degradation contract."""
+    from rmlint_spark.operators.flac import flac_streaminfo, mp3_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload, dur in zip(
+                pdf["asset_id"].tolist(), pdf["payload"].tolist(), pdf["duration_ms"].tolist()
+            ):
+                p = bytes(payload) if payload is not None else b""
+                meta = None
+                try:
+                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        rate, ch, bits, ns = _wav_info(p)
+                        meta = ("wav", rate, ch, bits, rate * ch * bits // 1000,
+                                ns * 1000 // rate, ns)
+                    elif p[:4] == b"FORM" and p[8:12] == b"AIFF":
+                        rate, ch, bits, ns = _aiff_info(p)
+                        meta = ("aiff", rate, ch, bits, rate * ch * bits // 1000,
+                                ns * 1000 // rate, ns)
+                    elif p[:4] == b"fLaC":
+                        si = flac_streaminfo(p)
+                        kbps = (len(p) * 8 // max(si["duration_ms"], 1)
+                                if si["duration_ms"] else None)
+                        meta = ("flac", si["sample_rate"], si["channels"],
+                                si["bits_per_sample"], kbps,
+                                si["duration_ms"], si["total_samples"])
+                    elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
+                                             and p[1] & 0xE0 == 0xE0):
+                        m = mp3_metadata(p)
+                        meta = ("mp3" + ("-vbr" if m["vbr"] else ""),
+                                m["sample_rate"], m["channels"], None,
+                                m["bitrate_kbps"], m["duration_ms"],
+                                m["n_frames"])
+                except _DECODE_ERRORS:
+                    meta = None
+                if meta is None:
+                    meta = ("unknown", None, None, None, None,
+                            None if dur is None or pd.isna(dur) else int(dur), None)
+                rows.append((aid, *meta))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "container", "sample_rate", "channels",
+                         "bits_per_sample", "bitrate_kbps", "duration_ms",
+                         "n_samples"],
+            )
+
+    return assets.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_PROBE_SCHEMA)
+
+
+def synthetic_audio_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-container audio assets: an 8-clip pool of
+    int16 PCM; asset ``i`` carries clip ``i % 8`` encoded round-robin
+    as WAV, AIFF, or FLAC (all lossless, so the same clip decodes
+    bit-identically across containers — the audio analog of the
+    Y4M/GIF cross-container video corpus); every 4th asset is an MP3
+    header stub (metadata-only path)."""
+    from rmlint_spark.operators.flac import encode_flac, encode_mp3_stub
+
+    rng = np.random.RandomState(seed)
+    pool = [rng.randint(-2000, 2000, size=1600).astype(np.int16) for _ in range(8)]
+    rows = []
+    for i in range(n):
+        clip = pool[i % 8]
+        if i % 4 == 3:
+            payload = encode_mp3_stub(8 + i % 5, bitrate_kbps=128, rate=44100)
+        elif i % 3 == 0:
+            payload = encode_wav(clip, rate=16000)
+        elif i % 3 == 1:
+            payload = encode_aiff(clip, rate=16000)
+        else:
+            payload = encode_flac(clip, rate=16000, block_size=512)
+        rows.append((i, "audio", bytearray(payload), None, None, None, None))
+    return spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
     )

@@ -1089,3 +1089,141 @@ def test_tiff_roundtrip_packbits_and_byte_orders():
         with pytest.raises(ValueError):
             decode_tiff(bad)
         assert np.allclose(_features_for(bad), _fake_features(bad))
+
+
+def test_flac_roundtrip_crc_and_subset_bounds():
+    import numpy as np
+
+    from rmlint_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+        flac_streaminfo,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32768, size=5000).astype(np.int16)
+    p = encode_flac(s, rate=44100, block_size=1024)
+
+    si = flac_streaminfo(p)
+    assert (si["sample_rate"], si["channels"], si["bits_per_sample"]) == (44100, 1, 16)
+    assert si["total_samples"] == 5000
+    assert si["duration_ms"] == 5000 * 1000 // 44100
+
+    rate, out = decode_flac(p)
+    assert rate == 44100 and np.array_equal(out, s)
+
+    # CRC-16 catches payload tampering; header CRC-8 catches header bits
+    bad = bytearray(p)
+    bad[60] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+    # predictive subframe types are outside the honest subset
+    import struct as _struct
+
+    from rmlint_spark.operators.flac import _crc8, _crc16, _utf8_coded
+
+    hdr = bytes([0xFF, 0xF8, 0x79, 0x90]) + _utf8_coded(0) + _struct.pack(">H", 0)
+    hdr += bytes([_crc8(hdr)])
+    frame = hdr + bytes([0b00010000, 0])  # FIXED order-0 subframe type
+    frame += _struct.pack(">H", _crc16(frame))
+    fixed = p[:46] + frame  # STREAMINFO (4+4+34=42)... keep real head
+    with pytest.raises(ValueError):
+        decode_flac(p[:42] + frame)
+
+
+def test_flac_streaminfo_rejects_garbage():
+    from rmlint_spark.operators.flac import flac_streaminfo
+
+    for bad in (b"", b"fLaC", b"fLaX" + b"\x00" * 64, b"RIFF1234WAVE"):
+        with pytest.raises(ValueError):
+            flac_streaminfo(bad)
+
+
+def test_mp3_metadata_walk():
+    from rmlint_spark.operators.flac import encode_mp3_stub, mp3_metadata
+
+    cbr = encode_mp3_stub(40, bitrate_kbps=128, rate=44100, id3_bytes=32)
+    m = mp3_metadata(cbr)
+    assert m["n_frames"] == 40 and m["id3v2"] and not m["vbr"]
+    assert m["sample_rate"] == 44100 and m["channels"] == 1
+    assert m["bitrate_kbps"] == 128
+    assert abs(m["duration_ms"] - 40 * 1152 * 1000 / 44100) <= 1
+
+    vbr = encode_mp3_stub(5, bitrate_kbps=128) + encode_mp3_stub(5, bitrate_kbps=320)
+    mv = mp3_metadata(vbr)
+    assert mv["vbr"] and mv["n_frames"] == 10
+    assert mv["bitrate_kbps"] == (128 * 5 + 320 * 5) // 10
+
+    with pytest.raises(ValueError):
+        mp3_metadata(b"not audio at all")
+
+    # truncated final frame: count only complete frames, don't raise
+    trunc = encode_mp3_stub(3, bitrate_kbps=128)[:-50]
+    assert mp3_metadata(trunc)["n_frames"] == 2
+
+
+def test_probe_audio(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.flac import encode_flac, encode_mp3_stub
+    from rmlint_spark.operators.multimodal import (
+        encode_aiff,
+        encode_wav,
+        probe_audio,
+    )
+
+    clip = np.arange(-800, 800, dtype=np.int16)  # 1600 samples
+    schema = (
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long"
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(encode_wav(clip, rate=16000)), None, None, None, None),
+            (2, "audio", bytearray(encode_aiff(clip, rate=16000)), None, None, None, None),
+            (3, "audio", bytearray(encode_flac(clip, rate=16000)), None, None, None, None),
+            (4, "audio", bytearray(encode_mp3_stub(20, 192, 44100)), None, None, None, None),
+            (5, "audio", bytearray(b"opaque bytes"), None, None, None, 777),
+            (6, "image", bytearray(b"not audio"), None, None, None, None),
+        ],
+        schema,
+    )
+    rows = {r["asset_id"]: r for r in probe_audio(assets).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # image row filtered out
+    for aid, container in ((1, "wav"), (2, "aiff"), (3, "flac")):
+        r = rows[aid]
+        assert r["container"] == container
+        assert (r["sample_rate"], r["channels"], r["bits_per_sample"]) == (16000, 1, 16)
+        assert r["n_samples"] == 1600 and r["duration_ms"] == 100
+    assert rows[4]["container"] == "mp3" and rows[4]["bitrate_kbps"] == 192
+    assert rows[4]["n_samples"] == 20  # frames for mp3
+    assert rows[5]["container"] == "unknown" and rows[5]["duration_ms"] == 777
+
+
+def test_cross_container_audio_dedup(spark):
+    """The same PCM clip encoded as WAV, AIFF and FLAC (all lossless)
+    must yield IDENTICAL feature vectors — duplicate audio found
+    across container formats, the audio analog of the Y4M/GIF
+    cross-format frame dedup."""
+    from rmlint_spark.operators.multimodal import (
+        extract_features,
+        synthetic_audio_assets,
+    )
+
+    feats = (
+        extract_features(synthetic_audio_assets(spark, n=24))
+        .select("asset_id", "format", "features")
+        .collect()
+    )
+    assert sorted({r["format"] for r in feats}) == ["aiff", "flac", "mp3", "wav"]
+    by_clip: dict = {}
+    for r in feats:
+        by_clip.setdefault(r["asset_id"] % 8, []).append(r)
+    checked = 0
+    for members in by_clip.values():
+        real = [tuple(m["features"]) for m in members if m["format"] != "mp3"]
+        if len(real) >= 2:
+            assert len(set(real)) == 1
+            checked += 1
+    assert checked >= 4
