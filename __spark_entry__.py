@@ -576,6 +576,70 @@ def q_semdedup(spark, sf_dir):
     return semdedup(emb, assignments=side)
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (the C4/RefinedWeb pre-release scrub):
+    emails, dashed/dotted phone numbers, and IPv4 literals are counted
+    and replaced with typed placeholder tokens; the scrubbed text is
+    fingerprinted so the oracle checks the TRANSFORM, not just the
+    counts. The regex subset is chosen to mean the same thing in Java
+    regex (Spark) and RE2 (DuckDB): character classes, bounded
+    repetition, word boundaries — no backreferences or lookaround.
+    Pure JVM per-doc map, no shuffle; text bytes never leave the scan
+    partition.
+
+    The synthetic corpus contains no PII-shaped strings, so (like the
+    mirrored-corpus trick for exact_clusters) deterministic PII is
+    planted from doc_id in BOTH engines — every rule fires on real
+    matches, and docs where nothing was planted pin the no-op path."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(11)) == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.pmod("doc_id", F.lit(13)) == 0, F.lit(" from 10.0.200.13")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (13-gram overlap rule): corpus docs
     sharing any word 13-gram with a deterministic benchmark slice
@@ -856,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "gopher_rules": q_gopher_rules,
         "c4_lines": q_c4_lines,
+        "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -1260,6 +1325,35 @@ def oracle_sql() -> dict[str, str]:
                           OR len(kept) < 3) AS INT) AS page_kept,
                    sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_sha
             FROM k
+        """,
+        "pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.200.13' ELSE '' END
+                     AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                   ) AS scrubbed_sha
+            FROM planted
         """,
         "semdedup": f"""
             WITH a AS (

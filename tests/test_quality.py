@@ -123,3 +123,32 @@ def test_semdedup_min_id_survivor(spark):
     )
     out2 = semdedup(emb.filter(F.col("vec_id") < 2), tau=0.9, assignments=assigns2)
     assert all(r["is_kept"] == 1 for r in out2.collect())
+
+
+def test_pii_scrub_planted_and_edge_cases(spark, tmp_path):
+    texts = [
+        # doc 0 (0%7==0): planted email from doc_id, plus an inline one
+        "reach me at alice.smith+tag@mail.example.org today",
+        # doc 1: phone variants — dashed and dotted match, spaced does not
+        "call 555-123-4567 or 555.123.4567 but not 555 123 4567",
+        # doc 2: IP literal; a version string 1.2.3 must NOT match
+        "server at 192.168.10.20 runs v1.2.3 of the daemon",
+        # doc 3: clean text is untouched (sha equals sha of text+planting)
+        "nothing sensitive in this line at all",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    got = {r["doc_id"]: r.asDict() for r in entry.q_pii_scrub(spark, sf).collect()}
+    # doc 0: inline email + the planted 'user0@example.com' (0 % 7 == 0)
+    assert got[0]["n_emails"] == 2
+    assert got[1]["n_phones"] == 2 and got[1]["n_emails"] == 0
+    assert got[2]["n_ips"] == 1
+    assert got[3]["n_emails"] == got[3]["n_phones"] == got[3]["n_ips"] == 0
+    # the fingerprint is of the REDACTED text, planting included
+    import hashlib
+
+    scrubbed3 = texts[3]  # doc 3: no planting (3 % 7/11/13 != 0), no matches
+    assert got[3]["scrubbed_sha"] == hashlib.sha256(scrubbed3.encode()).hexdigest()
+    # doc 0 trips every planting rule (0 % n == 0 for all n)
+    scrubbed0 = "reach me at <EMAIL> today contact: <EMAIL> call <PHONE> from <IP>"
+    assert got[0]["scrubbed_sha"] == hashlib.sha256(scrubbed0.encode()).hexdigest()
+    assert got[0]["n_phones"] == 1 and got[0]["n_ips"] == 1
