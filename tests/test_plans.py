@@ -121,3 +121,32 @@ def test_combined_signatures_single_python_stage(spark, files):
     composed = band_buckets(sigs, DEFAULT).groupBy("band_id", "band_hash").count()
     plan = formatted_plan(composed)
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1, plan
+
+
+def test_quality_queries_are_shuffle_free(spark):
+    """gopher_rules, c4_lines, pii_scrub, and the repetition stats are
+    per-document maps — their physical plans must contain NO Exchange
+    (shuffle) at all: one scan partition in, one result partition out.
+    At 100 TB a stray shuffle here would move the full text corpus."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_plans",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    for name in ("gopher_rules", "c4_lines", "pii_scrub", "repetition_stats",
+                 "quality_score", "text_stats", "lang_id"):
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        # single parquet scan, and the doc text never re-read twice
+        # (formatted explain prints each node in both tree and details,
+        # so count numbered node headers)
+        import re
+
+        n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+        assert n_scans == 1, f"{name} has {n_scans} scans"
