@@ -1,15 +1,17 @@
 """FLAC and MP3 audio container parsing, pure stdlib + numpy.
 
-FLAC here is a real SUBSET codec, not a probe-only stub: STREAMINFO
-and the frame grammar (sync code, UTF-8 coded frame number, CRC-8
-header check, CRC-16 frame check) parse for real, and frames whose
-subframes are VERBATIM or CONSTANT decode to bit-exact samples.  The
-predictive subframe types (FIXED/LPC + Rice residuals) raise
-``ValueError`` so callers degrade to the metadata path — the same
-honest-subset policy the JPEG decoder takes for progressive scans.
-:func:`encode_flac` emits verbatim frames, so encode→decode roundtrips
-losslessly and cross-container duplicate detection (the same PCM pool
-encoded as WAV, AIFF and FLAC) works on decoded bytes.
+FLAC here is a real codec for mono 16-bit streams: STREAMINFO and the
+frame grammar (sync code, UTF-8 coded frame number, CRC-8 header
+check, CRC-16 frame check) parse for real, and all four subframe
+types decode — VERBATIM, CONSTANT, FIXED (orders 0-4) and LPC
+(arbitrary order, quantized integer coefficients), including
+partitioned Rice residuals with escape codes and wasted-bits shifts.
+Multi-channel streams raise ``ValueError`` so callers degrade to the
+metadata path — the same honest-subset policy the JPEG decoder takes
+for progressive scans.  :func:`encode_flac` emits verbatim or
+fixed-order-2 Rice frames, so encode→decode roundtrips losslessly and
+cross-container duplicate detection (the same PCM pool encoded as
+WAV, AIFF and FLAC) works on decoded bytes.
 
 MP3 is metadata-only (an MPEG audio frame-header walk: ID3v2 skip,
 bitrate/samplerate tables, Xing/Info VBR header detection).  Full MP3
@@ -194,10 +196,37 @@ _RATE_CODES = {
 _RATE_FROM_CODE = {v: k for k, v in _RATE_CODES.items()}
 
 
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else ((-v << 1) - 1)
+
+
+def _write_rice_block(w: "_BitWriter", residuals: list[int]) -> None:
+    """Single-partition Rice coding (method 00, partition order 0):
+    param from the mean zigzagged magnitude, unary quotient + k LSBs."""
+    zz = [_zigzag(v) for v in residuals]
+    mean = (sum(zz) // max(len(zz), 1)) or 1
+    k = min(mean.bit_length() - 1, 14) if mean > 1 else 0
+    w.write(0b00, 2)                    # 4-bit rice params
+    w.write(0, 4)                       # partition order 0
+    w.write(k, 4)
+    for u in zz:
+        q = u >> k
+        w.write(0, q)                   # unary quotient: q zeros...
+        w.write(1, 1)                   # ...then the stop bit
+        w.write(u & ((1 << k) - 1), k)
+
+
 def encode_flac(samples: np.ndarray, rate: int = 16000,
-                block_size: int = 4096) -> bytes:
-    """int16 mono samples -> FLAC bytes (verbatim subframes: lossless,
-    zero prediction — the subset :func:`decode_flac` decodes)."""
+                block_size: int = 4096, predictor: str = "verbatim") -> bytes:
+    """int16 mono samples -> FLAC bytes.  ``predictor='verbatim'``
+    stores raw samples; ``'fixed2'`` uses the order-2 fixed predictor
+    with Rice-coded residuals (real FLAC compression — smaller than
+    the WAV for correlated signals), exercising the same decode path
+    a real encoder's fixed frames take; ``'lpc2'`` writes the same
+    order-2 predictor through the LPC subframe grammar (quantized
+    coefficients [2, -1], shift 0) to exercise the LPC decode path."""
+    if predictor not in ("verbatim", "fixed2", "lpc2"):
+        raise ValueError(f"unknown FLAC predictor {predictor!r}")
     s = np.asarray(samples, dtype=np.int16)
     if rate not in _RATE_CODES:
         raise ValueError(f"unsupported FLAC sample rate {rate}")
@@ -225,10 +254,28 @@ def encode_flac(samples: np.ndarray, rate: int = 16000,
         hdr += bytes([_crc8(hdr)])
         body = _BitWriter()
         body.write(0, 1)                    # subframe pad bit
-        body.write(0b000001, 6)             # VERBATIM
-        body.write(0, 1)                    # no wasted bits
-        for v in blk.tolist():
-            body.write(int(v) & 0xFFFF, 16)
+        if predictor in ("fixed2", "lpc2") and len(blk) > 2:
+            if predictor == "fixed2":
+                body.write(0b001010, 6)     # FIXED, order 2
+                body.write(0, 1)            # no wasted bits
+            else:
+                body.write(0b100001, 6)     # LPC, order 2 (1xxxxx, order-1)
+                body.write(0, 1)            # no wasted bits
+            vals = blk.astype(np.int64)
+            for v in vals[:2].tolist():     # warmup samples
+                body.write(int(v) & 0xFFFF, 16)
+            if predictor == "lpc2":
+                body.write(4 - 1, 4)        # coefficient precision 4 bits
+                body.write(0, 5)            # shift 0
+                body.write(2 & 0xF, 4)      # coefs [2, -1] -> same
+                body.write(-1 & 0xF, 4)     # predictor as fixed order 2
+            res = (vals[2:] - 2 * vals[1:-1] + vals[:-2]).tolist()
+            _write_rice_block(body, res)
+        else:
+            body.write(0b000001, 6)         # VERBATIM
+            body.write(0, 1)                # no wasted bits
+            for v in blk.tolist():
+                body.write(int(v) & 0xFFFF, 16)
         body.pad_to_byte()
         frame = hdr + body.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -239,6 +286,55 @@ _BLOCKSIZE_FROM_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
                         8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
                         13: 8192, 14: 16384, 15: 32768}
 _BITS_FROM_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+# fixed-predictor coefficients by order: pred = sum(c[j] * s[i-1-j])
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def _read_rice_residuals(r: "_BitReader", blocksize: int, order: int) -> list[int]:
+    """Partitioned Rice residual decode (both 4- and 5-bit parameter
+    methods, escape code -> raw n-bit two's complement)."""
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    n_parts = 1 << po
+    if blocksize % n_parts or (blocksize >> po) <= order and po:
+        raise ValueError("invalid FLAC rice partition order")
+    out: list[int] = []
+    for part in range(n_parts):
+        n = (blocksize >> po) - (order if part == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        k = r.read(pbits)
+        if k == escape:
+            raw = r.read(5)
+            out.extend(_signed(r.read(raw), raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = 0
+                while r.read(1) == 0:
+                    q += 1
+                    if q > 1 << 20:
+                        raise ValueError("runaway FLAC unary quotient")
+                u = (q << k) | r.read(k)
+                out.append((u >> 1) ^ -(u & 1))  # un-zigzag
+    return out
+
+
+def _predict(warmup: list[int], residuals: list[int],
+             coefs: list[int], shift: int) -> list[int]:
+    s = list(warmup)
+    for res in residuals:
+        acc = sum(c * s[-1 - j] for j, c in enumerate(coefs))
+        s.append(res + (acc >> shift))
+    return s
 
 
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
@@ -297,20 +393,44 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         r = _BitReader(payload, hdr_end + 1)
         r.read(1)                           # subframe pad bit
         stype = r.read(6)
-        wasted = r.read(1)
-        if wasted:
-            raise ValueError("FLAC wasted-bits subframes unsupported")
+        wasted = 0
+        if r.read(1):                       # wasted-bits flag: unary k-1
+            wasted = 1
+            while r.read(1) == 0:
+                wasted += 1
+                if wasted > 15:
+                    raise ValueError("runaway FLAC wasted-bits count")
+        eff = bits - wasted                 # effective sample width
         if stype == 0b000000:               # CONSTANT
-            v = r.read(16)
-            v -= 1 << 16 if v & 0x8000 else 0
-            blk = np.full(blocksize, v, dtype=np.int16)
+            blk = [_signed(r.read(eff), eff)] * blocksize
         elif stype == 0b000001:             # VERBATIM
-            vals = [r.read(16) for _ in range(blocksize)]
-            blk = np.array(vals, dtype=np.uint16).astype(np.int16)
+            blk = [_signed(r.read(eff), eff) for _ in range(blocksize)]
+        elif stype >> 3 == 0b001 and stype & 0x7 <= 4:  # FIXED order 0-4
+            order = stype & 0x7
+            warm = [_signed(r.read(eff), eff) for _ in range(order)]
+            res = _read_rice_residuals(r, blocksize, order)
+            blk = _predict(warm, res, _FIXED_COEFS[order], 0)
+        elif stype >> 5 == 1:               # LPC, order 1-32
+            order = (stype & 0x1F) + 1
+            warm = [_signed(r.read(eff), eff) for _ in range(order)]
+            prec = r.read(4)
+            if prec == 0xF:
+                raise ValueError("invalid FLAC LPC coefficient precision")
+            prec += 1
+            shift = _signed(r.read(5), 5)
+            if shift < 0:
+                raise ValueError("negative FLAC LPC shift")
+            coefs = [_signed(r.read(prec), prec) for _ in range(order)]
+            res = _read_rice_residuals(r, blocksize, order)
+            blk = _predict(warm, res, coefs, shift)
         else:
-            raise ValueError(
-                f"FLAC subframe type {stype:#08b} outside verbatim/constant subset"
-            )
+            raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
+        if wasted:
+            blk = [v << wasted for v in blk]
+        blk = np.array(blk, dtype=np.int64)
+        if blk.size and (blk.max() > 32767 or blk.min() < -32768):
+            raise ValueError("FLAC decoded sample out of 16-bit range")
+        blk = blk.astype(np.int16)
         r.align()
         crc_pos = r.bytepos
         if crc_pos + 2 > len(payload):

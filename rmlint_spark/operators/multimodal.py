@@ -1463,7 +1463,9 @@ def synthetic_audio_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
         elif i % 3 == 1:
             payload = encode_aiff(clip, rate=16000)
         else:
-            payload = encode_flac(clip, rate=16000, block_size=512)
+            # rice-coded fixed predictor: the COMPRESSED decode path
+            payload = encode_flac(clip, rate=16000, block_size=512,
+                                  predictor="fixed2")
         rows.append((i, "audio", bytearray(payload), None, None, None, None))
     return spark.createDataFrame(
         rows,

@@ -155,3 +155,18 @@ def test_format_sniff_matches_encoder(img):
         (encode_bmp, "bmp"), (encode_tiff, "tiff"),
     ]:
         assert detect_format(enc(img)) == fmt
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=600),
+    st.sampled_from(["verbatim", "fixed2", "lpc2"]),
+    st.sampled_from([192, 256, 4096]),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_roundtrip_any_samples_any_predictor(vals, predictor, bs):
+    from rmlint_spark.operators.flac import decode_flac, encode_flac
+
+    s = np.array(vals, dtype=np.int16)
+    rate, out = decode_flac(encode_flac(s, rate=16000, block_size=bs,
+                                        predictor=predictor))
+    assert rate == 16000 and np.array_equal(out, s)
