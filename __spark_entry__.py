@@ -327,6 +327,56 @@ def q_dedup_canonical(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (the Dolma/RefinedWeb pre-pass that
+    runs BEFORE document near-dup): explode documents into non-empty
+    paragraphs, hash each, and report paragraphs appearing in more
+    than one document — with per-paragraph occurrence counts and the
+    minimum (doc_id, idx) as the canonical occurrence.
+
+    Scale: the only shuffle is the groupBy on the 64-hex paragraph
+    hash (uniformly distributed, no skew); paragraph TEXT never
+    shuffles — the map side emits (hash, doc_id, len) only, and the
+    aggregation is partial (map-side combine) by construction.
+
+    The synthetic corpus has no repeated paragraphs, so boilerplate is
+    planted from doc_id in BOTH engines (the pii_scrub pattern) — the
+    exact situation this pass removes in production crawls."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(5)) == 0,
+                F.lit("\n\nSubscribe to our newsletter for updates."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(9)) == 0,
+                F.lit("\n\nCopyright 2026 Example Corp. All rights reserved."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    paras = F.filter(
+        F.transform(F.split(F.col("text"), r"\n\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    exploded = d.select("doc_id", F.explode(paras).alias("para")).select(
+        "doc_id",
+        F.sha2("para", 256).alias("para_sha"),
+        F.length("para").cast("long").alias("para_len"),
+    )
+    return (
+        exploded.groupBy("para_sha")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("para_len").alias("para_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def q_minhash_sql(spark, sf_dir):
     # SQL-expressible MinHash (token 3-shingles, 8 sha256 permutations)
     # — JVM-native variant of the pandas-UDF signature path, oracle-
@@ -911,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "topk_per_group": q_topk_per_group,
         "dedup_canonical": q_dedup_canonical,
+        "paragraph_dedup": q_paragraph_dedup,
         "minhash_sql": q_minhash_sql,
         "lsh_band_buckets": q_lsh_band_buckets,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1325,6 +1376,31 @@ def oracle_sql() -> dict[str, str]:
                           OR len(kept) < 3) AS INT) AS page_kept,
                    sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_sha
             FROM k
+        """,
+        "paragraph_dedup": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || chr(10) || 'Subscribe to our newsletter for updates.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0
+                             THEN chr(10) || chr(10) || 'Copyright 2026 Example Corp. All rights reserved.'
+                             ELSE '' END
+                     AS text
+              FROM documents),
+            p AS (
+              SELECT doc_id, trim(x) AS para
+              FROM planted, unnest(string_split(text, chr(10) || chr(10))) AS t(x)
+              WHERE trim(x) <> '')
+            SELECT sha256(para) AS para_sha,
+                   COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id) AS first_doc,
+                   CAST(MIN(length(para)) AS BIGINT) AS para_len
+            FROM p
+            GROUP BY sha256(para)
+            HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "pii_scrub": """
             WITH planted AS (

@@ -152,3 +152,47 @@ def test_pii_scrub_planted_and_edge_cases(spark, tmp_path):
     scrubbed0 = "reach me at <EMAIL> today contact: <EMAIL> call <PHONE> from <IP>"
     assert got[0]["scrubbed_sha"] == hashlib.sha256(scrubbed0.encode()).hexdigest()
     assert got[0]["n_phones"] == 1 and got[0]["n_ips"] == 1
+
+
+def test_paragraph_dedup_planted_boilerplate(spark, tmp_path):
+    shared = "this exact paragraph appears in several documents verbatim."
+    texts = [
+        f"unique opening zero.\n\n{shared}\n\nunique tail zero.",
+        f"unique opening one.\n\n{shared}",
+        "totally unrelated document with just one paragraph.",
+        f"{shared}\n\nanother unique paragraph here.",
+        # same paragraph twice in ONE doc: counts occurrences, but a
+        # single-doc repeat alone must not appear (n_docs >= 2 filter)
+        "solo repeat.\n\nsolo repeat.",
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = entry.q_paragraph_dedup(spark, sf).collect()
+    import hashlib
+
+    want_sha = hashlib.sha256(shared.encode()).hexdigest()
+    got = {r["para_sha"]: r for r in rows}
+    # planted boilerplate from doc_id (0 % 5 == 0) adds the newsletter
+    # paragraph to doc 0 only -> single-doc, filtered out
+    assert want_sha in got
+    r = got[want_sha]
+    assert r["n_occurrences"] == 3 and r["n_docs"] == 3 and r["first_doc"] == 0
+    assert r["para_len"] == len(shared)
+    solo_sha = hashlib.sha256(b"solo repeat.").hexdigest()
+    assert solo_sha not in got
+
+
+def test_paragraph_dedup_shuffle_carries_no_text(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = entry.q_paragraph_dedup(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and ("para#" in ln or "text#" in ln)
+    ]
+    assert not bad, bad
