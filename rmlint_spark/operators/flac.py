@@ -473,28 +473,33 @@ def _id3v2_size(payload: bytes) -> int:
 
 
 def encode_mp3_stub(n_frames: int, bitrate_kbps: int = 128,
-                    rate: int = 44100, id3_bytes: int = 0) -> bytes:
-    """Structurally valid MPEG-1 Layer III frame sequence with ZEROED
-    audio payloads (clearly a stub: real Huffman audio data would need
-    an encoder).  The frame HEADERS are spec-exact, which is what the
-    metadata walk consumes — analogous to the MP4 path where container
-    timing is real and pixel decode is stubbed."""
-    vtab = _MP3_BITRATES[(1, 3)]
+                    rate: int = 44100, id3_bytes: int = 0,
+                    version: int = 1) -> bytes:
+    """Structurally valid MPEG-1/2 Layer III frame sequence with
+    ZEROED audio payloads (clearly a stub: real Huffman audio data
+    would need an encoder).  The frame HEADERS are spec-exact, which
+    is what the metadata walk consumes — analogous to the MP4 path
+    where container timing is real and pixel decode is stubbed."""
+    if version not in (1, 2):
+        raise ValueError(f"unsupported MPEG version {version}")
+    vtab = _MP3_BITRATES[(version, 3)]
     if bitrate_kbps not in vtab[1:]:
-        raise ValueError(f"invalid MPEG-1 L3 bitrate {bitrate_kbps}")
-    if rate not in _MP3_RATES[1]:
-        raise ValueError(f"invalid MPEG-1 sample rate {rate}")
+        raise ValueError(f"invalid MPEG-{version} L3 bitrate {bitrate_kbps}")
+    if rate not in _MP3_RATES[version]:
+        raise ValueError(f"invalid MPEG-{version} sample rate {rate}")
     out = bytearray(b"ID3" + bytes([4, 0, 0]) +
                     bytes([(id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
                            (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F]) +
                     b"\x00" * id3_bytes) if id3_bytes else bytearray()
     br_idx = vtab.index(bitrate_kbps)
-    sr_idx = _MP3_RATES[1].index(rate)
+    sr_idx = _MP3_RATES[version].index(rate)
+    ver_bits = 0b11 if version == 1 else 0b10
+    spf = _SAMPLES_PER_FRAME[(version, 3)]
     for _ in range(n_frames):
-        hdr = (0xFFF << 20) | (0b11 << 19) | (0b01 << 17) | (1 << 16)  # MPEG1 L3, no CRC
+        hdr = (0xFFF << 20) | (ver_bits << 19) | (0b01 << 17) | (1 << 16)  # L3, no CRC
         hdr |= (br_idx << 12) | (sr_idx << 10) | (0 << 9)              # no padding
         hdr |= 0b11 << 6                                               # mono
-        flen = 144 * bitrate_kbps * 1000 // rate
+        flen = spf // 8 * bitrate_kbps * 1000 // rate
         out += hdr.to_bytes(4, "big") + b"\x00" * (flen - 4)
     return bytes(out)
 

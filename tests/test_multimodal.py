@@ -1287,3 +1287,13 @@ def test_flac_predictive_decode_fixed_lpc_partitions():
     frame += _struct.pack(">H", _crc16(frame))
     rate, out = decode_flac(streaminfo + frame)
     assert np.array_equal(out, blk.astype(np.int16))
+
+
+def test_mp3_metadata_mpeg2_walk():
+    from rmlint_spark.operators.flac import encode_mp3_stub, mp3_metadata
+
+    m = mp3_metadata(encode_mp3_stub(30, bitrate_kbps=64, rate=22050, version=2))
+    assert m["n_frames"] == 30 and m["sample_rate"] == 22050
+    assert m["bitrate_kbps"] == 64 and not m["vbr"]
+    # MPEG-2 layer III = 576 samples/frame
+    assert abs(m["duration_ms"] - 30 * 576 * 1000 / 22050) <= 1
