@@ -604,6 +604,64 @@ def q_c4_lines(spark, sf_dir):
     )
 
 
+def q_charlm_quality(spark, sf_dir):
+    """Corpus-trained character-bigram LM quality scoring (CCNet-style
+    familiarity, integer-exact formulation — see operators/lm_quality).
+    The synthetic corpus has no rare character sequences, so gibberish
+    is planted from doc_id in BOTH engines (doc_id % 7) to make the
+    rare-bigram path non-vacuous; unplanted docs pin rare_frac = 0."""
+    from rmlint_spark.operators.lm_quality import charlm_scores
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" qzx jvq wxz")),
+        ).otherwise(F.col("text")),
+    )
+    # scale-invariant rarity: a bigram seen in fewer than half the
+    # documents' worth of occurrences is rare at every sf (the planted
+    # 1-in-7 gibberish stays under it; vocab bigrams stay far above)
+    rare_max = _docs(spark, sf_dir).count() // 2
+    return charlm_scores(d, rare_max=rare_max)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic quota/mixture sampling: per-source weights
+    (src_num % 5 + 1), global fraction 0.4, Knuth-hash membership —
+    see operators/sampling. Integer-only membership rule, so the SQL
+    oracle reproduces the kept set exactly."""
+    from rmlint_spark.operators.sampling import quota_sample
+
+    d = _docs(spark, sf_dir)
+    weight = F.pmod(F.substring(F.col("source"), 4, 10).cast("long"), F.lit(5)) + 1
+    return quota_sample(d, weight=weight, frac=0.4)
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document, raw-idf integer-rational
+    variant (tf * N / df) — see operators/tfidf."""
+    from rmlint_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def q_winnow(spark, sf_dir):
+    """MOSS robust-winnowing fingerprints (k=8 char grams, w=4
+    windows) — see operators/winnow. The per-doc fingerprint SET is
+    verified exactly via a sorted-concat sha (the c4_lines kept_sha
+    pattern) — the exploded relation would be ~1M rows at sf0.01."""
+    from rmlint_spark.operators.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.sha2(F.array_join(F.sort_array(F.collect_list("fp")), ","), 256).alias(
+            "fps_sha"
+        ),
+    )
+
+
 def q_semdedup(spark, sf_dir):
     # SemDeDup semantic dedup: the k-means cell assignment (seeded
     # driver-side training, the one numpy stage SQL can't reproduce)
@@ -971,6 +1029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "gopher_rules": q_gopher_rules,
         "c4_lines": q_c4_lines,
+        "charlm_quality": q_charlm_quality,
+        "mixture_sample": q_mixture_sample,
+        "tfidf_keywords": q_tfidf_keywords,
+        "winnow": q_winnow,
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
@@ -1376,6 +1438,100 @@ def oracle_sql() -> dict[str, str]:
                           OR len(kept) < 3) AS INT) AS page_kept,
                    sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_sha
             FROM k
+        """,
+        "charlm_quality": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                                  THEN ' qzx jvq wxz' ELSE '' END AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+              FROM planted, unnest(generate_series(1, length(t) - 1)) AS u(i)
+              WHERE length(t) >= 2),
+            pd AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+            model AS (
+              SELECT bg, CAST(SUM(c) AS BIGINT) AS corpus_count
+              FROM pd GROUP BY bg),
+            agg AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(c * corpus_count) AS BIGINT) AS sum_corpus_count,
+                     CAST(SUM(CASE WHEN corpus_count <=
+                                   (SELECT COUNT(*) // 2 FROM documents)
+                              THEN c ELSE 0 END) AS BIGINT) AS rare_occ
+              FROM pd JOIN model USING (bg) GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, sum_corpus_count,
+                   sum_corpus_count / n_bigrams AS avg_corpus_count,
+                   rare_occ / n_bigrams AS rare_frac
+            FROM agg
+        """,
+        "mixture_sample": """
+            WITH census AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source,
+                     (CAST(substr(source, 4) AS BIGINT) % 5) + 1 AS w
+              FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(n_source) AS BIGINT) AS n_total,
+                           CAST(SUM(w) AS BIGINT) AS w_total FROM census),
+            rates AS (
+              SELECT source, n_source,
+                     CAST(FLOOR(CAST(0.4 AS DOUBLE) * n_total * w / w_total)
+                          AS BIGINT) AS target_n
+              FROM census CROSS JOIN tot),
+            rates2 AS (
+              SELECT source, n_source, target_n,
+                     CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                                      target_n / n_source) * 4294967296)
+                          AS BIGINT) AS u_max
+              FROM rates),
+            draws AS (
+              SELECT doc_id, source,
+                     (doc_id * 2654435761) % 4294967296 AS u
+              FROM documents)
+            SELECT doc_id, draws.source AS source, CAST(u AS BIGINT) AS u,
+                   n_source, target_n
+            FROM draws JOIN rates2 ON draws.source = rates2.source
+            WHERE u < u_max
+        """,
+        "tfidf_keywords": """
+            WITH wx AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents),
+            t AS (SELECT doc_id, x AS term FROM wx, unnest(ws) AS u(x)),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, term),
+            df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            s AS (
+              SELECT doc_id, term, tf, df, (tf * n_docs) / df AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term ASC) AS rk
+              FROM s)
+            SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 3
+        """,
+        "winnow": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(text) - 7),
+                        i -> substr(sha256(substr(text, CAST(i AS INT), 8)), 1, 8))
+                     AS grams
+              FROM documents WHERE length(text) >= 11),
+            m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        generate_series(1, len(grams) - 3),
+                        j -> list_aggregate(array_slice(grams, j, j + 3), 'min')))
+                     AS fps
+              FROM g)
+            SELECT doc_id,
+                   CAST(len(fps) AS BIGINT) AS n_fps,
+                   sha256(array_to_string(list_sort(fps), ',')) AS fps_sha
+            FROM m
         """,
         "paragraph_dedup": """
             WITH planted AS (

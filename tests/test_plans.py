@@ -150,3 +150,30 @@ def test_quality_queries_are_shuffle_free(spark):
 
         n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
         assert n_scans == 1, f"{name} has {n_scans} scans"
+
+
+def test_corpus_model_queries_broadcast_and_never_shuffle_text(spark):
+    """charlm_quality / mixture_sample / tfidf_keywords: the model /
+    census / df relations are tiny by construction, so every join must
+    resolve to a broadcast (no SortMergeJoin), and no Exchange may
+    carry the text column — at 100 TB the only rows allowed to move
+    are (id, token/bigram, count) aggregates."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_corpus_plans",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    for name in ("charlm_quality", "mixture_sample", "tfidf_keywords", "winnow"):
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = final_plan(df)
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+        bad = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and "text#" in ln
+        ]
+        assert not bad, f"{name} shuffles text: {bad}"
