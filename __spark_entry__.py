@@ -662,6 +662,33 @@ def q_winnow(spark, sf_dir):
     )
 
 
+def q_winnow_clone_pairs(spark, sf_dir):
+    """Clone-candidate pairs from winnowed fingerprints (the MOSS
+    match step): shared-fp self-join with the repo-standard width cap.
+    k=20/w=8 makes the guarantee window 27 chars — long enough that
+    the synthetic corpus' shared vocabulary stays out of the pair
+    relation and only genuine clone families (114 pairs at sf0.01,
+    zero capped buckets) surface. n_shared >= 2 is the match gate."""
+    from rmlint_spark.operators.winnow import (
+        shared_fingerprint_pairs,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=20, w=8)
+    pairs, _dropped = shared_fingerprint_pairs(fps, max_bucket_width=16)
+    return pairs.filter(F.col("n_shared") >= 2).select("id_a", "id_b", "n_shared")
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic shard-balanced global shuffle (the pre-training
+    permutation) — see operators/sampling.shard_shuffle. Integer-only
+    (Knuth hash + row_number), so the SQL oracle reproduces the exact
+    layout."""
+    from rmlint_spark.operators.sampling import shard_shuffle
+
+    return shard_shuffle(_docs(spark, sf_dir), n_shards=16)
+
+
 def q_semdedup(spark, sf_dir):
     # SemDeDup semantic dedup: the k-means cell assignment (seeded
     # driver-side training, the one numpy stage SQL can't reproduce)
@@ -952,14 +979,15 @@ def q_multimodal_features(spark, sf_dir):
 
 def q_audio_probe(spark, sf_dir):
     """ffprobe-analog audio metadata sweep over REAL containers:
-    probe_audio walks WAV/AIFF chunk lists, FLAC STREAMINFO, and MP3
-    MPEG frame headers (header-only, no sample decode). The probe
-    table goes to the side-channel; DuckDB recomputes the per-container
-    rollup from the same bytes (header-walk determinism itself is
-    pinned by tests/test_multimodal.py::test_probe_audio)."""
+    probe_audio walks WAV/AIFF chunk lists (PCM16 + IMA-ADPCM fmt
+    0x11), FLAC STREAMINFO, and MP3 MPEG frame headers (header-only,
+    no sample decode). The probe table goes to the side-channel;
+    DuckDB recomputes the per-container rollup from the same bytes
+    (header-walk determinism itself is pinned by
+    tests/test_multimodal.py::test_probe_audio)."""
     from rmlint_spark.operators.multimodal import probe_audio, synthetic_audio_assets
 
-    probes = probe_audio(synthetic_audio_assets(spark, n=48))
+    probes = probe_audio(synthetic_audio_assets(spark, n=48, include_adpcm=True))
     path = f"{ORACLE_SIDE}/audio_probe"
     probes.write.mode("overwrite").parquet(path)
     p = spark.read.parquet(path)
@@ -1033,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "tfidf_keywords": q_tfidf_keywords,
         "winnow": q_winnow,
+        "winnow_clone_pairs": q_winnow_clone_pairs,
+        "corpus_shuffle": q_corpus_shuffle,
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
@@ -1532,6 +1562,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(fps) AS BIGINT) AS n_fps,
                    sha256(array_to_string(list_sort(fps), ',')) AS fps_sha
             FROM m
+        """,
+        "winnow_clone_pairs": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(text) - 19),
+                        i -> substr(sha256(substr(text, CAST(i AS INT), 20)), 1, 8))
+                     AS grams
+              FROM documents WHERE length(text) >= 27),
+            m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        generate_series(1, len(grams) - 7),
+                        j -> list_aggregate(array_slice(grams, j, j + 7), 'min')))
+                     AS fps
+              FROM g),
+            fp AS (SELECT doc_id, x AS fp FROM m, unnest(fps) AS u(x)),
+            width AS (SELECT fp, COUNT(*) AS w FROM fp GROUP BY fp),
+            usable AS (SELECT fp.doc_id, fp.fp
+                       FROM fp JOIN width USING (fp) WHERE w <= 16)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM usable a JOIN usable b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        """,
+        "corpus_shuffle": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS u
+              FROM documents)
+            SELECT doc_id, u, CAST(u % 16 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY u % 16
+                        ORDER BY u ASC, doc_id ASC) AS BIGINT) AS pos
+            FROM d
         """,
         "paragraph_dedup": """
             WITH planted AS (

@@ -189,22 +189,28 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE PCM16 -> (sample_rate, int16 samples). Walks the
-    chunk list; mono or interleaved multi-channel (flattened)."""
+    """RIFF/WAVE -> (sample_rate, int16 samples). Walks the chunk
+    list; PCM16 (fmt 1) directly, IMA/DVI ADPCM (fmt 0x11) through the
+    real block decoder below — the compressed-audio decode path."""
     import struct
 
     if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, data = 12, None, None, None
+    audio_fmt, block_align, n_samples = None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
+        if cid == b"fact" and len(body) >= 4:
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
-            audio_fmt, _ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if audio_fmt != 1 or bits != 16:
+            audio_fmt, _ch, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, bits) not in ((1, 16), (0x11, 4), (6, 8), (7, 8)):
                 raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
             if rate <= 0:
                 raise ValueError(f"invalid WAV sample rate {rate}")
@@ -213,8 +219,167 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt == 0x11:
+        decoded = _ima_decode(data, block_align)
+        # the fact chunk records the true count: trim final-block padding
+        if n_samples is not None and n_samples <= len(decoded):
+            decoded = decoded[:n_samples]
+        return rate, decoded
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law: vectorized LUT
+        lut = _alaw_lut() if audio_fmt == 6 else _ulaw_lut()
+        return rate, lut[np.frombuffer(data, dtype=np.uint8)]
     # frombuffer needs an even byte count for int16
     return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+
+
+# IMA/DVI ADPCM (WAVE format tag 0x11): the standard 4-bit predictive
+# codec — step-size table plus per-nibble index adaptation. Sequential
+# state makes it non-vectorizable; the Python loop is fine because the
+# Arrow batch boundary is per-payload, matching the FLAC bit-reader.
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One decoder state transition: (pred, idx) -> next. Shared by
+    encode and decode so the predictors can never drift apart."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+    return pred, idx
+
+
+def _ima_decode(data: bytes, block_align: int | None) -> np.ndarray:
+    if not block_align or block_align < 5:
+        raise ValueError(f"invalid ADPCM block_align {block_align}")
+    out: list[int] = []
+    for start in range(0, len(data) - block_align + 1, block_align):
+        block = data[start : start + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError(f"invalid ADPCM step index {idx}")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                pred, idx = _ima_step(nib, pred, idx)
+                out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
+
+# G.711 companding (WAVE fmt 7 = mu-law, 6 = A-law): 8-bit log PCM,
+# the telephony formats. Decode is a pure 256-entry table lookup, so
+# the numpy path is a single fancy-index over the byte buffer.
+_G711_LUTS: dict = {}
+
+
+def _ulaw_lut() -> np.ndarray:
+    lut = _G711_LUTS.get("u")
+    if lut is None:
+        u = ~np.arange(256, dtype=np.int32) & 0xFF
+        mag = (((u & 0x0F) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+        lut = np.where(u & 0x80, -mag, mag).astype(np.int16)
+        _G711_LUTS["u"] = lut
+    return lut
+
+
+def _alaw_lut() -> np.ndarray:
+    lut = _G711_LUTS.get("a")
+    if lut is None:
+        a = np.arange(256, dtype=np.int32) ^ 0x55
+        seg = (a & 0x70) >> 4
+        mant = a & 0x0F
+        mag = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1))
+        lut = np.where(a & 0x80, mag, -mag).astype(np.int16)
+        _G711_LUTS["a"] = lut
+    return lut
+
+
+def _g711_header(fmt_tag: int, rate: int, n: int) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHHH", fmt_tag, 1, rate, rate, 1, 8, 0)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    return body
+
+
+def encode_wav_ulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono -> RIFF/WAVE G.711 mu-law (fmt 7). Encoder is the
+    standard segment search; exact inverse of the decode LUT for all
+    quantization levels."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0)
+    mag = np.minimum(np.abs(s) + 0x84, 0x7FFF)
+    exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    data = (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+    body = _g711_header(7, rate, len(s))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima(
+    samples: np.ndarray, rate: int = 16000, block_align: int = 256
+) -> bytes:
+    """int16 mono samples -> RIFF/WAVE IMA ADPCM (fmt 0x11): ~4.07x
+    smaller than PCM16. Lossy (4-bit residuals), so unlike FLAC it is
+    NOT part of the bit-identical cross-container dedup family; decode
+    is exact per the IMA spec and roundtrips at high SNR."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    blocks, pred, idx = [], 0, 0
+    for start in range(0, len(s), spb):
+        chunk = [int(v) for v in s[start : start + spb]]
+        pred = chunk[0]
+        hdr = struct.pack("<hBB", pred, idx, 0)
+        nibs: list[int] = []
+        for sample in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = sample - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(nib, pred, idx)
+            nibs.append(nib)
+        nibs += [0] * ((block_align - 4) * 2 - len(nibs))  # pad short tail
+        body = bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, len(nibs), 2))
+        blocks.append(hdr + body)
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb, block_align, 4, 2, spb
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(s))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _f80_to_int(b: bytes) -> int:
@@ -1344,20 +1509,35 @@ def synthetic_assets(spark, n: int = 200, seed: int = 42) -> DataFrame:
 
 def _wav_info(p: bytes) -> tuple[int, int, int, int]:
     """(rate, channels, bits, n_samples) from RIFF headers only — the
-    chunk walk never materializes sample data (probe = O(chunks))."""
+    chunk walk never materializes sample data (probe = O(chunks)).
+    For IMA ADPCM (fmt 0x11) the count comes from the fact chunk, or
+    block arithmetic when fact is absent."""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, ch, bits, nbytes = 12, None, None, None, None
+    fmt_tag, block_align, fact_n = None, None, None
     while pos + 8 <= len(p):
         cid = p[pos : pos + 4]
         (size,) = struct.unpack("<I", p[pos + 4 : pos + 8])
         if cid == b"fmt " and pos + 24 <= len(p):
-            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", p[pos + 8 : pos + 24])
+            fmt_tag, ch, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", p[pos + 8 : pos + 24]
+            )
+        elif cid == b"fact" and pos + 12 <= len(p):
+            (fact_n,) = struct.unpack("<I", p[pos + 8 : pos + 12])
         elif cid == b"data":
             nbytes = size
         pos += 8 + size + (size & 1)
     if rate is None or nbytes is None or not rate or not ch or not bits:
         raise ValueError("WAV missing/invalid fmt or data chunk")
+    if fmt_tag == 0x11:
+        if fact_n is not None:
+            n = fact_n
+        elif block_align and block_align >= 5:
+            n = (nbytes // block_align) * ((block_align - 4) * 2 // ch + 1)
+        else:
+            raise ValueError("ADPCM WAV missing fact chunk and block align")
+        return rate, ch, bits, n
     return rate, ch, bits, nbytes // (ch * bits // 8)
 
 
@@ -1406,7 +1586,8 @@ def probe_audio(assets: DataFrame) -> DataFrame:
                 try:
                     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                         rate, ch, bits, ns = _wav_info(p)
-                        meta = ("wav", rate, ch, bits, rate * ch * bits // 1000,
+                        container = "wav-adpcm" if bits == 4 else "wav"
+                        meta = (container, rate, ch, bits, rate * ch * bits // 1000,
                                 ns * 1000 // rate, ns)
                     elif p[:4] == b"FORM" and p[8:12] == b"AIFF":
                         rate, ch, bits, ns = _aiff_info(p)
@@ -1442,13 +1623,17 @@ def probe_audio(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("kind") == "audio").mapInPandas(run, schema=AUDIO_PROBE_SCHEMA)
 
 
-def synthetic_audio_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
+def synthetic_audio_assets(
+    spark, n: int = 24, seed: int = 42, include_adpcm: bool = False
+) -> DataFrame:
     """Deterministic REAL-container audio assets: an 8-clip pool of
     int16 PCM; asset ``i`` carries clip ``i % 8`` encoded round-robin
     as WAV, AIFF, or FLAC (all lossless, so the same clip decodes
     bit-identically across containers — the audio analog of the
     Y4M/GIF cross-container video corpus); every 4th asset is an MP3
-    header stub (metadata-only path)."""
+    header stub (metadata-only path). With ``include_adpcm`` every
+    8th asset is IMA-ADPCM WAV instead — the LOSSY compressed decode
+    path, deliberately outside the bit-identical dedup family."""
     from rmlint_spark.operators.flac import encode_flac, encode_mp3_stub
 
     rng = np.random.RandomState(seed)
@@ -1456,7 +1641,9 @@ def synthetic_audio_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         clip = pool[i % 8]
-        if i % 4 == 3:
+        if include_adpcm and i % 8 == 5:
+            payload = encode_wav_ima(clip, rate=16000)
+        elif i % 4 == 3:
             payload = encode_mp3_stub(8 + i % 5, bitrate_kbps=128, rate=44100)
         elif i % 3 == 0:
             payload = encode_wav(clip, rate=16000)

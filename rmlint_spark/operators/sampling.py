@@ -19,7 +19,7 @@ cfg limits): a per-row predicate derived from small global state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _KNUTH = 2654435761
@@ -67,3 +67,21 @@ def quota_sample(
     return kept.filter(F.col("u") < F.col("u_max")).select(
         id_col, source_col, "u", "n_source", "target_n"
     )
+
+
+def shard_shuffle(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic shard-balanced global shuffle — the pre-training
+    permutation step: every row gets a pseudorandom draw ``u``, a
+    shard (``u % n_shards``), and its position within the shard
+    (ordered by ``u``, doc_id tiebreak). Equivalent to a global
+    pseudorandom ORDER BY followed by round-robin sharding, but the
+    plan is ONE hash shuffle on ``shard`` plus a per-shard window
+    sort — no range-partitioned global sort, no skew (u is uniform),
+    and re-running at any parallelism yields the identical layout.
+    Returns (id, u, shard, pos)."""
+    d = docs.select(F.col(id_col), hash_u32(F.col(id_col)).alias("u"))
+    d = d.withColumn("shard", F.pmod(F.col("u"), F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("u").asc(), F.col(id_col).asc())
+    return d.withColumn("pos", F.row_number().over(w).cast("long"))

@@ -122,3 +122,33 @@ def test_tfidf_ignores_empty_tokens(spark):
     got = tfidf_topk(d, k=10).collect()
     assert {r["term"] for r in got} == {"a", "b"}
     assert {r["tf"] for r in got if r["term"] == "a"} == {2}
+
+
+# ---------------------------------------------------------------- shuffle
+
+
+def test_shard_shuffle_layout_is_a_deterministic_bijection(spark):
+    from rmlint_spark.operators.sampling import shard_shuffle
+
+    d = _docs(spark, [("t", "s")] * 257)
+    got = shard_shuffle(d, n_shards=8).collect()
+    assert len(got) == 257
+    # every input row appears exactly once
+    assert sorted(r["doc_id"] for r in got) == list(range(257))
+    # positions are 1..n_shard contiguous within each shard
+    by_shard = {}
+    for r in got:
+        assert r["shard"] == r["u"] % 8
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        # within-shard order follows the pseudorandom draw
+        us = [(r["u"], r["doc_id"]) for r in rows]
+        assert us == sorted(us)
+    # uniform hash -> shards are balanced (257/8 ~ 32, generous band)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] >= 16 and sizes[-1] <= 52
+    # identical layout on re-run at different parallelism
+    again = shard_shuffle(d.repartition(13), n_shards=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))

@@ -54,6 +54,118 @@ def test_wav_roundtrip():
     assert (got == samples).all()
 
 
+def test_ima_adpcm_wav_decode():
+    """IMA/DVI ADPCM (WAVE fmt 0x11) — the real compressed-audio
+    decode path: 4-bit predictive coding, lossy but spec-exact."""
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _ima_step,
+        decode_wav,
+        encode_wav,
+        encode_wav_ima,
+    )
+
+    t = np.arange(4000)
+    smooth = (1000 * np.sin(t / 20)).astype(np.int16)
+    payload = encode_wav_ima(smooth, rate=8000)
+    # ~4x smaller than PCM16 (headers amortized)
+    assert len(payload) < len(encode_wav(smooth, rate=8000)) / 3.5
+    rate, got = decode_wav(payload)
+    assert rate == 8000
+    # fact chunk trims final-block padding to the exact sample count
+    assert len(got) == len(smooth)
+    err = got.astype(np.float64) - smooth.astype(np.float64)
+    snr = 10 * np.log10((smooth.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 35.0
+    # decoder state transition matches the published tables:
+    # from (pred=0, idx=0) step=7, nibble 0b0101 -> diff = 7>>3 +
+    # (bit2: 7) + (bit0: 7>>2) = 0+7+1 = 8; index += index_table[5]=4
+    assert _ima_step(0b0101, 0, 0) == (8, 4)
+    from rmlint_spark.operators.multimodal import _IMA_STEPS
+
+    step = _IMA_STEPS[10]
+    pred, idx = _ima_step(0b1111, 100, 10)
+    assert pred == 100 - (step + (step >> 1) + (step >> 2) + (step >> 3))
+    assert idx == 10 + 8
+    # malformed: step index > 88 in a block header must raise
+    bad = bytearray(payload)
+    data_at = payload.index(b"data") + 8
+    bad[data_at + 2] = 120
+    try:
+        decode_wav(bytes(bad))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_g711_wav_decode():
+    """G.711 mu-law / A-law (WAVE fmt 7 / 6): telephony log-PCM,
+    decoded through vectorized 256-entry LUTs. Pinned to the ITU
+    extrema and the standard two-zero-code property."""
+    import struct
+
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _alaw_lut,
+        _ulaw_lut,
+        decode_wav,
+        encode_wav_ulaw,
+    )
+
+    ul, al = _ulaw_lut(), _alaw_lut()
+    # ITU G.711 anchor points
+    assert ul[0xFF] == 0 and ul[0x7F] == 0  # +0 and -0 both decode to 0
+    assert ul[0x80] == 32124 and ul[0x00] == -32124
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert al[0xAA] == 32256 and al[0x2A] == -32256
+    # mu-law roundtrip: exact length, high SNR on a speech-band sine
+    t = np.arange(2000)
+    s = (8000 * np.sin(t / 30)).astype(np.int16)
+    rate, d = decode_wav(encode_wav_ulaw(s, rate=8000))
+    assert rate == 8000 and len(d) == len(s)
+    err = d.astype(np.float64) - s.astype(np.float64)
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 35.0
+    # encoder inverts the decode LUT on every level except -0 (folds to +0)
+    payload = encode_wav_ulaw(ul.astype(np.int16))
+    enc = np.frombuffer(payload[payload.index(b"data") + 8 :][:256], dtype=np.uint8)
+    assert (enc == np.arange(256)).sum() == 255 and enc[0x7F] == 0xFF
+    # A-law decode through the WAV chunk walk
+    fmt = struct.pack("<HHIIHHH", 6, 1, 8000, 8000, 1, 8, 0)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 256) + bytes(range(256))
+    r2, d2 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert r2 == 8000 and (d2 == al).all()
+
+
+def test_ima_adpcm_features_and_probe(spark):
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _features_for,
+        encode_wav_ima,
+        probe_audio,
+        synthetic_audio_assets,
+    )
+
+    clip = (2000 * np.sin(np.arange(1600) / 9)).astype(np.int16)
+    f = _features_for(encode_wav_ima(clip, rate=16000))
+    assert f is not None and np.isfinite(f).all()
+    rows = {
+        r["asset_id"]: r
+        for r in probe_audio(
+            synthetic_audio_assets(spark, n=16, include_adpcm=True)
+        ).collect()
+    }
+    adpcm = [r for r in rows.values() if r["container"] == "wav-adpcm"]
+    assert {r["asset_id"] for r in adpcm} == {5, 13}
+    for r in adpcm:
+        assert r["bits_per_sample"] == 4 and r["bitrate_kbps"] == 64
+        assert r["n_samples"] == 1600 and r["sample_rate"] == 16000
+
+
 def test_real_image_features_reflect_pixels():
     import numpy as np
 

@@ -177,3 +177,23 @@ def test_corpus_model_queries_broadcast_and_never_shuffle_text(spark):
             if "Exchange" in ln and "text#" in ln
         ]
         assert not bad, f"{name} shuffles text: {bad}"
+
+
+def test_corpus_shuffle_is_one_hash_exchange_no_range_sort(spark):
+    """The global-permutation plan must be a single hash shuffle on
+    the shard key plus a per-shard sort — never a range-partitioned
+    global ORDER BY (its driver-side sampling pass and skew handling
+    are pure overhead when the sort key is already a uniform hash)."""
+    import re
+
+    from rmlint_spark.operators.sampling import shard_shuffle
+    from rmlint_spark.sources.tables import load_table
+
+    df = shard_shuffle(load_table(spark, SF_DIR, "documents"), n_shards=16)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, f"{n_ex} exchanges:\n{plan}"
+    # column pruning: the scan must not read the text column
+    scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" not in scan, scan
