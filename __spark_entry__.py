@@ -382,10 +382,12 @@ def q_minhash_sql(spark, sf_dir):
     # — JVM-native variant of the pandas-UDF signature path, oracle-
     # checkable against DuckDB. (num_perm=8 keeps the oracle cheap.)
     d = _docs(spark, sf_dir)
-    toks = F.split("text", " ")
+    # ws is LET-BOUND (singleton-array transform) so split(text) runs
+    # once per row, not once per window position — see operators/winnow
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "transform(array(split(text, ' ')), ws -> "
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), "
+        "i -> concat_ws(' ', slice(ws, i, 3))))[0]"
     )
     exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
     perms = spark.range(8).select(F.col("id").cast("int").alias("perm"))
@@ -423,8 +425,9 @@ def q_ngram_jaccard(spark, sf_dir):
     # exact token-3-gram Jaccard for same-(lang, n_chars) bucket pairs
     d = _docs(spark, sf_dir)
     toks = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "transform(array(split(text, ' ')), ws -> "
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), "
+        "i -> concat_ws(' ', slice(ws, i, 3))))[0]"
     )
     sh = d.select("doc_id", "lang", "n_chars", F.explode(toks).alias("shingle")).dropDuplicates(
         ["doc_id", "shingle"]
@@ -497,7 +500,10 @@ def q_ngram_repetition(spark, sf_dir):
     bigrams = w.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))")
+            F.expr(
+                "transform(array(w), ws -> transform(sequence(1, size(ws) - 1), "
+                "i -> concat_ws(' ', ws[i-1], ws[i])))[0]"
+            )
         ).alias("bg"),
     )
     counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
@@ -687,6 +693,53 @@ def q_corpus_shuffle(spark, sf_dir):
     from rmlint_spark.operators.sampling import shard_shuffle
 
     return shard_shuffle(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_corpus_report(spark, sf_dir):
+    """The data-card rollup every released pretraining corpus ships:
+    per (source, language) — doc counts, exact-dup counts (distinct
+    sha), character/token totals, and a high-quality-doc count. One
+    scan, one aggregation; every measure is integer-exact (the only
+    doubles are int/int ratios and the per-row quality threshold,
+    whose inputs are hash-pinned by the quality_score oracle)."""
+    # the synthetic corpus has no exact text duplicates, so a planted
+    # 1-in-50 boilerplate page (doc_id-derived, mirrored in the SQL
+    # oracle) keeps the distinct-sha dup accounting non-vacuous
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(50)) == 7,
+            F.lit("This page is intentionally left blank. See the index."),
+        ).otherwise(F.col("text")),
+    )
+    per = d.select(
+        "source",
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+        F.sha2("text", 256).alias("sha"),
+        F.length("text").cast("long").alias("chars"),
+        TX.token_count(F.col("text")).alias("toks"),
+        TX.quality_score(F.col("text")).alias("q"),
+    )
+    agg = per.groupBy("source", "lang_guess").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("sha").cast("long").alias("n_unique_texts"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_quality"),
+    )
+    return agg.select(
+        "source",
+        "lang_guess",
+        "n_docs",
+        "n_unique_texts",
+        (F.col("n_docs") - F.col("n_unique_texts")).alias("n_dup_docs"),
+        "total_chars",
+        "total_tokens",
+        "n_high_quality",
+        (F.col("total_chars") / F.col("n_docs")).alias("mean_chars"),
+    )
 
 
 def q_semdedup(spark, sf_dir):
@@ -1063,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "winnow_clone_pairs": q_winnow_clone_pairs,
         "corpus_shuffle": q_corpus_shuffle,
+        "corpus_report": q_corpus_report,
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
@@ -1597,6 +1651,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY u % 16
                         ORDER BY u ASC, doc_id ASC) AS BIGINT) AS pos
             FROM d
+        """,
+        "corpus_report": f"""
+            WITH planted AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 50 = 7
+                          THEN 'This page is intentionally left blank. See the index.'
+                          ELSE text END AS text
+              FROM documents),
+            per AS (
+              SELECT source,
+                     CASE
+                       WHEN ({s_en}) >= ({s_es}) AND ({s_en}) >= ({s_de})
+                            AND ({s_en}) >= ({s_fr}) AND ({s_en}) > 0 THEN 'en'
+                       WHEN ({s_es}) >= ({s_de}) AND ({s_es}) >= ({s_fr})
+                            AND ({s_es}) > 0 THEN 'es'
+                       WHEN ({s_de}) >= ({s_fr}) AND ({s_de}) > 0 THEN 'de'
+                       WHEN ({s_fr}) > 0 THEN 'fr'
+                       ELSE 'und'
+                     END AS lang_guess,
+                     sha256(text) AS sha,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     CAST(CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                     END AS BIGINT) AS toks,
+                     ( least(length(text) / 500.0, 1.0)
+                     + greatest(0.0, 1.0 -
+                         ((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                          / greatest(length(text), 1)) * 10)
+                     + least((CAST({stop_cnt} AS BIGINT)
+                          / greatest(CASE WHEN length(text) = 0 THEN 0
+                                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                                     END, 1)) * 5, 1.0)
+                     ) / 3 AS q
+              FROM planted)
+            SELECT source, lang_guess,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_unique_texts,
+                   COUNT(*) - CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_dup_docs,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_high_quality,
+                   CAST(SUM(chars) AS BIGINT) / COUNT(*) AS mean_chars
+            FROM per GROUP BY source, lang_guess
         """,
         "paragraph_dedup": """
             WITH planted AS (

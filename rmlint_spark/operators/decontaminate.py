@@ -25,9 +25,14 @@ def _ngram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     d = df.select(F.col(id_col).alias("_id"), words.alias("w")).filter(
         F.size("w") >= n
     )
+    # ws is LET-BOUND (singleton-array transform): projected as a bare
+    # column, CollapseProject inlines the split+filter into the slice
+    # lambda and re-tokenizes the document once per gram position —
+    # O(words^2) per doc (see operators/winnow.py for the O(len^3)
+    # variant this repo measured).
     gram = (
-        f"transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice(w, i, {n}))))"
+        f"transform(array(w), ws -> transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(ws, i, {n})))))[0]"
     )
     return d.select("_id", F.explode(F.expr(gram)).alias("gram_hash"))
 

@@ -337,6 +337,25 @@ def encode_wav_ulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_alaw(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono -> RIFF/WAVE G.711 A-law (fmt 6): standard segment
+    encoder, exact inverse of the decode LUT on every quantization
+    level (A-law has no duplicate zero code, unlike mu-law)."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(s), 0x7FFF)
+    # segment = position of the leading bit above the linear range
+    seg = np.maximum((np.floor(np.log2(np.maximum(mag, 1))) - 7).astype(np.int32), 0)
+    seg = np.minimum(seg, 7)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    data = ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8).tobytes()
+    body = _g711_header(6, rate, len(s))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ima(
     samples: np.ndarray, rate: int = 16000, block_align: int = 256
 ) -> bytes:

@@ -39,18 +39,27 @@ def winnow_fingerprints(
     # evaluate them on rows the length filter rejects (sequence(1, 0)
     # yields a DESCENDING [1, 0] and slice throws on start 0). The
     # clamp only fires on rows the filter drops, so output is unchanged.
+    #
+    # The gram array is LET-BOUND as the lambda variable of a
+    # singleton-array transform. Projecting it as a column instead
+    # invites Catalyst's CollapseProject to inline the whole gram
+    # transform into the window lambda, where `slice(grams, j, w)`
+    # re-evaluates every k-gram hash once PER WINDOW POSITION —
+    # O(len^3) per document (measured: one 25-minute single task at
+    # 5000 docs). Bound as a lambda variable, grams evaluates once
+    # per row no matter how the optimizer rearranges projections;
+    # tests/test_plans.py pins the plan shape.
     grams = (
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
         f"i -> substr(sha2(substr({text_col}, i, {k}), 256), 1, 8))"
     )
-    mins = (
-        f"transform(sequence(1, greatest(size(_grams) - {w - 1}, 1)), "
-        f"j -> array_min(slice(_grams, j, {w})))"
+    fps = (
+        f"transform(array({grams}), g -> "
+        f"  array_distinct(transform(sequence(1, greatest(size(g) - {w - 1}, 1)), "
+        f"  j -> array_min(slice(g, j, {w})))))[0]"
     )
     d = docs.filter(F.length(text_col) >= k + w - 1)
-    d = d.select(F.col(id_col).alias(id_col), F.expr(grams).alias("_grams"))
-    d = d.select(id_col, F.array_distinct(F.expr(mins)).alias("_fps"))
-    return d.select(id_col, F.explode("_fps").alias("fp"))
+    return d.select(F.col(id_col).alias(id_col), F.explode(F.expr(fps)).alias("fp"))
 
 
 def shared_fingerprint_pairs(

@@ -138,6 +138,12 @@ def test_g711_wav_decode():
     body += b"data" + struct.pack("<I", 256) + bytes(range(256))
     r2, d2 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
     assert r2 == 8000 and (d2 == al).all()
+    # A-law encoder inverts the LUT on ALL 256 codes (no dual zero)
+    from rmlint_spark.operators.multimodal import encode_wav_alaw
+
+    p2 = encode_wav_alaw(al.astype(np.int16))
+    enc2 = np.frombuffer(p2[p2.index(b"data") + 8 :][:256], dtype=np.uint8)
+    assert (enc2 == np.arange(256)).all()
 
 
 def test_ima_adpcm_features_and_probe(spark):

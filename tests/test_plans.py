@@ -168,7 +168,8 @@ def test_corpus_model_queries_broadcast_and_never_shuffle_text(spark):
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
 
-    for name in ("charlm_quality", "mixture_sample", "tfidf_keywords", "winnow"):
+    for name in ("charlm_quality", "mixture_sample", "tfidf_keywords", "winnow",
+                 "corpus_report"):
         df = entry.queries()[name](spark, SF_DIR)
         plan = final_plan(df)
         assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
@@ -177,6 +178,44 @@ def test_corpus_model_queries_broadcast_and_never_shuffle_text(spark):
             if "Exchange" in ln and "text#" in ln
         ]
         assert not bad, f"{name} shuffles text: {bad}"
+
+
+def test_sliding_window_arrays_evaluate_once_per_row(spark):
+    """Sliding-window HOFs must keep their source array LET-BOUND
+    (singleton-array transform) instead of projected as a column:
+    CollapseProject inlines a projected array into the window lambda,
+    where `slice(arr, j, w)` re-evaluates the full tokenize/hash
+    transform once PER WINDOW POSITION — O(len^2) for split-based
+    shingles and O(len^3) for winnow's hashed grams (measured: one
+    25-minute single task at 5000 docs, vs 11 s let-bound). The
+    smoking gun in the optimized plan is a slice()/element-access
+    whose first argument is itself a transform/filter/split."""
+    import importlib.util
+    import os
+
+    from rmlint_spark.operators.winnow import winnow_fingerprints
+    from rmlint_spark.sources.tables import load_table
+
+    def assert_no_inlined_window(df, name):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        squeezed = optimized.replace(" ", "")
+        for bad in ("slice(transform(", "slice(filter(", "slice(split("):
+            assert bad not in squeezed, f"{name}: {bad}\n{optimized}"
+
+    assert_no_inlined_window(
+        winnow_fingerprints(load_table(spark, SF_DIR, "documents"), k=8, w=4),
+        "winnow_fingerprints",
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_window_plans",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    for name in ("minhash_sql", "ngram_jaccard", "ngram_repetition",
+                 "decontaminate", "winnow", "winnow_clone_pairs"):
+        assert_no_inlined_window(entry.queries()[name](spark, SF_DIR), name)
 
 
 def test_corpus_shuffle_is_one_hash_exchange_no_range_sort(spark):
