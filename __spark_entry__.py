@@ -701,7 +701,10 @@ def q_corpus_report(spark, sf_dir):
     sha), character/token totals, and a high-quality-doc count. One
     scan, one aggregation; every measure is integer-exact (the only
     doubles are int/int ratios and the per-row quality threshold,
-    whose inputs are hash-pinned by the quality_score oracle)."""
+    whose inputs are hash-pinned by the quality_score oracle).
+    Reference analog: the stats formatter / session-totals family
+    (lib/formats/stats.c:40-120, lib/session.c counters) — corpus-wide
+    accounting emitted alongside the dedup results."""
     # the synthetic corpus has no exact text duplicates, so a planted
     # 1-in-50 boilerplate page (doc_id-derived, mirrored in the SQL
     # oracle) keeps the distinct-sha dup accounting non-vacuous

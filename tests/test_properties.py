@@ -88,6 +88,48 @@ def test_wav_aiff_sample_roundtrip(data):
     assert r == 44100 and np.array_equal(got, samples)
 
 
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=2, max_size=4096))
+def test_ima_adpcm_length_and_state_law(data):
+    """IMA ADPCM decode(encode(x)): exact length (fact-chunk trim),
+    int16 output, and determinism for arbitrary int16 input. Error is
+    unbounded on adversarial steps (4-bit residual), so the property
+    is structural, not SNR."""
+    from rmlint_spark.operators.multimodal import decode_wav, encode_wav_ima
+
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    payload = encode_wav_ima(samples, rate=16000)
+    assert payload == encode_wav_ima(samples, rate=16000)
+    rate, got = decode_wav(payload)
+    assert rate == 16000 and got.dtype == np.int16
+    assert len(got) == len(samples)
+    if len(samples):
+        # block headers carry the predictor verbatim: sample 0 exact
+        assert got[0] == samples[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=2, max_size=2048))
+def test_g711_companding_laws(data):
+    """G.711 for arbitrary int16 input: mu-law decode(encode(x))
+    equals per-sample LUT re-quantization (idempotent companding:
+    encode(decode(encode(x))) == encode(x)), and A-law likewise."""
+    from rmlint_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_alaw,
+        encode_wav_ulaw,
+    )
+
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    for enc in (encode_wav_ulaw, encode_wav_alaw):
+        p1 = enc(samples, rate=8000)
+        r, d1 = decode_wav(p1)
+        assert r == 8000 and len(d1) == len(samples)
+        # companding is idempotent: re-encoding the decoded signal
+        # reproduces the same code stream byte-for-byte
+        assert enc(d1, rate=8000) == p1
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.binary(min_size=0, max_size=128))
 def test_murmur_streaming_stability(data):
