@@ -337,6 +337,46 @@ def encode_wav_ulaw(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_au(samples: np.ndarray, rate: int = 8000, encoding: int = 1) -> bytes:
+    """int16 mono -> Sun AU (.au/.snd): big-endian 24-byte header +
+    data. encoding 1 = G.711 mu-law (8-bit), 3 = linear PCM16 BE.
+    The companded stream reuses the WAV mu-law encoder's exact code
+    mapping, so the same clip decodes bit-identically from AU and
+    WAV containers — cross-container dedup extends to lossy-companded
+    audio because G.711 is a deterministic code map."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if encoding == 1:
+        wav = encode_wav_ulaw(s, rate=rate)
+        data = wav[wav.index(b"data") + 8 :]
+    elif encoding == 3:
+        data = s.astype(">i2").tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(data), encoding, rate, 1)
+    return hdr + data
+
+
+def decode_au(payload: bytes) -> tuple[int, np.ndarray]:
+    """Sun AU -> (rate, int16 samples); mu-law (1) via the shared
+    G.711 LUT, PCM16-BE (3) directly."""
+    import struct
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not a Sun AU payload")
+    _, off, size, enc, rate, ch = struct.unpack(">4sIIIII", payload[:24])
+    if off < 24 or rate <= 0 or ch < 1:
+        raise ValueError("invalid AU header")
+    end = len(payload) if size == 0xFFFFFFFF else min(len(payload), off + size)
+    data = payload[off:end]
+    if enc == 1:
+        return rate, _ulaw_lut()[np.frombuffer(data, dtype=np.uint8)]
+    if enc == 3:
+        return rate, np.frombuffer(data[: len(data) & ~1], dtype=">i2").astype(np.int16)
+    raise ValueError(f"unsupported AU encoding {enc}")
+
+
 def encode_wav_alaw(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono -> RIFF/WAVE G.711 A-law (fmt 6): standard segment
     encoder, exact inverse of the decode LUT on every quantization
@@ -1174,6 +1214,8 @@ def detect_format(payload: bytes) -> str:
         return "aiff"
     if p[:4] == b"fLaC":
         return "flac"
+    if p[:4] == b".snd":
+        return "au"
     if p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and p[1] & 0xE0 == 0xE0):
         return "mp3"
     if p.startswith(_Y4M_SIG):
@@ -1198,6 +1240,8 @@ def _features_for(payload: bytes) -> np.ndarray:
             from rmlint_spark.operators.flac import decode_flac
 
             return _audio_features(*decode_flac(payload))
+        if payload and payload[:4] == b".snd":
+            return _audio_features(*decode_au(payload))
         if payload and payload.startswith(_Y4M_SIG):
             return _video_features(payload)
     except _DECODE_ERRORS:
@@ -1619,6 +1663,17 @@ def probe_audio(assets: DataFrame) -> DataFrame:
                         meta = ("flac", si["sample_rate"], si["channels"],
                                 si["bits_per_sample"], kbps,
                                 si["duration_ms"], si["total_samples"])
+                    elif p[:4] == b".snd":
+                        import struct as _s
+
+                        _, off, dsize, enc, rate, ch = _s.unpack(">4sIIIII", p[:24])
+                        if off < 24 or not rate or not ch or enc not in (1, 3):
+                            raise ValueError("invalid AU header")
+                        ns = (min(len(p), off + dsize) - off) // (ch * (1 if enc == 1 else 2))
+                        bits = 8 if enc == 1 else 16
+                        meta = ("au-ulaw" if enc == 1 else "au",
+                                rate, ch, bits, rate * ch * bits // 1000,
+                                ns * 1000 // rate, ns)
                     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                                              and p[1] & 0xE0 == 0xE0):
                         m = mp3_metadata(p)

@@ -146,6 +146,42 @@ def test_g711_wav_decode():
     assert (enc2 == np.arange(256)).all()
 
 
+def test_au_container_and_cross_container_companded_dedup():
+    """Sun AU (.snd): real header + mu-law/PCM16-BE decode. G.711 is
+    a deterministic code map, so the same clip mu-law'd into AU and
+    WAV containers decodes bit-identically -> cross-container dedup
+    extends to lossy-companded audio."""
+    import numpy as np
+
+    from rmlint_spark.operators.multimodal import (
+        _features_for,
+        decode_au,
+        decode_wav,
+        detect_format,
+        encode_au,
+        encode_wav_ulaw,
+    )
+
+    clip = (6000 * np.sin(np.arange(1600) / 11)).astype(np.int16)
+    # PCM16-BE AU roundtrips exactly
+    r, d = decode_au(encode_au(clip, rate=16000, encoding=3))
+    assert r == 16000 and (d == clip).all()
+    # mu-law AU decodes bit-identically to mu-law WAV of the same clip
+    r_au, d_au = decode_au(encode_au(clip, rate=8000, encoding=1))
+    r_wav, d_wav = decode_wav(encode_wav_ulaw(clip, rate=8000))
+    assert (d_au == d_wav).all() and r_au == r_wav == 8000
+    f_au = _features_for(encode_au(clip, rate=8000, encoding=1))
+    f_wav = _features_for(encode_wav_ulaw(clip, rate=8000))
+    assert (f_au == f_wav).all()
+    assert detect_format(encode_au(clip)) == "au"
+    # malformed: truncated header raises, not crashes downstream
+    try:
+        decode_au(b".snd\x00\x00")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_ima_adpcm_features_and_probe(spark):
     import numpy as np
 
