@@ -338,10 +338,11 @@ def _predict(warmup: list[int], residuals: list[int],
 
 
 def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
-    """FLAC -> (sample_rate, int16 samples) for the verbatim/constant
-    subset.  CRC-8 (header) and CRC-16 (frame) are verified; a FIXED
-    or LPC subframe raises ``ValueError`` (unsupported subset) so the
-    caller can degrade to metadata-only handling."""
+    """FLAC -> (sample_rate, int16 samples).  All four subframe types
+    decode (VERBATIM, CONSTANT, FIXED orders 0-4, LPC with partitioned
+    Rice residuals); CRC-8 (header) and CRC-16 (frame) are verified.
+    Only multi-channel or non-16-bit streams raise ``ValueError`` so
+    the caller can degrade to metadata-only handling."""
     info = flac_streaminfo(payload)
     if info["channels"] != 1 or info["bits_per_sample"] != 16:
         raise ValueError("FLAC subset decoder handles mono 16-bit only")

@@ -261,7 +261,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hs, vs = hv >> 4, hv & 0xF
+                # T.81 B.2.2: Hi/Vi are 1..4; a crafted 0 nibble would
+                # otherwise surface as ZeroDivisionError at vmax // vs
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid JPEG sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

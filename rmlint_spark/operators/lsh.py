@@ -147,7 +147,27 @@ def stop_shingle_hashes(contents: DataFrame, cfg: EngineConfig = DEFAULT):
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= F.lit(max(2.0, frac * n_sampled)))
     )
-    rows = df_counts.select("sh").limit(200_000).collect()
+    # Deterministic cap: take the HIGHEST-df shingles first (ties broken
+    # by sh) so two runs over the same corpus build the same stop set
+    # even when the filtered set exceeds the cap; an unordered limit
+    # made signatures non-reproducible in the degenerate
+    # high-boilerplate case (ADVICE r4). limit(cap+1) detects overflow.
+    cap = 200_000
+    rows = (
+        df_counts.orderBy(F.col("df").desc(), "sh")
+        .select("sh")
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        import warnings
+
+        warnings.warn(
+            f"stop-shingle set exceeds cap ({cap}); keeping the {cap} "
+            "highest-df shingles — consider raising stop_shingle_df",
+            stacklevel=2,
+        )
+        rows = rows[:cap]
     return np.array([r["sh"] for r in rows], dtype=np.int64).astype(np.uint64)
 
 

@@ -1451,3 +1451,21 @@ def test_mp3_metadata_mpeg2_walk():
     assert m["bitrate_kbps"] == 64 and not m["vbr"]
     # MPEG-2 layer III = 576 samples/frame
     assert abs(m["duration_ms"] - 30 * 576 * 1000 / 22050) <= 1
+
+
+def test_jpeg_zero_sampling_factor_is_valueerror():
+    """ADVICE r4: a crafted 0 nibble in the SOF hv byte must raise the
+    documented ValueError, not ZeroDivisionError at vmax // vs."""
+    import numpy as np
+
+    from rmlint_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=90))
+    sof = bytes(good).index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]*nc
+    hv_off = sof + 11  # first component's hv byte
+    for bad_hv in (0x10, 0x01, 0x00, 0x50, 0x15):  # 0 or >4 nibbles
+        crafted = bytes(good[:hv_off]) + bytes([bad_hv]) + bytes(good[hv_off + 1 :])
+        with pytest.raises(ValueError, match="sampling"):
+            decode_jpeg(crafted)

