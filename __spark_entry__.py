@@ -748,7 +748,8 @@ def q_semdedup(spark, sf_dir):
         "overwrite"
     ).parquet(path)
     side = spark.read.parquet(path).withColumn("is_home", F.lit(True))
-    return semdedup(emb, assignments=side)
+    result, _dropped = semdedup(emb, assignments=side)
+    return result
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1720,19 +1721,27 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (
               SELECT vec_id, centroid_id
               FROM read_parquet('{ORACLE_SIDE}/semdedup/*.parquet')),
+            -- the skew-guard cap: cells wider than max_cell_width are
+            -- excluded from pairwise scoring (their members all keep);
+            -- vacuous at this sf, but the RULE is replayed so a
+            -- regression in the cap shows up as a hash mismatch
+            ok AS (
+              SELECT centroid_id FROM a GROUP BY centroid_id
+              HAVING COUNT(*) <= 8192),
             e AS (
               SELECT a.vec_id, a.centroid_id,
                      CAST(emb.embedding AS DOUBLE[]) AS v
-              FROM a JOIN embeddings emb USING (vec_id)),
+              FROM a JOIN ok USING (centroid_id)
+                     JOIN embeddings emb USING (vec_id)),
             rm AS (
               SELECT DISTINCT y.vec_id
               FROM e x JOIN e y
                 ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
               WHERE list_cosine_similarity(x.v, y.v) >= 0.35)
-            SELECT e.vec_id,
-                   CAST(e.centroid_id AS INT) AS centroid_id,
+            SELECT a.vec_id,
+                   CAST(a.centroid_id AS INT) AS centroid_id,
                    CAST(rm.vec_id IS NULL AS INT) AS is_kept
-            FROM e LEFT JOIN rm ON e.vec_id = rm.vec_id
+            FROM a LEFT JOIN rm ON a.vec_id = rm.vec_id
         """,
         "decontaminate": """
             WITH w AS (

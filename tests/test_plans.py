@@ -9,6 +9,7 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 import pytest
 from pyspark.sql import functions as F
 
@@ -239,3 +240,44 @@ def test_corpus_shuffle_is_one_hash_exchange_no_range_sort(spark):
     # column pruning: the scan must not read the text column
     scan = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "text" not in scan, scan
+
+
+def test_hyperplane_ladder_signs_each_vector_once(spark, monkeypatch):
+    """judge r4 #3: the hyperplane ladder's width probe, over-cap
+    semi-join, final union, and the caller's width recompute are four
+    references to each level's bucket relation — without per-level
+    pinning (plus the asNondeterministic optimizer barrier) the
+    signature matmul UDF re-ran ~3x per call. Count the ROWS the UDF
+    actually processes with an accumulator: in the no-escalation case
+    every vector must be signed exactly once."""
+    import numpy as np
+
+    import rmlint_spark.operators.ann as ann
+    from rmlint_spark.operators.exact import pin_scope
+
+    acc = spark.sparkContext.accumulator(0)
+    orig = ann.hyperplane_sigs_udf
+
+    def counting(n_bands, bits_per_band, seed=42):
+        inner = orig(n_bands, bits_per_band, seed)
+
+        @F.pandas_udf("array<long>")
+        def _counted(vecs: pd.Series) -> pd.Series:
+            acc.add(len(vecs))
+            return inner.func(vecs)
+
+        return _counted.asNondeterministic()
+
+    monkeypatch.setattr(ann, "hyperplane_sigs_udf", counting)
+
+    rng = np.random.RandomState(7)
+    n = 300
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(16).tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    with pin_scope(spark):
+        topk, dropped = ann.hyperplane_topk(emb, k=3, max_bucket=n + 1)
+        assert topk.count() > 0
+        assert dropped.count() == 0
+    assert acc.value == n, f"signature UDF processed {acc.value} rows for {n} vectors"
