@@ -88,6 +88,13 @@ class EngineConfig:
     # (lib/preprocess.c:304-356,388-427); default matches the
     # reference default "pOma" (lib/cfg.c:65). See operators/rank.py.
     rank_criteria: str = "pOma"
+    # R6 matching criteria (lib/preprocess.c:67-90, rm_file_cmp):
+    # extra gen-0 group-key components — files only qualify as twins
+    # when the enabled keys agree (ASCII-case-insensitively in the
+    # reference; full lower() here).
+    match_basename: bool = False           # -b / --match-basename
+    match_with_extension: bool = False     # -e / --match-with-extension
+    match_without_extension: bool = False  # -i / --match-without-extension
     # skew handling
     # sub-keys for pathological groups: drives the two-phase salted
     # directory rollup (treemerge.ancestor_rollup(salt_buckets=...)) —

@@ -200,6 +200,48 @@ def pin_scope(spark):
         unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
 
 
+def match_key_cols(cfg: EngineConfig) -> list[tuple[str, Column]]:
+    """R6 matching criteria (-b/-e/-i): extra group-key columns the
+    funnel's every qualification stage groups on, so files that
+    disagree on an enabled key never become twins (rm_file_cmp,
+    lib/preprocess.c:66-90; tests/test_options/
+    test_match_with_extension.py, test_match_without_extension.py).
+
+    Semantics mirrored from the reference:
+
+    - extension = text after the LAST dot of the basename
+      (rm_util_path_extension, lib/utilities.c:117-124); a file with
+      an extension never matches one without, but two no-extension
+      files DO match (the NULL/NULL branch of
+      rm_file_cmp_with_extension returns 0) — encoded here as the
+      sentinel "." (impossible as a real extension, which can never
+      contain a dot).
+    - stem comparison covers the basename UP TO AND INCLUDING the
+      last dot (a_len = ext - basename in
+      rm_file_cmp_without_extension, lib/preprocess.c:48-62), so
+      "foo" (3 chars) never matches "foo.c" (stem "foo.", 4 chars).
+      The reference compares g_ascii_strcasecmp-style (ASCII case
+      fold); full lower() here — identical on ASCII names.
+    """
+    cols: list[tuple[str, Column]] = []
+    basename = F.element_at(F.split("path", "/"), -1)
+    if cfg.match_basename:
+        cols.append(("_mk_base", F.lower(basename)))
+    if cfg.match_with_extension:
+        ext = F.when(
+            basename.contains("."),
+            F.lower(F.regexp_extract(basename, r"\.([^.]*)$", 1)),
+        ).otherwise(F.lit("."))
+        cols.append(("_mk_ext", ext))
+    if cfg.match_without_extension:
+        # keep the trailing dot ((?<=\.) lookbehind strips only the
+        # extension text) to mirror the reference's length-inclusive
+        # prefix compare
+        stem = F.lower(F.regexp_replace(basename, r"(?<=\.)[^.]*$", ""))
+        cols.append(("_mk_stem", stem))
+    return cols
+
+
 def _qualify(df: DataFrame, keys: list[str]) -> DataFrame:
     """A4 group qualification: keep rows whose group has >= 2 members
     (lib/shredder.c:798-809). Implemented as agg + semi-join so the
@@ -232,23 +274,38 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     raw = clamp_filter(size_filter(files, cfg), cfg)
     cc = clamped_content(cfg)  # F7: identity unless a clamp is set
     size = F.length(cc).alias("size")
+    # R6 matching criteria: extra group-key columns (usually none) —
+    # they ride every narrow projection and every qualification key,
+    # so a disagreeing pair is separated at gen-0 (before any hashing)
+    # exactly like the reference's rm_file_cmp pre-partition
+    mk = match_key_cols(cfg)
+    mk_names = [n for n, _ in mk]
+    mk_cols = [c.alias(n) for n, c in mk]
 
     # gen-0 (R1): narrow (key, size) relation; dedup + qualify shuffle
     # ~20 bytes/row. Sizes with >= 2 distinct rows survive.
-    meta = raw.select(*KEY, size).dropDuplicates(KEY)
-    sizes2 = meta.groupBy("size").count().filter(F.col("count") >= 2).select("size")
+    meta = raw.select(*KEY, size, *mk_cols).dropDuplicates(KEY)
+    sizes2 = (
+        meta.groupBy("size", *mk_names)
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("size", *mk_names)
+    )
 
     # gen-1 (R2): prefix signature, computed map-side ONLY for rows in a
     # surviving size bucket (broadcast semi-join precedes the hash —
     # rmlint's "unique sizes never read", lib/shredder.c:50-56; prefix
     # default = the 4-page first read, lib/shredder.c:52,272-275).
     sig1 = (
-        raw.select(*KEY, size, cc.alias("_cc"))
-        .join(F.broadcast(sizes2), "size", "left_semi")
-        .select(*KEY, "size", F.xxhash64(F.substring("_cc", 1, prefix_len)).alias("sig1"))
+        raw.select(*KEY, size, *mk_cols, cc.alias("_cc"))
+        .join(F.broadcast(sizes2), ["size", *mk_names], "left_semi")
+        .select(
+            *KEY, "size", *mk_names,
+            F.xxhash64(F.substring("_cc", 1, prefix_len)).alias("sig1"),
+        )
         .dropDuplicates(KEY)
     )
-    surv1 = _qualify(sig1, ["size", "sig1"])
+    surv1 = _qualify(sig1, ["size", *mk_names, "sig1"])
 
     # final generation: full digest (-a selectable) for remaining
     # survivors, again map-side; survivor keys are narrow -> broadcast.
@@ -263,10 +320,13 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
               if c in files.columns]
     final = (
         raw.join(surv1.select(*KEY), KEY, "left_semi")
-        .select(*KEY, size, digest(cc, cfg.sig.checksum_algo).alias("checksum"), *extras)
+        .select(
+            *KEY, size, *mk_cols,
+            digest(cc, cfg.sig.checksum_algo).alias("checksum"), *extras,
+        )
         .dropDuplicates(KEY)
     )
-    clustered = _pin(_qualify(final, ["size", "checksum"]))
+    clustered = _pin(_qualify(final, ["size", *mk_names, "checksum"]))
 
     if cfg.byte_confirm:
         # paranoid analog (lib/shredder.c:218-258): byte-equality check
@@ -286,10 +346,18 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         )
         clustered = clustered.join(confirm, "checksum", "left_semi")
 
-    sizes = clustered.groupBy("checksum").agg(F.count("*").alias("cluster_size"))
-    out = (
-        clustered.join(sizes, "checksum")
-        .withColumn("cluster_id", F.col("checksum"))
+    # with match keys active, same-content files under different keys
+    # are DIFFERENT clusters (rmlint emits separate groups), so the
+    # cluster identity extends from checksum to (checksum, keys) — the
+    # id stays content-derived and partition-independent either way
+    sizes = clustered.groupBy("checksum", *mk_names).agg(
+        F.count("*").alias("cluster_size")
+    )
+    out = clustered.join(sizes, ["checksum", *mk_names]).withColumn(
+        "cluster_id",
+        F.sha2(F.concat_ws("\x1f", "checksum", *mk_names), 256)
+        if mk_names
+        else F.col("checksum"),
     )
     return tag_originals(out, cfg.rank_criteria).select(
         "repo", "path", "commit", "size", "checksum",

@@ -298,3 +298,92 @@ def test_murmur_matches_canonical_vectors(spark):
     df = spark.createDataFrame([("hello",)], "content string")
     (row,) = df.select(digest(F.col("content"), "murmur").alias("d")).collect()
     assert row["d"] == murmur3_x64_128(b"hello").hex()
+
+
+# ------------------------------------------- R6 matching criteria -b/-e/-i
+
+def test_match_with_extension_splits_groups(spark):
+    """-e/--match-with-extension (rm_file_cmp_with_extension,
+    lib/preprocess.c:37-46; reference test
+    tests/test_options/test_match_with_extension.py): same-content
+    files only group when the (case-insensitive) extension agrees."""
+    rows = [
+        ("r1", "src/a.c", "c1", "t", "SAME CONTENT"),
+        ("r1", "src/b.C", "c1", "t", "SAME CONTENT"),   # case-insensitive twin
+        ("r1", "inc/c.h", "c1", "t", "SAME CONTENT"),
+        ("r1", "inc/d.h", "c1", "t", "SAME CONTENT"),
+        ("r1", "doc/e.md", "c1", "t", "SAME CONTENT"),  # lone extension: drops
+    ]
+    df = files_df(spark, rows)
+    # default: one cluster of all five
+    base = exact_clusters(df, CFG)
+    assert base.count() == 5
+    assert base.select("cluster_id").distinct().count() == 1
+    cfg = replace(CFG, match_with_extension=True)
+    out = exact_clusters(df, cfg).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["path"])
+    assert sorted(by_cluster.values(), key=len) == [
+        {"src/a.c", "src/b.C"},
+        {"inc/c.h", "inc/d.h"},
+    ] or sorted(
+        [v for v in by_cluster.values()], key=sorted
+    ) == sorted(
+        [{"src/a.c", "src/b.C"}, {"inc/c.h", "inc/d.h"}], key=sorted
+    )
+
+
+def test_match_with_extension_no_ext_rules(spark):
+    """A file WITH an extension never matches one without; two
+    no-extension files DO match (the NULL/NULL branch returns 0)."""
+    rows = [
+        ("r1", "a/Makefile", "c1", "t", "SAME CONTENT"),
+        ("r1", "b/Makefile.bak", "c1", "t", "SAME CONTENT"),
+        ("r1", "c/rules", "c1", "t", "SAME CONTENT"),
+    ]
+    cfg = replace(CFG, match_with_extension=True)
+    out = exact_clusters(files_df(spark, rows), cfg).collect()
+    got = {r["path"] for r in out}
+    assert got == {"a/Makefile", "c/rules"}  # the .bak file has no twin
+
+
+def test_match_without_extension_stem_semantics(spark):
+    """-i/--match-without-extension (rm_file_cmp_without_extension,
+    lib/preprocess.c:48-62): same stem, any extension -> twins; the
+    compare covers the basename up to AND INCLUDING the last dot, so
+    'foo' never matches 'foo.c'."""
+    rows = [
+        ("r1", "v1/report.pdf", "c1", "t", "SAME CONTENT"),
+        ("r1", "v2/Report.docx", "c1", "t", "SAME CONTENT"),  # case-insensitive
+        ("r1", "v3/summary.pdf", "c1", "t", "SAME CONTENT"),  # other stem: drops
+        ("r1", "v4/foo", "c1", "t", "OTHER BYTES"),
+        ("r1", "v5/foo.c", "c1", "t", "OTHER BYTES"),         # 'foo' != 'foo.'
+    ]
+    cfg = replace(CFG, match_without_extension=True)
+    out = exact_clusters(files_df(spark, rows), cfg).collect()
+    got = {r["path"] for r in out}
+    assert got == {"v1/report.pdf", "v2/Report.docx"}
+
+
+def test_match_basename_gen0(spark):
+    """-b/--match-basename as a gen-0 key (rm_file_basenames_cmp):
+    same content only groups under an agreeing basename."""
+    rows = [
+        ("r1", "x/conf.ini", "c1", "t", "SAME CONTENT"),
+        ("r1", "y/conf.ini", "c1", "t", "SAME CONTENT"),
+        ("r1", "z/other.ini", "c1", "t", "SAME CONTENT"),
+    ]
+    cfg = replace(CFG, match_basename=True)
+    out = exact_clusters(files_df(spark, rows), cfg).collect()
+    assert {r["path"] for r in out} == {"x/conf.ini", "y/conf.ini"}
+
+
+def test_match_keys_absent_from_output_schema(spark):
+    rows = [
+        ("r1", "a/x.c", "c1", "t", "SAME"),
+        ("r1", "b/y.c", "c1", "t", "SAME"),
+    ]
+    cfg = replace(CFG, match_with_extension=True, match_without_extension=True)
+    out = exact_clusters(files_df(spark, rows), cfg)
+    assert not [c for c in out.columns if c.startswith("_mk_")]
