@@ -183,6 +183,173 @@ def append_signatures(clusters: DataFrame, store_path: str) -> None:
     ).parquet(store_path)
 
 
+# The emitted python remediation script (K3 sibling). The reference
+# embeds lib/formats/py.py into the binary and the py formatter writes
+# it out verbatim, chmod +x, while delegating every record to the JSON
+# handler writing ``.rmlint.json`` next to it (lib/formats/py.c.in:
+# 35,53-73). Same shape here: the script below is written to the sink
+# path and reads the json-lines directory the sink writes alongside.
+# Deliberately stdlib-only and hackable, like the original's
+# "clean and hackable" charter (lib/formats/py.py:26-28).
+PY_REMEDIATION_SOURCE = '''#!/usr/bin/env python3
+"""rmlint_spark remediation script (py formatter analog).
+
+Reads rmlint_spark json-lines output (default: the %(data)s directory
+written next to this script) and handles every non-original row.
+Records carry virtual (repo, path) coordinates; --root maps them to
+the filesystem as <root>/<repo>/<path>.
+"""
+import argparse
+import filecmp
+import glob
+import json
+import os
+import shutil
+import sys
+
+
+def original_check(path, original, be_paranoid=True):
+    """Refuse to remove when the pair no longer looks like a dup
+    (same-inode / size-drift / --paranoid byte recheck)."""
+    try:
+        stat_p, stat_o = os.stat(path), os.stat(original)
+        if (stat_p.st_dev, stat_p.st_ino) == (stat_o.st_dev, stat_o.st_ino):
+            print("# same inode; ignoring: %%s <=> %%s" %% (original, path))
+            return False
+        if stat_p.st_size != stat_o.st_size:
+            print("# size differs; ignoring: %%s <=> %%s" %% (original, path))
+            return False
+        if be_paranoid and not filecmp.cmp(path, original, shallow=False):
+            print("# content differs; ignoring: %%s <=> %%s" %% (original, path))
+            return False
+        return True
+    except OSError as exc:
+        print("# %%s" %% exc, file=sys.stderr)
+        return False
+
+
+def handle_duplicate_file(path, original, args):
+    if original is None:
+        print("# no original for %%s; skipping" %% path)
+        return
+    if original_check(path, original, be_paranoid=args.paranoid):
+        print("rm %%s" %% path)
+        if not args.dry_run:
+            os.remove(path)
+
+
+def handle_duplicate_dir(path, original, args):
+    print("rmtree %%s" %% path)
+    if not args.dry_run:
+        shutil.rmtree(path)
+
+
+def handle_empty_file(path, original, args):
+    print("rm %%s" %% path)
+    if not args.dry_run:
+        os.remove(path)
+
+
+def handle_empty_dir(path, original, args):
+    print("rmdir %%s" %% path)
+    if not args.dry_run:
+        os.rmdir(path)
+
+
+def handle_badlink(path, original, args):
+    print("rm %%s" %% path)
+    if not args.dry_run:
+        os.remove(path)
+
+
+OPERATIONS = {
+    "duplicate_file": handle_duplicate_file,
+    "duplicate_dir": handle_duplicate_dir,
+    "emptyfile": handle_empty_file,
+    "emptydir": handle_empty_dir,
+    "badlink": handle_badlink,
+}
+
+
+def iter_records(data_dir):
+    for fn in sorted(glob.glob(os.path.join(data_dir, "part-*"))):
+        with open(fn) as f:
+            for line in f:
+                if line.strip():
+                    yield json.loads(line)
+
+
+def fs_path(rec, root):
+    return os.path.join(root, rec.get("repo") or "", rec["path"])
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_dir", nargs="?",
+                   default=os.path.join(os.path.dirname(
+                       os.path.abspath(__file__)) or ".", %(data)r))
+    p.add_argument("-n", "--dry-run", action="store_true",
+                   help="print operations without performing them")
+    p.add_argument("-d", "--no-ask", action="store_true",
+                   help="do not ask for confirmation before running")
+    p.add_argument("-p", "--paranoid", action="store_true",
+                   help="byte-recheck each dup against its original")
+    p.add_argument("--root", default=".",
+                   help="filesystem root the (repo, path) records map under")
+    args = p.parse_args()
+
+    if not args.no_ask and not args.dry_run:
+        print("About to modify files under %%s. Press Enter to continue, "
+              "CTRL-C to exit (use -d to skip this prompt)." %% args.root,
+              file=sys.stderr)
+        sys.stdin.read(1)
+
+    clusters = {}
+    for rec in iter_records(args.data_dir):
+        clusters.setdefault(rec.get("cluster_id"), []).append(rec)
+
+    handled = 0
+    for rows in clusters.values():
+        rows.sort(key=lambda r: (not r.get("is_original"), r["path"]))
+        original = (fs_path(rows[0], args.root)
+                    if rows[0].get("is_original") else None)
+        for rec in rows:
+            if rec.get("is_original"):
+                print("keep %%s" %% fs_path(rec, args.root))
+                continue
+            op = OPERATIONS.get(rec.get("type"))
+            if op is None:
+                print("# unknown type %%r; skipping" %% rec.get("type"))
+                continue
+            try:
+                op(fs_path(rec, args.root), original, args)
+                handled += 1
+            except OSError as err:
+                print("# %%s" %% err, file=sys.stderr)
+    print("# done; %%d record(s) handled%%s"
+          %% (handled, " (dry run)" if args.dry_run else ""))
+
+
+if __name__ == "__main__":
+    main()
+'''
+
+
+def write_py(clusters: DataFrame, path: str, data_path: str | None = None,
+             stats: dict | None = None) -> None:
+    """K3 sibling — the 13th reference formatter (``-o py``): emit an
+    executable python remediation script and delegate the records to
+    the JSON sink (lib/formats/py.c.in:53-73 writes the embedded
+    lib/formats/py.py, chmod +x, and feeds every record to the JSON
+    handler writing ``.rmlint.json``). ``data_path`` defaults to
+    ``<path>.json`` next to the script."""
+    data_path = data_path or path + ".json"
+    write_json(clusters, data_path, stats=stats)
+    with open(path, "w") as f:
+        f.write(PY_REMEDIATION_SOURCE % {"data": os.path.basename(data_path)})
+    os.chmod(path, 0o700)  # S_IRUSR|S_IWUSR|S_IXUSR — py.c.in:60-63
+
+
 # ---------------------------------------------------------------- registry
 # Formatter registration channel (rm_fmt_register/rm_fmt_open,
 # lib/formats.c:87-124): sinks are looked up by name and can be added
@@ -209,6 +376,7 @@ register_formatter("csv", write_csv)
 register_formatter("sh", sh_script)
 register_formatter("fdupes", fdupes_lines)
 register_formatter("json_dirs", write_json_dirs)
+register_formatter("py", write_py)
 
 
 def write_all(clusters: DataFrame, specs: dict[str, dict]) -> dict[str, object]:

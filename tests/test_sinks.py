@@ -141,3 +141,70 @@ def test_formatter_registry(spark, tmp_path):
         sinks.get_formatter("nope")
     sinks.register_formatter("mine", lambda df: df.count())
     assert sinks.get_formatter("mine")(clusters_df(spark)) == 4
+
+
+def _materialize_tree(root, rows):
+    for repo, path, _commit, _lang, content in rows:
+        p = root / repo / path
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(content)
+
+
+def test_py_sink_executes_remediation(spark, tmp_path):
+    """The 13th reference formatter (``-o py``): the emitted script is
+    executable, reads the delegated json-lines data, removes dupes and
+    keeps originals — mirroring the reference's sh/py script tests
+    which run the emitted script on a real tree (tests/conftest.py:10-12
+    precedent; lib/formats/py.py handlers)."""
+    import stat
+    import subprocess
+
+    script = str(tmp_path / "remediate.py")
+    sinks.write_py(clusters_df(spark), script)
+    assert os.stat(script).st_mode & stat.S_IXUSR
+    assert os.path.isdir(script + ".json")  # delegated JSON data
+
+    tree = tmp_path / "tree"
+    _materialize_tree(tree, ROWS)
+
+    # dry run: prints rm lines, modifies nothing
+    dry = subprocess.run(
+        [script, "-n", "-d", "--root", str(tree)],
+        capture_output=True, text=True, check=True,
+    )
+    assert dry.stdout.count("rm ") == 2 and dry.stdout.count("keep ") == 2
+    assert sum(1 for _ in tree.rglob("*") if _.is_file()) == 5
+
+    # real run: the two non-originals go, originals + unique stay
+    subprocess.run([script, "-d", "--root", str(tree)], check=True,
+                   capture_output=True, text=True)
+    left = {str(p.relative_to(tree)) for p in tree.rglob("*") if p.is_file()}
+    assert len(left) == 3 and "r3/c/u.py" in left
+
+
+def test_py_sink_paranoid_skips_drifted_content(spark, tmp_path):
+    """--paranoid byte-rechecks each dup against its original before
+    removal (original_check, lib/formats/py.py:59-81): a file whose
+    content drifted after the scan must survive."""
+    import subprocess
+
+    script = str(tmp_path / "remediate.py")
+    cl = clusters_df(spark)
+    sinks.write_py(cl, script)
+    tree = tmp_path / "tree"
+    _materialize_tree(tree, ROWS)
+
+    # tamper with every non-original AFTER the scan (same byte length
+    # so only the -p byte compare can notice)
+    dupes = [r["path"] for r in cl.filter("NOT is_original").collect()]
+    repos = {r["path"]: r["repo"] for r in cl.collect()}
+    for p in dupes:
+        f = tree / repos[p] / p
+        f.write_text("X" * len(f.read_text()))
+
+    out = subprocess.run(
+        [script, "-d", "-p", "--root", str(tree)],
+        capture_output=True, text=True, check=True,
+    )
+    assert out.stdout.count("content differs") == 2
+    assert sum(1 for _ in tree.rglob("*") if _.is_file()) == 5  # nothing removed
