@@ -45,13 +45,18 @@ def main() -> None:
     esc = os.environ.get("RMLINT_SPARK_ESCALATE", "1")
     # RMLINT_SPARK_SIMHASH_FEATURES: shingle (default) / token
     # RMLINT_SPARK_STOP_SHINGLES: df fraction for the stop-shingle
-    # filter (0 = off, default) — both are scale A/B knobs for the
-    # round-4 source-level pileup mitigations
+    # filter. Default 0.3 since round 5: measured on the planted
+    # corpus (scripts/stop_shingle_ab.py, 4000 docs) it is a literal
+    # no-op on a clean corpus (978 candidates and recall 1.0 at both
+    # settings) and collapses a boilerplate-header pileup 617x
+    # (604,427 -> 980 candidates) with signal recall 1.0 — see
+    # BENCH/BASELINE.md "Stop-shingle decision (round 5)". Set 0 for
+    # reference-exact signatures.
     cfg = EngineConfig(
         sig=SignatureConfig(
             prefix_len=4096,
             simhash_features=os.environ.get("RMLINT_SPARK_SIMHASH_FEATURES", "shingle"),
-            stop_shingle_df=float(os.environ.get("RMLINT_SPARK_STOP_SHINGLES", "0")),
+            stop_shingle_df=float(os.environ.get("RMLINT_SPARK_STOP_SHINGLES", "0.3")),
         ),
         lsh_escalate_levels=8 if esc in ("1", "lsh") else 0,
         simhash_escalate=esc in ("1", "simhash"),
