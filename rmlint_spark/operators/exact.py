@@ -66,8 +66,26 @@ _HASHLIB_ALGOS = {
     "sha3-512": "sha3_512",
 }
 # pure-Python ports of reference-only algorithms with no hashlib/JVM
-# equivalent (config compatibility, not a throughput path)
-_PURE_ALGOS = {"murmur"}
+# equivalent (config compatibility, not a throughput path); each maps
+# to a bytes -> digest-bytes function, vectors pinned against the
+# reference implementations (tests/test_hashes.py)
+def _pure_port(algo: str):
+    if algo == "murmur":
+        from rmlint_spark.functions.murmur import murmur3_x64_128
+
+        return murmur3_x64_128
+    if algo in ("metro", "metro256"):
+        from rmlint_spark.functions.metro import metro128, metro256
+
+        return metro256 if algo == "metro256" else metro128
+    # highway64 / highway128 / highway256 (key {1,2,3,4}, checksum.c:383)
+    from rmlint_spark.functions.highway import highway_hash
+
+    bits = int(algo.removeprefix("highway"))
+    return lambda b: highway_hash(b, bits)
+
+
+_PURE_ALGOS = {"murmur", "metro", "metro256", "highway64", "highway128", "highway256"}
 DIGEST_ALGOS = _JVM_ALGOS | set(_HASHLIB_ALGOS) | _PURE_ALGOS
 
 
@@ -99,20 +117,17 @@ def digest(col: Column | str, algo: str = "sha256") -> Column:
     if algo in _HASHLIB_ALGOS:
         c = F.col(col) if isinstance(col, str) else col
         return _hashlib_udf(_HASHLIB_ALGOS[algo])(c)
-    if algo == "murmur":
-        from rmlint_spark.functions.murmur import murmur3_x64_128
+    if algo in _PURE_ALGOS:
+        fn = _pure_port(algo)
 
         @F.pandas_udf("string")
-        def _murmur(content: pd.Series) -> pd.Series:
+        def _ported(content: pd.Series) -> pd.Series:
             return pd.Series(
-                [
-                    murmur3_x64_128((s if s is not None else "").encode("utf-8")).hex()
-                    for s in content
-                ]
+                [fn((s if s is not None else "").encode("utf-8")).hex() for s in content]
             )
 
         c = F.col(col) if isinstance(col, str) else col
-        return _murmur(c)
+        return _ported(c)
     if algo.startswith("sha"):
         return F.sha2(col, int(algo[3:]))
     if algo == "md5":
