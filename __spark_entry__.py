@@ -241,6 +241,8 @@ def q_text_stats(spark, sf_dir):
     # rows for at most 50 queries, so overlapping per-doc single-scan
     # quality queries are consolidated — same operators, same oracle
     # coverage, one scan).
+    # lang_guess absorbs the former lang_id query (same consolidation,
+    # r5: makes room for span_dedup under the driver's 50-query cap)
     d = _docs(spark, sf_dir)
     punct_cnt = F.length("text") - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))
     stop_cnt = TX.sum_cols([TX.word_occurrences(F.col("text"), w) for w in TX.STOPWORDS])
@@ -251,6 +253,7 @@ def q_text_stats(spark, sf_dir):
         stop_cnt.cast("long").alias("stop_cnt"),
         TX.bpe_token_count(F.col("text")).alias("bpe_tokens"),
         TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_id(F.col("text")).alias("lang_guess"),
     )
 
 
@@ -275,9 +278,43 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
-def q_lang_id(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+# shared boilerplate suffix planted for span_dedup — long enough
+# (>= window 50) that its interior windows duplicate across docs; no
+# quote characters so both engines can embed it literally
+_SPAN_BOILER = (
+    "All rights reserved worldwide; redistribution of this document "
+    "requires written permission from the publisher of record."
+)
+
+
+def q_span_dedup(spark, sf_dir):
+    # ExactSubstr removal transform (Lee et al. 2022, arXiv:2107.06499
+    # section 4.1): plant the boilerplate suffix on every 7th doc,
+    # excise every occurrence of each duplicated >= 50-char window
+    # except the globally-first one. The unmerged removal-span table is
+    # materialized to the side-channel; DuckDB replays the
+    # gaps-and-islands merge, the gap slicing, and the clean-text hash.
+    from rmlint_spark.operators.span_dedup import excise, merge_spans, removal_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat("text", F.lit(" " + _SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = removal_spans(d, window=50, stride=1)
+    path = f"{ORACLE_SIDE}/span_dedup"
+    spans.write.mode("overwrite").parquet(path)
+    clean = excise(d, merge_spans(spark.read.parquet(path)))
+    return clean.select(
+        "doc_id",
+        F.sha2("clean_text", 256).alias("clean_sha"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1081,7 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_confirm": q_pair_confirm,
         "lint_classify": q_lint_classify,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        "span_dedup": q_span_dedup,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
@@ -1259,17 +1296,7 @@ def oracle_sql() -> dict[str, str]:
                         / greatest(CASE WHEN length(text) = 0 THEN 0
                                         ELSE length(text) - length(replace(text, ' ', '')) + 1
                                    END, 1)) * 5, 1.0)
-                   ) / 3 AS quality
-            FROM documents
-        """,
-        "embedding_dup_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
-        """,
-        "lang_id": f"""
-            SELECT doc_id,
+                   ) / 3 AS quality,
                    CASE
                      WHEN ({s_en}) >= ({s_es}) AND ({s_en}) >= ({s_de})
                           AND ({s_en}) >= ({s_fr}) AND ({s_en}) > 0 THEN 'en'
@@ -1280,6 +1307,68 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und'
                    END AS lang_guess
             FROM documents
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        # span_dedup: replay the merge + excision + hash from the
+        # materialized unmerged removal spans (window detection itself
+        # is SipHash — oracled structurally via the side-channel, like
+        # substring_clones). "end" is reserved in DuckDB -> aliased e.
+        "span_dedup": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' {_SPAN_BOILER}'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            sp AS (SELECT doc_id, start, "end" AS e
+                   FROM read_parquet('{ORACLE_SIDE}/span_dedup/*.parquet')),
+            m0 AS (
+              SELECT doc_id, start, e,
+                     CASE WHEN max(e) OVER w IS NULL OR start > max(e) OVER w
+                          THEN 1 ELSE 0 END AS brk
+              FROM sp
+              WINDOW w AS (PARTITION BY doc_id ORDER BY start, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            m1 AS (
+              SELECT doc_id, start, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY start, e) AS island
+              FROM m0
+            ),
+            g AS (SELECT doc_id, island, min(start) AS s, max(e) AS e
+                  FROM m1 GROUP BY doc_id, island),
+            gaps AS (
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+                     s AS ge
+              FROM g
+              UNION ALL
+              SELECT doc_id, max(e) AS gs, NULL AS ge FROM g GROUP BY doc_id
+            ),
+            rebuilt AS (
+              SELECT d.doc_id,
+                     string_agg(
+                       substr(d.text, gaps.gs + 1,
+                              greatest(coalesce(gaps.ge, length(d.text)) - gaps.gs, 0)),
+                       '' ORDER BY gaps.gs) AS ct
+              FROM docs d JOIN gaps ON d.doc_id = gaps.doc_id
+              GROUP BY d.doc_id, d.text
+            ),
+            mc AS (SELECT doc_id, count(*) AS n_spans FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   sha256(coalesce(r.ct, d.text)) AS clean_sha,
+                   CAST(coalesce(mc.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(length(d.text) - length(coalesce(r.ct, d.text)) AS BIGINT)
+                     AS removed_chars
+            FROM docs d
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+            LEFT JOIN mc ON mc.doc_id = d.doc_id
         """,
         "fingerprint": """
             SELECT doc_id,

@@ -139,11 +139,11 @@ def test_quality_queries_are_shuffle_free(spark):
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
 
-    # token_metrics / quality_score / repetition_stats were absorbed
-    # into text_stats and gopher_rules (driver 50-query cap, r5) — the
-    # merged queries keep the zero-Exchange single-scan contract
-    for name in ("gopher_rules", "c4_lines", "pii_scrub",
-                 "text_stats", "lang_id"):
+    # token_metrics / quality_score / repetition_stats / lang_id were
+    # absorbed into text_stats and gopher_rules (driver 50-query cap,
+    # r5) — the merged queries keep the zero-Exchange single-scan
+    # contract
+    for name in ("gopher_rules", "c4_lines", "pii_scrub", "text_stats"):
         df = entry.queries()[name](spark, SF_DIR)
         plan = formatted_plan(df)
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
