@@ -143,3 +143,108 @@ def metro256(data: bytes) -> bytes:
     """32-byte digest: the variant-1 and variant-2 128-bit digests
     concatenated (the reference's ``metro256`` type)."""
     return metro128(data, 1) + metro128(data, 2)
+
+
+# --------------------------------------------------------------- crc variants
+# The reference's metrocrc / metrocrc256 types (registered when the
+# host has SSE4.2, lib/checksum.c:247-276) replace the bulk-round and
+# small-tail mixing with CRC32-C accumulation (_mm_crc32_u64). The
+# instruction is just the Castagnoli CRC over the 8 little-endian
+# bytes of the operand with the register's low 32 bits as the running
+# remainder — bit-exactly reproducible in software.
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def _crc32c_u64(crc: int, value: int) -> int:
+    """_mm_crc32_u64: CRC-32C accumulate over the 8 LE bytes of
+    ``value`` starting from crc's low 32 bits (no pre/post inversion)."""
+    c = crc & 0xFFFFFFFF
+    for _ in range(8):
+        c = _CRC32C_TABLE[(c ^ (value & 0xFF)) & 0xFF] ^ (c >> 8)
+        value >>= 8
+    return c
+
+
+# (premix rots, >=16 (rot, cross), >=8 (rot, cross), tail crosses for
+# >=4/>=2/>=1, final rots) — from the crc steal ladders
+_CRC_PARAMS = {
+    1: {"premix": (34, 37, 34, 37), "t16": (34, 30), "t8": (36, 23),
+        "x4": 19, "x2": 13, "x1": 17, "final": (11, 26)},
+    2: {"premix": (12, 19, 12, 19), "t16": (41, 10), "t8": (34, 22),
+        "x4": 14, "x2": 15, "x1": 18, "final": (15, 27)},
+}
+
+
+def metrocrc128(data: bytes, variant: int = 1) -> bytes:
+    """16-byte digest of the reference's CRC-hardware metro variant
+    (metrohash128crc_1/2), byte-identical to the SSE4.2 path."""
+    k0, k1, k2, k3 = _VARIANTS[variant]["k"]
+    p = _CRC_PARAMS[variant]
+
+    v = [(-k0 * k3) & _M, (k1 * k2) & _M, (k0 * k2) & _M, (-k1 * k3) & _M]
+    bulk_end = len(data) - (len(data) % 32)
+    for off in range(0, bulk_end, 32):
+        d = data[off : off + 32]
+        for i in range(4):
+            v[i] ^= _crc32c_u64(v[i], int.from_bytes(d[8 * i : 8 * i + 8], "little"))
+    v0, v1, v2, v3 = v
+
+    r0, r1, r2, r3 = p["premix"]
+    v2 ^= (_rotr(((v0 + v3) * k0 + v1) & _M, r0) * k1) & _M
+    v3 ^= (_rotr(((v1 + v2) * k1 + v0) & _M, r1) * k0) & _M
+    v0 ^= (_rotr(((v0 + v2) * k0 + v3) & _M, r2) * k1) & _M
+    v1 ^= (_rotr(((v1 + v3) * k1 + v2) & _M, r3) * k0) & _M
+
+    tail = data[bulk_end:]
+    pos, rem = 0, len(tail)
+    if rem >= 16:
+        rot, cross = p["t16"]
+        v0 = (v0 + int.from_bytes(tail[pos : pos + 8], "little") * k2) & _M
+        pos += 8
+        v0 = (_rotr(v0, rot) * k3) & _M
+        v1 = (v1 + int.from_bytes(tail[pos : pos + 8], "little") * k2) & _M
+        pos += 8
+        v1 = (_rotr(v1, rot) * k3) & _M
+        v0 ^= (_rotr((v0 * k2 + v1) & _M, cross) * k1) & _M
+        v1 ^= (_rotr((v1 * k3 + v0) & _M, cross) * k0) & _M
+        rem -= 16
+    if rem >= 8:
+        rot, cross = p["t8"]
+        v0 = (v0 + int.from_bytes(tail[pos : pos + 8], "little") * k2) & _M
+        pos += 8
+        v0 = (_rotr(v0, rot) * k3) & _M
+        v0 ^= (_rotr((v0 * k2 + v1) & _M, cross) * k1) & _M
+        rem -= 8
+    if rem >= 4:
+        v1 ^= _crc32c_u64(v0, int.from_bytes(tail[pos : pos + 4], "little"))
+        pos += 4
+        v1 ^= (_rotr((v1 * k3 + v0) & _M, p["x4"]) * k0) & _M
+        rem -= 4
+    if rem >= 2:
+        v0 ^= _crc32c_u64(v1, int.from_bytes(tail[pos : pos + 2], "little"))
+        pos += 2
+        v0 ^= (_rotr((v0 * k2 + v1) & _M, p["x2"]) * k1) & _M
+        rem -= 2
+    if rem >= 1:
+        v1 ^= _crc32c_u64(v0, tail[pos])
+        v1 ^= (_rotr((v1 * k3 + v0) & _M, p["x1"]) * k0) & _M
+
+    fa, fb = p["final"]
+    v0 = (v0 + _rotr((v0 * k0 + v1) & _M, fa)) & _M
+    v1 = (v1 + _rotr((v1 * k1 + v0) & _M, fb)) & _M
+    v0 = (v0 + _rotr((v0 * k0 + v1) & _M, fa)) & _M
+    v1 = (v1 + _rotr((v1 * k1 + v0) & _M, fb)) & _M
+    return v0.to_bytes(8, "little") + v1.to_bytes(8, "little")
+
+
+def metrocrc256(data: bytes) -> bytes:
+    """32-byte digest: both crc-variant digests concatenated
+    (metrohash256crc)."""
+    return metrocrc128(data, 1) + metrocrc128(data, 2)

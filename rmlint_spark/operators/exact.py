@@ -74,10 +74,19 @@ def _pure_port(algo: str):
         from rmlint_spark.functions.murmur import murmur3_x64_128
 
         return murmur3_x64_128
-    if algo in ("metro", "metro256"):
-        from rmlint_spark.functions.metro import metro128, metro256
+    if algo in ("metro", "metro256", "metrocrc", "metrocrc256"):
+        from rmlint_spark.functions import metro as _metro
 
-        return metro256 if algo == "metro256" else metro128
+        return {
+            "metro": _metro.metro128,
+            "metro256": _metro.metro256,
+            "metrocrc": _metro.metrocrc128,
+            "metrocrc256": _metro.metrocrc256,
+        }[algo]
+    if algo in ("blake2sp", "blake2bp"):
+        from rmlint_spark.functions import blake2p
+
+        return getattr(blake2p, algo)
     # highway64 / highway128 / highway256 (key {1,2,3,4}, checksum.c:383)
     from rmlint_spark.functions.highway import highway_hash
 
@@ -85,7 +94,10 @@ def _pure_port(algo: str):
     return lambda b: highway_hash(b, bits)
 
 
-_PURE_ALGOS = {"murmur", "metro", "metro256", "highway64", "highway128", "highway256"}
+_PURE_ALGOS = {
+    "murmur", "metro", "metro256", "metrocrc", "metrocrc256",
+    "highway64", "highway128", "highway256", "blake2sp", "blake2bp",
+}
 DIGEST_ALGOS = _JVM_ALGOS | set(_HASHLIB_ALGOS) | _PURE_ALGOS
 
 
