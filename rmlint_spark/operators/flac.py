@@ -508,14 +508,18 @@ def encode_mp3_stub(n_frames: int, bitrate_kbps: int = 128,
 def mp3_metadata(payload: bytes) -> dict:
     """MPEG audio frame-header walk: skips a leading ID3v2 tag, then
     parses each frame header (version, layer, bitrate, sample rate,
-    padding) to step exact frame lengths.  Returns frame count, summed
-    duration, mean bitrate, VBR flag (bitrate varies across frames or
-    a Xing/Info tag is present).  Raises ``ValueError`` if no valid
+    padding) to step exact frame lengths.  All three layers walk:
+    Layer I uses the 4-byte-slot length formula, Layers II/III the
+    byte formula (Layer I/II essence additionally *decodes* via
+    operators/mpeg_audio.py; Layer III essence is the documented
+    entropy stub).  Returns frame count, summed duration, mean
+    bitrate, layer, VBR flag (bitrate varies across frames or a
+    Xing/Info tag is present).  Raises ``ValueError`` if no valid
     frame sync is found where one is required."""
     pos = _id3v2_size(payload)
     has_id3 = pos > 0
     n, dur_ms, bitrates, rate_out, channels = 0, 0.0, set(), None, None
-    kbps_sum, xing = 0, False
+    kbps_sum, xing, layer_out = 0, False, None
     while pos + 4 <= len(payload):
         hdr = int.from_bytes(payload[pos : pos + 4], "big")
         if (hdr >> 21) & 0x7FF != 0x7FF:
@@ -525,26 +529,40 @@ def mp3_metadata(payload: bytes) -> dict:
         ver_bits = (hdr >> 19) & 0x3
         version = {0b11: 1, 0b10: 2, 0b00: 25}.get(ver_bits)
         layer = {0b01: 3, 0b10: 2, 0b11: 1}.get((hdr >> 17) & 0x3)
-        if version is None or layer != 3:
+        if version is None or layer is None:
             raise ValueError("unsupported MPEG version/layer")
+        if layer != 3 and version != 1:
+            raise ValueError("only MPEG-1 Layer I/II streams are supported")
+        if layer_out is not None and layer != layer_out:
+            raise ValueError("MPEG layer changes mid-stream")
         br_idx = (hdr >> 12) & 0xF
         sr_idx = (hdr >> 10) & 0x3
         padding = (hdr >> 9) & 0x1
         mode = (hdr >> 6) & 0x3
-        vtab = _MP3_BITRATES[(min(version, 2), 3)]
+        if layer == 3:
+            vtab = _MP3_BITRATES[(min(version, 2), 3)]
+        else:
+            from rmlint_spark.operators.mpeg_audio import BITRATES
+
+            vtab = BITRATES[layer]
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("free-format/invalid MP3 frame header")
         kbps = vtab[br_idx]
         rate = _MP3_RATES[version][sr_idx]
-        spf = _SAMPLES_PER_FRAME[(version, 3)]
-        flen = spf // 8 * kbps * 1000 // rate + padding
+        spf = {1: 384, 2: 1152}.get(layer) or _SAMPLES_PER_FRAME[(version, 3)]
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            flen = spf // 8 * kbps * 1000 // rate + padding
         if flen <= 4 or pos + flen > len(payload):
             break  # final truncated frame: count what fully fits
-        side_info = (32 if mode != 0b11 else 17) if version == 1 else \
-                    (17 if mode != 0b11 else 9)
-        tag_off = pos + 4 + side_info
-        if n == 0 and payload[tag_off : tag_off + 4] in (b"Xing", b"Info"):
-            xing = True
+        if layer == 3:
+            side_info = (32 if mode != 0b11 else 17) if version == 1 else \
+                        (17 if mode != 0b11 else 9)
+            tag_off = pos + 4 + side_info
+            if n == 0 and payload[tag_off : tag_off + 4] in (b"Xing", b"Info"):
+                xing = True
+        layer_out = layer
         bitrates.add(kbps)
         kbps_sum += kbps
         rate_out, channels = rate, (1 if mode == 0b11 else 2)
@@ -561,4 +579,5 @@ def mp3_metadata(payload: bytes) -> dict:
         "bitrate_kbps": int(round(kbps_sum / n)),
         "vbr": xing or len(bitrates) > 1,
         "id3v2": has_id3,
+        "layer": layer_out,
     }

@@ -38,7 +38,10 @@ for real in pure numpy (no codec libraries exist in this container):
 - **TIFF** — baseline 8-bit gray/RGB(A) strips, uncompressed or
   PackBits, both byte orders.
 
-Remaining opaque formats (MP3, H.264 essence, WebP/HEIC...) fall back to the
+MPEG-1 audio Layer I/II essence decodes for real too (subband
+requantization + polyphase synthesis, operators/mpeg_audio.py).
+Remaining opaque formats (MPEG Layer III entropy, H.264 essence,
+WebP/HEIC...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
 asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
@@ -1108,8 +1111,16 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
         from rmlint_spark.operators.flac import decode_flac
 
         return decode_flac(payload)
+    if payload and (payload[:3] == b"ID3" or
+                    (len(payload) >= 2 and payload[0] == 0xFF
+                     and payload[1] & 0xE0 == 0xE0)):
+        # MPEG-1 Layer I/II decode for real; Layer III raises
+        # NotImplementedError from inside (entropy stub boundary)
+        from rmlint_spark.operators.mpeg_audio import decode_mpeg_audio
+
+        return decode_mpeg_audio(payload)
     raise NotImplementedError(
-        "no codec for this audio format; WAV/AIFF/FLAC PCM16 decode here"
+        "no codec for this audio format; WAV/AIFF/FLAC/MPEG-L1/L2 decode here"
     )
 
 
@@ -1242,10 +1253,19 @@ def _features_for(payload: bytes) -> np.ndarray:
             return _audio_features(*decode_flac(payload))
         if payload and payload[:4] == b".snd":
             return _audio_features(*decode_au(payload))
+        if payload and (payload[:3] == b"ID3" or
+                        (len(payload) >= 2 and payload[0] == 0xFF
+                         and payload[1] & 0xE0 == 0xE0)):
+            # MPEG-1 Layer I/II essence decodes for real; Layer III
+            # raises NotImplementedError (the documented entropy stub
+            # boundary) and falls through to the stand-in below.
+            from rmlint_spark.operators.mpeg_audio import decode_mpeg_audio
+
+            return _audio_features(*decode_mpeg_audio(payload))
         if payload and payload.startswith(_Y4M_SIG):
             return _video_features(payload)
-    except _DECODE_ERRORS:
-        pass  # malformed payload: treat as opaque bytes
+    except _DECODE_ERRORS + (NotImplementedError,):
+        pass  # malformed payload / stubbed entropy essence: opaque bytes
     return _fake_features(payload)
 
 
@@ -1677,7 +1697,8 @@ def probe_audio(assets: DataFrame) -> DataFrame:
                     elif p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF
                                              and p[1] & 0xE0 == 0xE0):
                         m = mp3_metadata(p)
-                        meta = ("mp3" + ("-vbr" if m["vbr"] else ""),
+                        name = {1: "mp1", 2: "mp2", 3: "mp3"}[m["layer"]]
+                        meta = (name + ("-vbr" if m["vbr"] else ""),
                                 m["sample_rate"], m["channels"], None,
                                 m["bitrate_kbps"], m["duration_ms"],
                                 m["n_frames"])
@@ -1704,11 +1725,15 @@ def synthetic_audio_assets(
     int16 PCM; asset ``i`` carries clip ``i % 8`` encoded round-robin
     as WAV, AIFF, or FLAC (all lossless, so the same clip decodes
     bit-identically across containers — the audio analog of the
-    Y4M/GIF cross-container video corpus); every 4th asset is an MP3
-    header stub (metadata-only path). With ``include_adpcm`` every
-    8th asset is IMA-ADPCM WAV instead — the LOSSY compressed decode
-    path, deliberately outside the bit-identical dedup family."""
+    Y4M/GIF cross-container video corpus); every 4th asset is MPEG
+    audio, rotating Layer II (real essence decode), Layer I (real
+    essence decode) and a Layer III header stub (the documented
+    entropy boundary, metadata-only path). With ``include_adpcm``
+    every 8th asset is IMA-ADPCM WAV instead — the LOSSY compressed
+    decode path, deliberately outside the bit-identical dedup
+    family."""
     from rmlint_spark.operators.flac import encode_flac, encode_mp3_stub
+    from rmlint_spark.operators.mpeg_audio import encode_layer1, encode_layer2
 
     rng = np.random.RandomState(seed)
     pool = [rng.randint(-2000, 2000, size=1600).astype(np.int16) for _ in range(8)]
@@ -1717,7 +1742,11 @@ def synthetic_audio_assets(
         clip = pool[i % 8]
         if include_adpcm and i % 8 == 5:
             payload = encode_wav_ima(clip, rate=16000)
-        elif i % 4 == 3:
+        elif i % 12 == 3:
+            payload = encode_layer2(clip, rate=32000, bitrate_kbps=128)
+        elif i % 12 == 7:
+            payload = encode_layer1(clip, rate=32000, bitrate_kbps=224)
+        elif i % 12 == 11:
             payload = encode_mp3_stub(8 + i % 5, bitrate_kbps=128, rate=44100)
         elif i % 3 == 0:
             payload = encode_wav(clip, rate=16000)

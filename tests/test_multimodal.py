@@ -15,14 +15,15 @@ from rmlint_spark.operators.multimodal import (
 
 
 def test_decode_codec_formats_still_stubbed():
-    # formats with no pure-numpy codec here (WebP images, MP3 audio)
-    # keep the honest NotImplementedError
+    # formats with no pure-numpy codec here (WebP images, MPEG audio
+    # Layer III entropy) keep the honest NotImplementedError
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPwebpbytes")
+    from rmlint_spark.operators.flac import encode_mp3_stub
     from rmlint_spark.operators.multimodal import decode_audio
 
     with pytest.raises(NotImplementedError):
-        decode_audio(b"ID3\x04mp3bytes")
+        decode_audio(encode_mp3_stub(3, bitrate_kbps=128, rate=44100))
 
 
 def test_ppm_roundtrip_and_real_decode():
