@@ -653,16 +653,38 @@ def q_charlm_quality(spark, sf_dir):
     return charlm_scores(d, rare_max=rare_max)
 
 
-def q_mixture_sample(spark, sf_dir):
-    """Deterministic quota/mixture sampling: per-source weights
-    (src_num % 5 + 1), global fraction 0.4, Knuth-hash membership —
-    see operators/sampling. Integer-only membership rule, so the SQL
-    oracle reproduces the kept set exactly."""
-    from rmlint_spark.operators.sampling import quota_sample
+def q_mixture_shuffle(spark, sf_dir):
+    """Deterministic quota/mixture sampling COMPOSED with the
+    shard-balanced pre-training shuffle (the two steps every published
+    LLM data recipe runs back-to-back): per-source weights
+    (src_num % 5 + 1), global fraction 0.4, Knuth-hash membership,
+    then the kept set laid out over 16 shards — see operators/sampling
+    (former mixture_sample + corpus_shuffle queries, consolidated to
+    make room for bpe_pair_counts under the driver's 50-query cap;
+    both operators keep full oracle coverage through the composition).
+    Integer-only rules, so the SQL oracle reproduces set AND layout
+    exactly."""
+    from rmlint_spark.operators.sampling import quota_sample, shard_shuffle
 
     d = _docs(spark, sf_dir)
     weight = F.pmod(F.substring(F.col("source"), 4, 10).cast("long"), F.lit(5)) + 1
-    return quota_sample(d, weight=weight, frac=0.4)
+    kept = quota_sample(d, weight=weight, frac=0.4)
+    return shard_shuffle(
+        kept, n_shards=16, carry=("source", "n_source", "target_n")
+    )
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """The distributed-BPE census iteration: word-frequency-compressed
+    adjacent-symbol pair counts over the documents table (chars +
+    </w> marker), top-200 by (count, pair) — the argmax relation the
+    tokenizer-training loop (operators/bpe.learn_bpe, verified against
+    a pure-Python Sennrich reference in tests/test_bpe.py) collects
+    one row of per merge. All pure-JVM higher-order functions."""
+    from rmlint_spark.operators.bpe import initial_symbols, pair_counts, word_counts
+
+    pc = pair_counts(initial_symbols(word_counts(_docs(spark, sf_dir))))
+    return pc.orderBy(F.desc("pair_cnt"), "left_sym", "right_sym").limit(200)
 
 
 def q_tfidf_keywords(spark, sf_dir):
@@ -704,16 +726,6 @@ def q_winnow_clone_pairs(spark, sf_dir):
     fps = winnow_fingerprints(_docs(spark, sf_dir), k=20, w=8)
     pairs, _dropped = shared_fingerprint_pairs(fps, max_bucket_width=16)
     return pairs.filter(F.col("n_shared") >= 2).select("id_a", "id_b", "n_shared")
-
-
-def q_corpus_shuffle(spark, sf_dir):
-    """Deterministic shard-balanced global shuffle (the pre-training
-    permutation) — see operators/sampling.shard_shuffle. Integer-only
-    (Knuth hash + row_number), so the SQL oracle reproduces the exact
-    layout."""
-    from rmlint_spark.operators.sampling import shard_shuffle
-
-    return shard_shuffle(_docs(spark, sf_dir), n_shards=16)
 
 
 def q_corpus_report(spark, sf_dir):
@@ -1133,11 +1145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "c4_lines": q_c4_lines,
         "charlm_quality": q_charlm_quality,
-        "mixture_sample": q_mixture_sample,
+        "mixture_shuffle": q_mixture_shuffle,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "tfidf_keywords": q_tfidf_keywords,
         "winnow": q_winnow,
         "winnow_clone_pairs": q_winnow_clone_pairs,
-        "corpus_shuffle": q_corpus_shuffle,
         "corpus_report": q_corpus_report,
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
@@ -1606,7 +1618,7 @@ def oracle_sql() -> dict[str, str]:
                    rare_occ / n_bigrams AS rare_frac
             FROM agg
         """,
-        "mixture_sample": """
+        "mixture_shuffle": r"""
             WITH census AS (
               SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source,
                      (CAST(substr(source, 4) AS BIGINT) % 5) + 1 AS w
@@ -1627,11 +1639,40 @@ def oracle_sql() -> dict[str, str]:
             draws AS (
               SELECT doc_id, source,
                      (doc_id * 2654435761) % 4294967296 AS u
-              FROM documents)
-            SELECT doc_id, draws.source AS source, CAST(u AS BIGINT) AS u,
-                   n_source, target_n
-            FROM draws JOIN rates2 ON draws.source = rates2.source
-            WHERE u < u_max
+              FROM documents),
+            kept AS (
+              SELECT doc_id, draws.source AS source, CAST(u AS BIGINT) AS u,
+                     n_source, target_n
+              FROM draws JOIN rates2 ON draws.source = rates2.source
+              WHERE u < u_max)
+            SELECT doc_id, source, n_source, target_n, u,
+                   CAST(u % 16 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY u % 16
+                        ORDER BY u ASC, doc_id ASC) AS BIGINT) AS pos
+            FROM kept
+        """,
+        "bpe_pair_counts": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+              FROM documents),
+            wf AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+              WHERE length(word) > 0
+                AND regexp_matches(word, '^[A-Za-z0-9_]+$')
+              GROUP BY word),
+            pos AS (
+              SELECT word, freq,
+                     CAST(unnest(generate_series(1, length(word))) AS INT) AS i
+              FROM wf),
+            pairs AS (
+              SELECT substr(word, i, 1) AS l,
+                     CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                          ELSE '</w>' END AS r,
+                     freq FROM pos)
+            SELECT l AS left_sym, r AS right_sym,
+                   CAST(SUM(freq) AS BIGINT) AS pair_cnt
+            FROM pairs GROUP BY l, r
+            ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 200
         """,
         "tfidf_keywords": """
             WITH wx AS (
@@ -1697,16 +1738,6 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 2
-        """,
-        "corpus_shuffle": """
-            WITH d AS (
-              SELECT doc_id,
-                     CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS u
-              FROM documents)
-            SELECT doc_id, u, CAST(u % 16 AS INT) AS shard,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY u % 16
-                        ORDER BY u ASC, doc_id ASC) AS BIGINT) AS pos
-            FROM d
         """,
         "corpus_report": f"""
             WITH planted AS (

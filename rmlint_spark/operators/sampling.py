@@ -70,7 +70,10 @@ def quota_sample(
 
 
 def shard_shuffle(
-    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic shard-balanced global shuffle — the pre-training
     permutation step: every row gets a pseudorandom draw ``u``, a
@@ -80,8 +83,13 @@ def shard_shuffle(
     plan is ONE hash shuffle on ``shard`` plus a per-shard window
     sort — no range-partitioned global sort, no skew (u is uniform),
     and re-running at any parallelism yields the identical layout.
-    Returns (id, u, shard, pos)."""
-    d = docs.select(F.col(id_col), hash_u32(F.col(id_col)).alias("u"))
+    Returns (id, *carry, u, shard, pos) — ``carry`` names upstream
+    columns to keep alongside the layout (e.g. the quota census when
+    shuffling a sampled mixture), saving a re-join on the id."""
+    d = docs.select(
+        F.col(id_col), *[F.col(c) for c in carry],
+        hash_u32(F.col(id_col)).alias("u"),
+    )
     d = d.withColumn("shard", F.pmod(F.col("u"), F.lit(n_shards)).cast("int"))
     w = Window.partitionBy("shard").orderBy(F.col("u").asc(), F.col(id_col).asc())
     return d.withColumn("pos", F.row_number().over(w).cast("long"))

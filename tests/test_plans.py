@@ -172,8 +172,8 @@ def test_corpus_model_queries_broadcast_and_never_shuffle_text(spark):
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
 
-    for name in ("charlm_quality", "mixture_sample", "tfidf_keywords", "winnow",
-                 "corpus_report"):
+    for name in ("charlm_quality", "mixture_shuffle", "tfidf_keywords", "winnow",
+                 "corpus_report", "bpe_pair_counts"):
         df = entry.queries()[name](spark, SF_DIR)
         plan = final_plan(df)
         assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"

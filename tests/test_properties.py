@@ -212,3 +212,36 @@ def test_flac_roundtrip_any_samples_any_predictor(vals, predictor, bs):
     rate, out = decode_flac(encode_flac(s, rate=16000, block_size=bs,
                                         predictor=predictor))
     assert rate == 16000 and np.array_equal(out, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.binary(min_size=400, max_size=6000),
+    st.sampled_from([32, 128, 384]),
+    st.sampled_from([1, 2]),
+)
+def test_mpeg_audio_encode_decode_total_on_random_pcm(raw, kbps, layer):
+    """Any random int16 PCM encodes to a walkable spec-grammar stream
+    that decodes without error to the frame-aligned sample count —
+    and the encoder is deterministic."""
+    from rmlint_spark.operators.flac import mp3_metadata
+    from rmlint_spark.operators.mpeg_audio import (
+        decode_mpeg_audio,
+        encode_layer1,
+        encode_layer2,
+    )
+
+    pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype=np.int16)
+    enc = encode_layer1 if layer == 1 else encode_layer2
+    if layer == 1 and kbps == 384:
+        kbps = 448  # 384 is a Layer II-only bitrate row
+    payload = enc(pcm, rate=44100, bitrate_kbps=kbps)
+    assert payload == enc(pcm, rate=44100, bitrate_kbps=kbps)
+    spf = 384 if layer == 1 else 1152
+    meta = mp3_metadata(payload)
+    assert meta["layer"] == layer
+    assert meta["n_frames"] == max(1, -(-len(pcm) // spf))
+    rate, out = decode_mpeg_audio(payload)
+    assert rate == 44100
+    assert len(out) == meta["n_frames"] * spf
+    assert out.dtype == np.int16
