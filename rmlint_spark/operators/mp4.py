@@ -1,11 +1,16 @@
 """ISO Base Media File Format (MP4/MOV) container parsing, pure stdlib.
 
-This is container-level METADATA extraction — the real half of what a
-training-data pipeline wants from video assets: duration, per-track
-dimensions, codec fourcc, and exact per-sample (frame) timestamps from
-the ``stts`` table. Frame PIXEL decode would need an H.264/H.265
-decoder (not in this container) and stays honestly stubbed upstream;
-frame *timing* from an MP4 is real via :func:`sample_timestamps`.
+Container-level METADATA extraction (duration, per-track dimensions,
+codec fourcc, exact per-sample timestamps from ``stts``) PLUS the
+carried-essence bridge: :func:`encode_mp4_avc` writes a real
+avc1-in-MP4 file (avcC decoder config + mdat + full
+stsz/stsc/stco sample tables, ISO/IEC 14496-15), and
+:func:`mp4_extract_avc` walks those tables back into an Annex-B
+stream the :mod:`rmlint_spark.operators.h264` decoder reconstructs to
+pixels. With the I_PCM essence subset that makes MP4 a fourth REAL
+container in the cross-format frame-dedup lane; CAVLC/CABAC residual
+essence still raises NotImplementedError downstream (the documented
+entropy boundary).
 
 Box grammar (public spec, ISO/IEC 14496-12): 4-byte big-endian size +
 4-byte type; size==1 -> 64-bit largesize follows; size==0 -> to EOF.
@@ -229,3 +234,240 @@ def encode_mp4_skeleton(
     trak = box(b"trak", tkhd + box(b"mdia", mdhd + hdlr + minf))
     moov = box(b"moov", mvhd + trak)
     return ftyp + moov
+
+# --------------------------------------- carried AVC essence bridge
+
+def _split_annexb(stream: bytes) -> list[bytes]:
+    """Annex-B byte stream -> raw NAL units (escaped, with header
+    byte, without start codes)."""
+    nals, pos = [], stream.find(b"\x00\x00\x01")
+    if pos < 0:
+        raise ValueError("no Annex-B start code")
+    while pos >= 0:
+        start = pos + 3
+        nxt = stream.find(b"\x00\x00\x01", start)
+        end = nxt if nxt >= 0 else len(stream)
+        # a following 4-byte start code leaves its leading zero on this
+        # NAL; an escaped NAL never ends in 0x00 (rbsp_trailing_bits),
+        # so stripping zeros only ever removes start-code prefix bytes
+        nal = stream[start:end].rstrip(b"\x00")
+        if nal:
+            nals.append(nal)
+        pos = nxt
+    return nals
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _full(btype: bytes, ver: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, bytes([ver]) + flags.to_bytes(3, "big") + body)
+
+
+def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """RGB frames -> a REAL avc1 MP4: the H.264 I_PCM encoder produces
+    the essence, which lands length-prefixed (AVCC, 4-byte lengths) in
+    ``mdat`` with SPS/PPS in the ``avcC`` decoder-config box and full
+    ``stsz``/``stsc``/``stco`` sample tables (ISO/IEC 14496-15 s5.3).
+    :func:`mp4_extract_avc` (or any real demuxer+decoder) plays it
+    back; with all-grayscale content the round trip is bit-exact."""
+    from rmlint_spark.operators.h264 import encode_h264_ipcm
+
+    annexb = encode_h264_ipcm(frames, fps=fps)
+    sps = pps = None
+    samples: list[bytes] = []
+    for nal in _split_annexb(annexb):
+        typ = nal[0] & 0x1F
+        if typ == 7:
+            sps = nal
+        elif typ == 8:
+            pps = nal
+        else:  # one IDR slice NAL per picture in the I_PCM encoder
+            samples.append(struct.pack(">I", len(nal)) + nal)
+    assert sps is not None and pps is not None
+    h, w = __import__("numpy").asarray(frames[0]).shape[:2]
+    n = len(samples)
+    timescale = fps[0] * 1000
+    delta = fps[1] * 1000
+    dur = n * delta
+
+    avcc = _box(
+        b"avcC",
+        b"\x01" + sps[1:4] + b"\xff\xe1"
+        + struct.pack(">H", len(sps)) + sps
+        + b"\x01" + struct.pack(">H", len(pps)) + pps,
+    )
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + _box(b"avc1",
+               b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+               + struct.pack(">HH", w, h)
+               + struct.pack(">II", 0x00480000, 0x00480000)
+               + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+               + struct.pack(">Hh", 0x18, -1)
+               + avcc),
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stss = _full(b"stss", 0, 0, struct.pack(">I", n)
+                 + b"".join(struct.pack(">I", i + 1) for i in range(n)))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+
+    def moov(chunk_offset: int) -> bytes:
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+        stbl = _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+        minf = _box(
+            b"minf",
+            _full(b"vmhd", 0, 1, b"\x00" * 8)
+            + _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
+                                  + _full(b"url ", 0, 1, b"")))
+            + stbl,
+        )
+        mdhd = _full(b"mdhd", 0, 0,
+                     struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0,
+                     struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+        tkhd = _full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+            + struct.pack(">hhhH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mvhd = _full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, dur)
+            + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2),
+        )
+        trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
+    moov_len = len(moov(0))  # stco is a fixed-width field: size is stable
+    mdat_body = b"".join(samples)
+    offset = len(ftyp) + moov_len + 8  # first byte inside mdat
+    return ftyp + moov(offset) + _box(b"mdat", mdat_body)
+
+
+def mp4_extract_avc(payload: bytes) -> bytes:
+    """Walk the avc1 sample tables of an MP4 back into an Annex-B
+    H.264 stream (SPS + PPS from ``avcC``, then every sample's
+    length-prefixed NALs with start codes restored). Raises ValueError
+    when the file carries no complete avc1 track — stripped/metadata-
+    only MP4s (the ``encode_mp4_skeleton`` shape) degrade upstream to
+    the timing-only path, never crash it."""
+    data = payload
+    end = len(data)
+    stsd_body = stsz = stco = stsc = None
+    co64 = False
+    for m0, m1 in _find(data, 0, end, [b"moov", b"trak"]):
+        entry = None
+        for b0, b1 in _find(data, m0, m1, [b"mdia", b"minf", b"stbl", b"stsd"]):
+            (n_entries,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+            if n_entries < 1:
+                continue
+            for btype, e0, e1 in _boxes(data, b0 + 8, b1):
+                if btype == b"avc1":
+                    entry = (e0, e1)
+        if entry is None:
+            continue
+        stsd_body = entry
+        for b0, b1 in _find(data, m0, m1, [b"mdia", b"minf", b"stbl", b"stsz"]):
+            stsz = (b0, b1)
+        for b0, b1 in _find(data, m0, m1, [b"mdia", b"minf", b"stbl", b"stco"]):
+            stco = (b0, b1)
+        if stco is None:
+            for b0, b1 in _find(data, m0, m1,
+                                [b"mdia", b"minf", b"stbl", b"co64"]):
+                stco, co64 = (b0, b1), True
+        for b0, b1 in _find(data, m0, m1, [b"mdia", b"minf", b"stbl", b"stsc"]):
+            stsc = (b0, b1)
+        break
+    if stsd_body is None:
+        raise ValueError("MP4 carries no avc1 track")
+    if stsz is None or stco is None or stsc is None:
+        raise ValueError("MP4 avc1 track is missing sample tables")
+
+    # avcC inside the sample entry: fixed 78-byte VisualSampleEntry,
+    # then child boxes
+    e0, e1 = stsd_body
+    avcc = None
+    for btype, c0, c1 in _boxes(data, e0 + 78, e1):
+        if btype == b"avcC":
+            avcc = data[c0:c1]
+    if avcc is None or len(avcc) < 7:
+        raise ValueError("MP4 avc1 entry has no avcC configuration")
+    length_size = (avcc[4] & 0x3) + 1
+    out = bytearray()
+    pos, n_sps = 6, avcc[5] & 0x1F
+    for _ in range(n_sps):
+        (ln,) = struct.unpack(">H", avcc[pos : pos + 2])
+        out += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
+        pos += 2 + ln
+    if pos >= len(avcc):
+        raise ValueError("avcC truncated before PPS")
+    n_pps = avcc[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack(">H", avcc[pos : pos + 2])
+        out += b"\x00\x00\x00\x01" + avcc[pos + 2 : pos + 2 + ln]
+        pos += 2 + ln
+
+    b0, b1 = stsz
+    fixed, n_samples = struct.unpack(">II", data[b0 + 4 : b0 + 12])
+    if n_samples > (1 << 24):
+        raise ValueError("MP4 stsz sample count exceeds decoder bound")
+    sizes = ([fixed] * n_samples if fixed else
+             [struct.unpack(">I", data[b0 + 12 + 4 * i : b0 + 16 + 4 * i])[0]
+              for i in range(n_samples)])
+
+    b0, b1 = stco
+    (n_chunks,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+    width = 8 if co64 else 4
+    if b0 + 8 + width * n_chunks > b1:
+        raise ValueError("truncated MP4 stco/co64")
+    offsets = [
+        int.from_bytes(data[b0 + 8 + width * i : b0 + 8 + width * (i + 1)], "big")
+        for i in range(n_chunks)
+    ]
+
+    b0, b1 = stsc
+    (n_ents,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+    ents = [struct.unpack(">III", data[b0 + 8 + 12 * i : b0 + 20 + 12 * i])
+            for i in range(n_ents)]  # (first_chunk, samples_per_chunk, sdi)
+
+    # expand chunk map -> per-sample absolute offsets
+    si = 0
+    for ci in range(n_chunks):
+        spc = 0
+        for first, count, _sdi in ents:
+            if first <= ci + 1:
+                spc = count
+        off = offsets[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if off + size > len(data):
+                raise ValueError("MP4 sample overruns file")
+            sample = data[off : off + size]
+            p = 0
+            while p + length_size <= size:
+                ln = int.from_bytes(sample[p : p + length_size], "big")
+                p += length_size
+                if ln == 0 or p + ln > size:
+                    raise ValueError("malformed AVCC length prefix")
+                out += b"\x00\x00\x00\x01" + sample[p : p + ln]
+                p += ln
+            if p != size:
+                raise ValueError("trailing bytes after last NAL in sample")
+            off += size
+            si += 1
+    if si != n_samples:
+        raise ValueError("MP4 chunk map covers fewer samples than stsz")
+    return bytes(out)

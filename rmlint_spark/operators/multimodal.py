@@ -33,15 +33,21 @@ for real in pure numpy (no codec libraries exist in this container):
   frames.
 - **MP4/MOV** — real container metadata (duration, dimensions, codec
   fourcc, stts sample timing via ``rmlint_spark.operators.mp4``);
-  frame pixel decode would need H.264 and stays stubbed.
+  frame pixel decode of the carried essence stays stubbed.
+- **H.264 Annex-B (I_PCM subset)** — real NAL/Exp-Golomb/slice-header
+  decode plus raw-sample macroblock reconstruction
+  (``rmlint_spark.operators.h264``): frame sampling decodes REAL
+  pixels random-access per picture, features average real frames, and
+  probe walks the SPS/VUI. CAVLC/CABAC residual streams raise
+  NotImplementedError and degrade.
 - **BMP** — 24/32-bit uncompressed DIB, bottom-up or top-down rows.
 - **TIFF** — baseline 8-bit gray/RGB(A) strips, uncompressed or
   PackBits, both byte orders.
 
 MPEG-1 audio Layer I/II essence decodes for real too (subband
 requantization + polyphase synthesis, operators/mpeg_audio.py).
-Remaining opaque formats (MPEG Layer III entropy, H.264 essence,
-WebP/HEIC...) fall back to the
+Remaining opaque formats (MPEG Layer III entropy, H.264 CAVLC/CABAC
+residual entropy, WebP/HEIC...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
 asset schema, Arrow batch shapes, ``mapInPandas`` signatures and
@@ -1203,6 +1209,20 @@ def _video_features(payload: bytes) -> np.ndarray:
     return (v / norm if norm > 0 else v).astype(np.float32)
 
 
+def _h264_video_features(payload: bytes) -> np.ndarray:
+    """Same sampled-frame descriptor over Annex-B H.264 I_PCM essence:
+    pictures are independent (no inter/neighbor prediction in the
+    implemented subset), so only the <=4 sampled pictures decode."""
+    from rmlint_spark.operators.h264 import _H264Layout
+
+    lay = _H264Layout(payload)
+    n = lay.n_frames
+    idx = sorted({(i * (n - 1)) // 3 for i in range(4)}) if n > 1 else [0]
+    v = np.mean([_image_features(lay.frame_at(i)) for i in idx], axis=0)
+    norm = np.linalg.norm(v)
+    return (v / norm if norm > 0 else v).astype(np.float32)
+
+
 def detect_format(payload: bytes) -> str:
     """Magic-based format sniff — what pipelines route on instead of
     the (often wrong) claimed mime type. 'opaque' = no known magic."""
@@ -1233,6 +1253,8 @@ def detect_format(payload: bytes) -> str:
         return "y4m"
     if p[4:8] == b"ftyp":
         return "mp4"
+    if p[:4] == b"\x00\x00\x00\x01" or p[:3] == b"\x00\x00\x01":
+        return "h264"
     return "opaque"
 
 
@@ -1264,6 +1286,19 @@ def _features_for(payload: bytes) -> np.ndarray:
             return _audio_features(*decode_mpeg_audio(payload))
         if payload and payload.startswith(_Y4M_SIG):
             return _video_features(payload)
+        if payload and (payload[:4] == b"\x00\x00\x00\x01"
+                        or payload[:3] == b"\x00\x00\x01"):
+            # I_PCM essence decodes for real; CAVLC/CABAC residual
+            # streams raise NotImplementedError (documented entropy
+            # boundary) and fall through to the stand-in below.
+            return _h264_video_features(payload)
+        if payload and payload[4:8] == b"ftyp":
+            # MP4-carried avc1: the sample tables reconstruct the
+            # Annex-B essence; I_PCM decodes to the SAME features as
+            # any other container holding those pixels
+            from rmlint_spark.operators.mp4 import mp4_extract_avc
+
+            return _h264_video_features(mp4_extract_avc(payload))
     except _DECODE_ERRORS + (NotImplementedError,):
         pass  # malformed payload / stubbed entropy essence: opaque bytes
     return _fake_features(payload)
@@ -1404,6 +1439,28 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
                         continue
                     except _DECODE_ERRORS:
                         pass  # malformed Y4M: fall through to the stub path
+                if p[:4] == b"\x00\x00\x00\x01" or p[:3] == b"\x00\x00\x01":
+                    # H.264 I_PCM: pictures decode independently, so
+                    # only sampled pictures are reconstructed; hashes
+                    # are decoded-RGB so frames dedupe against Y4M/GIF
+                    # carrying the same pixels
+                    try:
+                        from rmlint_spark.operators.h264 import _H264Layout
+
+                        lay = _H264Layout(p)
+                        num, den = lay.fps
+                        dur_ms = lay.duration_ms()
+                        sha_cache: dict[int, str] = {}
+                        for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
+                            fi = min(t_ms * num // (1000 * den), lay.n_frames - 1)
+                            if fi not in sha_cache:
+                                sha_cache[fi] = hashlib.sha256(
+                                    lay.frame_at(fi).tobytes()
+                                ).hexdigest()
+                            emit(aid, i, t_ms, sha_cache[fi])
+                        continue
+                    except _DECODE_ERRORS + (NotImplementedError,):
+                        pass  # malformed / entropy-coded: stub path
                 if p[:6] in (b"GIF87a", b"GIF89a"):
                     # single sequential pass (compositing is inherently
                     # ordered) holding ONE canvas; only sampled frames
@@ -1432,9 +1489,14 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
                     except _DECODE_ERRORS:
                         pass  # malformed GIF: fall through to the stub path
                 if p[4:8] == b"ftyp":
-                    # MP4: frame TIMING is real (stts sample table);
-                    # frame identity stays payload-derived (H.264 pixel
-                    # decode needs a codec library)
+                    # MP4: frame TIMING is always real (stts sample
+                    # table). Frame IDENTITY is real too when the
+                    # carried avc1 essence is the implemented I_PCM
+                    # subset — the sample tables reconstruct Annex-B
+                    # and the decoded RGB is hashed, so MP4 frames
+                    # dedupe against Y4M/GIF/raw-H.264. CAVLC/CABAC
+                    # residual essence (the documented entropy stub)
+                    # keeps the payload-derived identity.
                     try:
                         from rmlint_spark.operators.mp4 import (
                             parse_mp4,
@@ -1446,13 +1508,37 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
                         dur_ms = meta["duration_ms"]
                         import bisect
 
-                        for i, t_ms in enumerate(range(0, dur_ms, every_ms)):
-                            fi = max(bisect.bisect_right(stamps, t_ms) - 1, 0)
-                            emit(aid, i, t_ms,
-                                 hashlib.sha256(p + b"#sample%d" % fi).hexdigest())
-                        continue
+                        pending = [
+                            (i, t_ms,
+                             max(bisect.bisect_right(stamps, t_ms) - 1, 0))
+                            for i, t_ms in enumerate(range(0, dur_ms, every_ms))
+                        ]
                     except _DECODE_ERRORS:
-                        pass  # malformed MP4: fall through to the stub path
+                        pending = None  # malformed MP4: stub path
+                    if pending is not None:
+                        try:
+                            from rmlint_spark.operators.h264 import _H264Layout
+                            from rmlint_spark.operators.mp4 import mp4_extract_avc
+
+                            lay = _H264Layout(mp4_extract_avc(p))
+                            sha_cache = {}
+                            rows_real = []
+                            for i, t_ms, fi in pending:
+                                fi = min(fi, lay.n_frames - 1)
+                                if fi not in sha_cache:
+                                    sha_cache[fi] = hashlib.sha256(
+                                        lay.frame_at(fi).tobytes()
+                                    ).hexdigest()
+                                rows_real.append((i, t_ms, sha_cache[fi]))
+                            for i, t_ms, sha in rows_real:
+                                emit(aid, i, t_ms, sha)
+                        except _DECODE_ERRORS + (NotImplementedError,):
+                            # no/entropy-coded essence: real timing,
+                            # payload-derived identity
+                            for i, t_ms, fi in pending:
+                                emit(aid, i, t_ms, hashlib.sha256(
+                                    p + b"#sample%d" % fi).hexdigest())
+                        continue
                 n = 0 if dur is None or pd.isna(dur) else int(dur) // every_ms
                 for i in range(n):
                     emit(aid, i, i * every_ms,
@@ -1497,6 +1583,16 @@ def probe_videos(assets: DataFrame) -> DataFrame:
 
                         gw, gh, gn, gdur = gif_metadata(p)
                         meta = ("gif", gdur, gw, gh, "lzw", gn)
+                    elif p[:4] == b"\x00\x00\x00\x01" or p[:3] == b"\x00\x00\x01":
+                        # SPS/VUI + slice-header walk only: pictures are
+                        # counted by first_mb_in_slice==0 boundaries, no
+                        # macroblock decode
+                        from rmlint_spark.operators.h264 import parse_h264
+
+                        hm = parse_h264(p)
+                        meta = ("h264", hm["duration_ms"], hm["width"],
+                                hm["height"], f"avc-L{hm['level_idc']}",
+                                hm["n_frames"])
                     elif p[4:8] == b"ftyp":
                         from rmlint_spark.operators.mp4 import parse_mp4
 
@@ -1527,11 +1623,16 @@ def synthetic_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Deterministic REAL-container video assets for the frame-dedup
     query: an 8-frame pool of grayscale images; video ``i`` carries 4
     consecutive pool frames starting at ``i % 8`` (wrap-around), so
-    neighboring videos overlap on 3 frames. Even ids encode Y4M
-    (Cmono, 2.5 fps = 400 ms/frame), odd ids GIF (400 ms delays) —
-    both decode to bit-identical RGB, so duplicate frames are found
-    ACROSS container formats purely by decoded pixel content."""
+    neighboring videos overlap on 3 frames. Ids rotate through FOUR
+    real containers — Y4M (Cmono, 2.5 fps = 400 ms/frame), GIF
+    (400 ms delays), Annex-B H.264 I_PCM (2.5 fps VUI timing) and
+    avc1-in-MP4 (same essence behind real sample tables) — all of
+    which decode grayscale content to bit-identical RGB, so duplicate
+    frames are found ACROSS container formats purely by decoded pixel
+    content."""
     from rmlint_spark.operators.gif import encode_gif
+    from rmlint_spark.operators.h264 import encode_h264_ipcm
+    from rmlint_spark.operators.mp4 import encode_mp4_avc
 
     rng = np.random.RandomState(seed)
     pool = [
@@ -1541,10 +1642,14 @@ def synthetic_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         frames = [pool[(i + j) % 8] for j in range(4)]
-        if i % 2 == 0:
+        if i % 4 == 0:
             payload = encode_y4m(frames, fps=(5, 2), colorspace="Cmono")
-        else:
+        elif i % 4 == 1:
             payload = encode_gif(frames, delays_ms=[400] * 4)
+        elif i % 4 == 2:
+            payload = encode_h264_ipcm(frames, fps=(5, 2))
+        else:
+            payload = encode_mp4_avc(frames, fps=(5, 2))
         rows.append((i, "video", bytearray(payload), None, None, None, None))
     return spark.createDataFrame(
         rows,

@@ -1,0 +1,413 @@
+"""H.264 Annex-B I_PCM essence codec: Exp-Golomb + RBSP escaping
+grammar, conforming-stream round-trip, cross-container frame-dedup
+invariant (Y4M == GIF == H.264 decoded RGB), random-access picture
+decode, SPS/VUI probe parity, and malformed/entropy-coded inputs.
+(Reference hashes media as opaque bytes — lib/checksum.c; this family
+serves the training-data multimodal lane, like the JPEG/FLAC suites.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from rmlint_spark.operators.flac import _BitReader, _BitWriter
+from rmlint_spark.operators.h264 import (
+    _escape_rbsp,
+    _H264Layout,
+    _read_se,
+    _read_ue,
+    _unescape_rbsp,
+    _write_se,
+    _write_ue,
+    decode_h264,
+    encode_h264_ipcm,
+    is_h264,
+    parse_h264,
+)
+
+
+def _gray_frames(n=4, h=6, w=8, seed=42):
+    rng = np.random.RandomState(seed)
+    return [
+        np.repeat(rng.randint(0, 256, size=(h, w), dtype=np.uint8)[:, :, None], 3, axis=2)
+        for _ in range(n)
+    ]
+
+
+# ------------------------------------------------------------ grammar
+
+
+def test_exp_golomb_round_trip():
+    w = _BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 254, 255, 256, 65534, 2**20]
+    for v in vals:
+        _write_ue(w, v)
+    svals = [0, 1, -1, 2, -2, 127, -128, 4000, -4000]
+    for v in svals:
+        _write_se(w, v)
+    w.write(1, 1)
+    w.pad_to_byte()
+    r = _BitReader(w.bytes())
+    assert [_read_ue(r) for _ in vals] == vals
+    assert [_read_se(r) for _ in svals] == svals
+
+
+def test_exp_golomb_rejects_malformed():
+    with pytest.raises(ValueError):
+        _write_ue(_BitWriter(), -1)
+    # 40 zero bits: > 32 leading zeros must raise, not spin
+    with pytest.raises(ValueError):
+        _read_ue(_BitReader(b"\x00" * 5 + b"\xff"))
+
+
+def test_rbsp_escaping_round_trip():
+    # every <=3 byte after 00 00 needs the 03 splice (clause 7.4.1.1)
+    for tail in (b"\x00", b"\x01", b"\x02", b"\x03"):
+        raw = b"\xab\x00\x00" + tail + b"\x00\x00\x00\x01\xff"
+        esc = _escape_rbsp(raw)
+        assert b"\x00\x00\x00" not in esc
+        assert b"\x00\x00\x01" not in esc
+        assert b"\x00\x00\x02" not in esc
+        assert _unescape_rbsp(esc) == raw
+
+
+def test_escaping_handles_long_zero_runs():
+    raw = b"\x00" * 64
+    esc = _escape_rbsp(raw)
+    assert b"\x00\x00\x00" not in esc
+    assert _unescape_rbsp(esc) == raw
+
+
+# -------------------------------------------------------- round-trip
+
+
+def test_grayscale_round_trip_exact():
+    frames = _gray_frames()
+    payload = encode_h264_ipcm(frames, fps=(5, 2))
+    assert is_h264(payload)
+    fps, dec = decode_h264(payload)
+    assert fps == (5, 2)
+    assert len(dec) == 4
+    for got, want in zip(dec, frames):
+        assert np.array_equal(got, want)
+
+
+def test_uniform_chroma_round_trip_within_one():
+    rng = np.random.RandomState(7)
+    small = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    uni = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    _, dec = decode_h264(encode_h264_ipcm([uni]))
+    assert int(np.abs(dec[0].astype(int) - uni.astype(int)).max()) <= 1
+
+
+def test_macroblock_multiple_no_crop():
+    rng = np.random.RandomState(3)
+    fr = np.repeat(rng.randint(0, 256, size=(16, 32), dtype=np.uint8)[:, :, None], 3, axis=2)
+    payload = encode_h264_ipcm([fr])
+    meta = parse_h264(payload)
+    assert (meta["width"], meta["height"]) == (32, 16)
+    _, dec = decode_h264(payload)
+    assert np.array_equal(dec[0], fr)
+
+
+def test_odd_dimensions_rejected():
+    fr = np.zeros((5, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_h264_ipcm([fr])
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_h264_ipcm([])
+    with pytest.raises(ValueError):
+        encode_h264_ipcm(_gray_frames(1), fps=(0, 1))
+    fr = _gray_frames(2)
+    fr[1] = np.zeros((8, 8, 3), dtype=np.uint8)  # mismatched dims
+    with pytest.raises(ValueError):
+        encode_h264_ipcm(fr)
+
+
+# ------------------------------------------------- layout / sampling
+
+
+def test_random_access_frame_at_matches_full_decode():
+    frames = _gray_frames(6)
+    payload = encode_h264_ipcm(frames)
+    lay = _H264Layout(payload)
+    assert lay.n_frames == 6
+    _, full = decode_h264(payload)
+    # decode out of order — pictures are independent
+    for idx in (5, 0, 3):
+        assert np.array_equal(lay.frame_at(idx), full[idx])
+
+
+def test_probe_metadata():
+    payload = encode_h264_ipcm(_gray_frames(4), fps=(30000, 1001))
+    meta = parse_h264(payload)
+    assert meta == {
+        "width": 8, "height": 6, "profile_idc": 66, "level_idc": 10,
+        "n_frames": 4, "fps": (30000, 1001),
+        "duration_ms": 4 * 1000 * 1001 // 30000,
+    }
+
+
+def test_three_byte_start_codes_accepted():
+    payload = encode_h264_ipcm(_gray_frames(2))
+    # rewrite 4-byte start codes as 3-byte ones (equally legal Annex B)
+    three = payload.replace(b"\x00\x00\x00\x01", b"\x00\x00\x01")
+    assert is_h264(three)
+    _, a = decode_h264(payload)
+    _, b = decode_h264(three)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+# ----------------------------------------------- malformed / entropy
+
+
+def test_malformed_streams_raise_value_error():
+    good = encode_h264_ipcm(_gray_frames(1))
+    for bad in (
+        b"",                      # no start code
+        b"\x00\x00\x01",          # empty stream
+        b"\x00\x00\x01\x80",      # forbidden_zero_bit set
+        good[:40],                # truncated I_PCM macroblock
+        b"\x00\x00\x01\x65\x88",  # slice before SPS/PPS
+    ):
+        with pytest.raises(ValueError):
+            decode_h264(bad)
+
+
+def test_oversized_dimensions_rejected():
+    # SPS claiming a frame beyond the decoder bound must raise at
+    # parse time, before any allocation
+    from rmlint_spark.operators import h264 as m
+
+    w = _BitWriter()
+    w.write(66, 8)
+    w.write(0b11000000, 8)
+    w.write(51, 8)
+    _write_ue(w, 0)
+    _write_ue(w, 0)
+    _write_ue(w, 2)
+    _write_ue(w, 0)
+    w.write(0, 1)
+    _write_ue(w, 4096 - 1)   # 65536 px wide
+    _write_ue(w, 4096 - 1)   # 65536 px tall -> 4G pixels
+    w.write(1, 1)
+    w.write(1, 1)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(1, 1)
+    w.pad_to_byte()
+    payload = m._START4 + b"\x67" + _escape_rbsp(w.bytes())
+    with pytest.raises(ValueError, match="exceed decoder bound"):
+        _H264Layout(payload + m._START4 + b"\x68" + _escape_rbsp(b"\x80"))
+
+
+def test_cabac_stream_raises_not_implemented():
+    # flip the PPS entropy_coding_mode bit: decode must refuse with
+    # NotImplementedError (the documented entropy boundary), which the
+    # multimodal dispatcher degrades to the deterministic stand-in
+    from rmlint_spark.operators.h264 import _encode_pps, _encode_sps, _START4
+
+    sps = _START4 + b"\x67" + _escape_rbsp(_encode_sps(1, 1, 16, 16, (25, 1)))
+    w = _BitWriter()
+    _write_ue(w, 0)
+    _write_ue(w, 0)
+    w.write(1, 1)  # entropy_coding_mode_flag = CABAC
+    w.write(0, 1)
+    _write_ue(w, 0)
+    _write_ue(w, 0)
+    _write_ue(w, 0)
+    w.write(0, 1)
+    w.write(0, 2)
+    _write_se(w, 0)
+    _write_se(w, 0)
+    _write_se(w, 0)
+    w.write(0, 3)
+    w.write(1, 1)
+    w.pad_to_byte()
+    pps = _START4 + b"\x68" + _escape_rbsp(w.bytes())
+    body = encode_h264_ipcm([_gray_frames(1)[0]])
+    slice_nal = body[body.index(b"\x00\x00\x00\x01\x65"):]
+    with pytest.raises(NotImplementedError, match="CABAC"):
+        decode_h264(sps + pps + slice_nal)
+
+
+def test_non_ipcm_macroblock_raises_not_implemented():
+    payload = encode_h264_ipcm(_gray_frames(1))
+    lay = _H264Layout(payload)
+    typ, ref, rbsp = lay.pictures[0][0]
+    # re-write the slice body with mb_type 0 (I_4x4 -> CAVLC residual)
+    r = _BitReader(rbsp)
+    lay._parse_slice_header(r, typ, ref, lay.sps, lay.pps)
+    w = _BitWriter()
+    head_bits = r.bytepos * 8 + r.bitpos
+    rr = _BitReader(rbsp)
+    for _ in range(head_bits):
+        w.write(rr.read(1), 1)
+    _write_ue(w, 0)  # mb_type 0: I_4x4
+    w.write(1, 1)
+    w.pad_to_byte()
+    from rmlint_spark.operators.h264 import _START4
+
+    hacked = payload[: payload.index(b"\x00\x00\x00\x01\x65")] + \
+        _START4 + b"\x65" + _escape_rbsp(w.bytes())
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        decode_h264(hacked)
+
+
+# ------------------------------------------- multimodal integration
+
+
+def test_cross_container_identical_rgb():
+    """The frame-dedup invariant: the same grayscale frame pool
+    encoded as Y4M Cmono, GIF and H.264 I_PCM decodes to bit-identical
+    RGB, so frame hashes collide purely on pixel content."""
+    from rmlint_spark.operators.gif import decode_gif, encode_gif
+    from rmlint_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = _gray_frames(4)
+    _, via_h264 = decode_h264(encode_h264_ipcm(frames, fps=(5, 2)))
+    _, via_y4m = decode_y4m(encode_y4m(frames, fps=(5, 2), colorspace="Cmono"))
+    via_gif = decode_gif(encode_gif(frames, delays_ms=[400] * 4))[1]
+    for a, b, c in zip(via_h264, via_y4m, via_gif):
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, c)
+
+
+def test_detect_format_and_features():
+    from rmlint_spark.operators.multimodal import _features_for, detect_format
+
+    payload = encode_h264_ipcm(_gray_frames(4))
+    assert detect_format(payload) == "h264"
+    v = _features_for(payload)
+    assert v.shape == (16,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # real decode path: same pixels in a Y4M container give the SAME
+    # features; the hash-seeded stub could not do that
+    from rmlint_spark.operators.multimodal import encode_y4m
+
+    y4m = encode_y4m(_gray_frames(4), fps=(5, 2), colorspace="Cmono")
+    assert np.allclose(v, _features_for(y4m), atol=1e-6)
+
+
+def test_sample_frames_and_probe_h264(spark):
+    from pyspark.sql import functions as F
+
+    from rmlint_spark.operators.multimodal import (
+        probe_videos,
+        sample_frames,
+        synthetic_video_assets,
+    )
+
+    assets = synthetic_video_assets(spark, n=16)
+    probe = {r["asset_id"]: r for r in probe_videos(assets).collect()}
+    assert probe[2]["container"] == "h264"
+    assert probe[2]["codec"] == "avc-L10"
+    assert (probe[2]["width"], probe[2]["height"]) == (8, 6)
+    assert probe[2]["n_frames"] == 4
+    assert probe[2]["duration_ms"] == 1600
+    assert probe[3]["container"].startswith("mp4/")
+    assert probe[3]["codec"] == "avc1"
+    assert probe[3]["n_frames"] == 4
+    assert probe[3]["duration_ms"] == 1600
+
+    fr = sample_frames(assets, every_ms=250)
+    per_sha = (
+        fr.join(assets.select("asset_id"), "asset_id")
+        .withColumn("c", F.pmod("asset_id", F.lit(4)))
+        .groupBy("frame_sha")
+        .agg(F.countDistinct("c").alias("nc"))
+    )
+    rows = per_sha.collect()
+    assert len(rows) == 8  # the 8-frame pool
+    assert all(r["nc"] == 4 for r in rows)  # every frame in all 4 containers
+
+
+def test_frame_sha_is_decoded_pixels():
+    # the sampler's sha must equal sha256 of the decoded RGB bytes —
+    # payload-derived hashes would silently break cross-container dedup
+    frames = _gray_frames(1)
+    payload = encode_h264_ipcm(frames, fps=(5, 2))
+    lay = _H264Layout(payload)
+    assert hashlib.sha256(lay.frame_at(0).tobytes()).hexdigest() == \
+        hashlib.sha256(frames[0].tobytes()).hexdigest()
+
+
+# -------------------------------------------- MP4 avc1 essence bridge
+
+
+def test_mp4_avc_round_trip_exact():
+    from rmlint_spark.operators.mp4 import encode_mp4_avc, mp4_extract_avc, parse_mp4
+
+    frames = _gray_frames(4)
+    p = encode_mp4_avc(frames, fps=(5, 2))
+    meta = parse_mp4(p)
+    tr = meta["tracks"][0]
+    assert (tr["kind"], tr["codec"], tr["n_samples"]) == ("video", "avc1", 4)
+    assert meta["duration_ms"] == 1600
+    fps, dec = decode_h264(mp4_extract_avc(p))
+    assert fps == (5, 2)
+    for got, want in zip(dec, frames):
+        assert np.array_equal(got, want)
+
+
+def test_mp4_extract_degrades_on_stripped_or_malformed():
+    from rmlint_spark.operators.mp4 import (
+        encode_mp4_avc,
+        encode_mp4_skeleton,
+        mp4_extract_avc,
+    )
+
+    # metadata-only skeleton: no avcC / no mdat
+    with pytest.raises(ValueError):
+        mp4_extract_avc(encode_mp4_skeleton())
+    # truncated mdat: a sample overruns the file
+    p = encode_mp4_avc(_gray_frames(2))
+    with pytest.raises(ValueError, match="overruns"):
+        mp4_extract_avc(p[:-100])
+    # corrupt AVCC length prefix inside a sample
+    mdat_at = p.index(b"mdat") + 4
+    bad = p[:mdat_at] + b"\xff\xff\xff\xff" + p[mdat_at + 4:]
+    with pytest.raises(ValueError):
+        mp4_extract_avc(bad)
+
+
+def test_mp4_frame_sha_matches_other_containers(spark):
+    """The same pixels behind FOUR containers — Y4M, GIF, raw Annex-B
+    H.264 and avc1-in-MP4 — produce the same decoded-pixel frame sha
+    in the sampler (the synthetic corpus covers this at n=16; this is
+    the minimal directed pair)."""
+    import hashlib
+
+    from rmlint_spark.operators.mp4 import encode_mp4_avc
+    from rmlint_spark.operators.multimodal import sample_frames
+
+    frames = _gray_frames(2)
+    vid_annexb = encode_h264_ipcm(frames, fps=(5, 2))
+    vid_mp4 = encode_mp4_avc(frames, fps=(5, 2))
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(vid_annexb), None, None, None, None),
+         (2, "video", bytearray(vid_mp4), None, None, None, None)],
+        "asset_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    rows = sample_frames(assets, every_ms=400).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], {})[r["t_ms"]] = r["frame_sha"]
+    assert by_asset[1] == by_asset[2]
+    assert by_asset[1][0] == hashlib.sha256(frames[0].tobytes()).hexdigest()
+
+
+def test_mp4_features_match_raw_h264():
+    from rmlint_spark.operators.mp4 import encode_mp4_avc
+    from rmlint_spark.operators.multimodal import _features_for
+
+    frames = _gray_frames(4)
+    a = _features_for(encode_h264_ipcm(frames, fps=(5, 2)))
+    b = _features_for(encode_mp4_avc(frames, fps=(5, 2)))
+    assert np.allclose(a, b, atol=1e-6)
