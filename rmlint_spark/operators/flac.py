@@ -477,10 +477,11 @@ def encode_mp3_stub(n_frames: int, bitrate_kbps: int = 128,
                     rate: int = 44100, id3_bytes: int = 0,
                     version: int = 1) -> bytes:
     """Structurally valid MPEG-1/2 Layer III frame sequence with
-    ZEROED audio payloads (clearly a stub: real Huffman audio data
-    would need an encoder).  The frame HEADERS are spec-exact, which
-    is what the metadata walk consumes — analogous to the MP4 path
-    where container timing is real and pixel decode is stubbed."""
+    ZEROED audio payloads — a metadata-walk fixture generator.  The
+    frame headers are spec-exact.  Since r5 the MPEG-1 variant also
+    *decodes* for real (all-zero side info is a legal silent frame;
+    mpeg_audio.encode_layer3 is the full entropy encoder); MPEG-2
+    variants remain metadata-only."""
     if version not in (1, 2):
         raise ValueError(f"unsupported MPEG version {version}")
     vtab = _MP3_BITRATES[(version, 3)]
@@ -511,8 +512,9 @@ def mp3_metadata(payload: bytes) -> dict:
     padding) to step exact frame lengths.  All three layers walk:
     Layer I uses the 4-byte-slot length formula, Layers II/III the
     byte formula (Layer I/II essence additionally *decodes* via
-    operators/mpeg_audio.py; Layer III essence is the documented
-    entropy stub).  Returns frame count, summed duration, mean
+    operators/mpeg_audio.py — all three layers since r5, Layer III
+    via Huffman + reservoir + IMDCT).  Returns frame count, summed
+    duration, mean
     bitrate, layer, VBR flag (bitrate varies across frames or a
     Xing/Info tag is present).  Raises ``ValueError`` if no valid
     frame sync is found where one is required."""

@@ -44,9 +44,10 @@ for real in pure numpy (no codec libraries exist in this container):
 - **TIFF** — baseline 8-bit gray/RGB(A) strips, uncompressed or
   PackBits, both byte orders.
 
-MPEG-1 audio Layer I/II essence decodes for real too (subband
-requantization + polyphase synthesis, operators/mpeg_audio.py).
-Remaining opaque formats (MPEG Layer III entropy, H.264 CAVLC/CABAC
+MPEG-1 audio essence decodes for real too — Layer I/II subband
+requantization and (r5) Layer III Huffman + bit reservoir + IMDCT,
+all through one polyphase synthesis (operators/mpeg_audio.py).
+Remaining opaque formats (H.264 CAVLC/CABAC
 residual entropy, WebP/HEIC...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
@@ -1120,13 +1121,12 @@ def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
     if payload and (payload[:3] == b"ID3" or
                     (len(payload) >= 2 and payload[0] == 0xFF
                      and payload[1] & 0xE0 == 0xE0)):
-        # MPEG-1 Layer I/II decode for real; Layer III raises
-        # NotImplementedError from inside (entropy stub boundary)
+        # all three MPEG-1 layers decode for real (Layer III since r5)
         from rmlint_spark.operators.mpeg_audio import decode_mpeg_audio
 
         return decode_mpeg_audio(payload)
     raise NotImplementedError(
-        "no codec for this audio format; WAV/AIFF/FLAC/MPEG-L1/L2 decode here"
+        "no codec for this audio format; WAV/AIFF/FLAC/MPEG-L1/L2/L3 decode here"
     )
 
 
@@ -1278,9 +1278,9 @@ def _features_for(payload: bytes) -> np.ndarray:
         if payload and (payload[:3] == b"ID3" or
                         (len(payload) >= 2 and payload[0] == 0xFF
                          and payload[1] & 0xE0 == 0xE0)):
-            # MPEG-1 Layer I/II essence decodes for real; Layer III
-            # raises NotImplementedError (the documented entropy stub
-            # boundary) and falls through to the stand-in below.
+            # all three MPEG-1 layers decode for real (Layer III r5);
+            # refused subsets (stereo, MPEG-2, short blocks) raise
+            # ValueError and fall through to the stand-in below.
             from rmlint_spark.operators.mpeg_audio import decode_mpeg_audio
 
             return _audio_features(*decode_mpeg_audio(payload))
@@ -1831,14 +1831,17 @@ def synthetic_audio_assets(
     as WAV, AIFF, or FLAC (all lossless, so the same clip decodes
     bit-identically across containers — the audio analog of the
     Y4M/GIF cross-container video corpus); every 4th asset is MPEG
-    audio, rotating Layer II (real essence decode), Layer I (real
-    essence decode) and a Layer III header stub (the documented
-    entropy boundary, metadata-only path). With ``include_adpcm``
-    every 8th asset is IMA-ADPCM WAV instead — the LOSSY compressed
-    decode path, deliberately outside the bit-identical dedup
-    family."""
-    from rmlint_spark.operators.flac import encode_flac, encode_mp3_stub
-    from rmlint_spark.operators.mpeg_audio import encode_layer1, encode_layer2
+    audio, rotating Layer II, Layer I and (r5) Layer III — all three
+    layers real essence decodes now. With ``include_adpcm``
+    every 8th asset is IMA-ADPCM WAV instead — like the MPEG trio a
+    LOSSY compressed decode path, deliberately outside the
+    bit-identical dedup family."""
+    from rmlint_spark.operators.flac import encode_flac
+    from rmlint_spark.operators.mpeg_audio import (
+        encode_layer1,
+        encode_layer2,
+        encode_layer3,
+    )
 
     rng = np.random.RandomState(seed)
     pool = [rng.randint(-2000, 2000, size=1600).astype(np.int16) for _ in range(8)]
@@ -1852,7 +1855,7 @@ def synthetic_audio_assets(
         elif i % 12 == 7:
             payload = encode_layer1(clip, rate=32000, bitrate_kbps=224)
         elif i % 12 == 11:
-            payload = encode_mp3_stub(8 + i % 5, bitrate_kbps=128, rate=44100)
+            payload = encode_layer3(clip, rate=44100, bitrate_kbps=128)
         elif i % 3 == 0:
             payload = encode_wav(clip, rate=16000)
         elif i % 3 == 1:

@@ -14,6 +14,7 @@ from rmlint_spark.operators.mpeg_audio import (
     decode_mpeg_audio,
     encode_layer1,
     encode_layer2,
+    encode_layer3,
     pqmf_analyze,
     pqmf_synthesize,
     wrap_id3,
@@ -102,11 +103,188 @@ def test_encode_deterministic():
     assert encode_layer2(sig, 44100, 128) == encode_layer2(sig, 44100, 128)
 
 
-def test_layer3_is_honest_stub():
+def test_layer3_rate_distortion_monotone():
+    sig = _music()
+    snrs = []
+    for kbps in (64, 128, 256):
+        rate, pcm = decode_mpeg_audio(encode_layer3(sig, 44100, kbps))
+        assert rate == 44100
+        snrs.append(_snr_db(sig, pcm.astype(np.float64) / 32768.0))
+    assert snrs == sorted(snrs), f"SNR not monotone in bitrate: {snrs}"
+    assert snrs[0] > 20.0
+    assert snrs[-1] > 35.0
+
+
+def test_layer3_sparse_spectrum_near_filterbank_floor():
+    # a pure tone concentrates spectral lines: the Huffman payload is
+    # tiny, the global_gain loop accepts the finest quantization, and
+    # the ESC (linbits) tables carry the large values — round-trip
+    # lands at the pseudo-QMF's own ~65 dB floor
+    from rmlint_spark.operators.mpeg_audio import _frame_len, _parse_l3_side
+
+    tone = 0.9 * np.sin(2 * np.pi * 441 * np.arange(23040) / 44100.0)
+    b = encode_layer3(tone, 44100, 256)
+    assert _snr_db(tone, decode_mpeg_audio(b)[1] / 32768.0) > 55.0
+    tables, flen, pos = set(), _frame_len(3, 256, 44100), 0
+    while pos + flen <= len(b):
+        for g in _parse_l3_side(b[pos + 4 : pos + 21])["granules"]:
+            tables.update(g["tables"])
+        pos += flen
+    assert any(t >= 16 for t in tables), f"no ESC table exercised: {tables}"
+
+
+def test_layer3_bit_reservoir_walks_and_caps():
+    # quiet signal -> underfilled frames -> main_data_begin grows
+    # frame over frame until the 511-byte stuffing cap
+    from rmlint_spark.operators.mpeg_audio import _frame_len, _parse_l3_side
+
+    sig = 0.001 * np.sin(2 * np.pi * 440 * np.arange(11520) / 44100.0)
+    b = encode_layer3(sig, 44100, 128)
+    begins, flen, pos = [], _frame_len(3, 128, 44100), 0
+    while pos + flen <= len(b):
+        begins.append(_parse_l3_side(b[pos + 4 : pos + 21])["main_data_begin"])
+        pos += flen
+    assert begins[0] == 0
+    assert max(begins) > 0, "reservoir never engaged"
+    assert max(begins) <= 511
+    decode_mpeg_audio(b)  # and the reservoir walk decodes
+
+
+def test_layer3_reservoir_underflow_raises():
+    sig = _music(n=2304)
+    b = bytearray(encode_layer3(sig, 44100, 128))
+    # first side-info byte holds main_data_begin[8:1]; frame 0 claiming
+    # reservoir bytes that don't exist must refuse, not alias
+    b[4] = 0x01
+    with pytest.raises(ValueError, match="reservoir underflow"):
+        decode_mpeg_audio(bytes(b))
+
+
+def test_layer3_zeroed_stub_is_legal_silence():
     from rmlint_spark.operators.flac import encode_mp3_stub
 
-    with pytest.raises(NotImplementedError):
-        decode_mpeg_audio(encode_mp3_stub(3, bitrate_kbps=128, rate=44100))
+    rate, pcm = decode_mpeg_audio(encode_mp3_stub(3, bitrate_kbps=128, rate=44100))
+    assert rate == 44100 and len(pcm) == 3 * 1152 - 576
+    assert np.abs(pcm).max() == 0
+
+
+def test_layer3_huffman_tables_prefix_free_and_deterministic():
+    from rmlint_spark.operators.mpeg_audio import _L3_PAIR_DIMS, _l3_tables
+
+    for t in list(_L3_PAIR_DIMS) + [-1, -2]:
+        enc, dec, ml, n, lb = _l3_tables(t)
+        codes = [(c, ln) for c, ln in enc if ln]
+        assert len(set(codes)) == len(codes)
+        # prefix-free: no code is a prefix of a longer one
+        by_len = sorted(codes, key=lambda x: x[1])
+        for i, (c1, l1) in enumerate(by_len):
+            for c2, l2 in by_len[i + 1 :]:
+                if l2 > l1:
+                    assert (c2 >> (l2 - l1)) != c1, f"table {t} not prefix-free"
+        # Kraft equality for the canonical tables (complete codes)
+        if codes:
+            assert abs(sum(2.0 ** -ln for _, ln in codes) - 1.0) < 1e-12
+    # rebuilding from scratch gives identical assignments
+    import importlib
+
+    import rmlint_spark.operators.mpeg_audio as m
+
+    before = {t: m._l3_tables(t)[0] for t in (1, 15, 24, -1)}
+    m._L3_HUFF_CACHE.clear()
+    assert {t: m._l3_tables(t)[0] for t in (1, 15, 24, -1)} == before
+    importlib  # quiet linters
+
+
+def test_layer3_scfsi_and_scalefactor_requantization():
+    # white-box: hand-build one frame whose granule 0 transmits real
+    # scalefactors (scalefac_compress=11 -> slen 3,1) and granule 1
+    # scfsi-shares all four groups; a single spectral line at gain G
+    # must come out 2^(-0.5*sf) quieter than the sf=0 stream
+    from rmlint_spark.operators.flac import _BitReader, _BitWriter
+    from rmlint_spark.operators.mpeg_audio import (
+        _frame_len,
+        _header,
+        _l3_tables,
+    )
+
+    def one_frame(sf_val: int) -> bytes:
+        enc, _, _, n, lb = _l3_tables(1)  # dims-2 table for value 1
+        payloads = []
+        for g in range(2):
+            w = _BitWriter()
+            if g == 0:
+                for band in range(11):
+                    w.write(sf_val, 3)          # slen1 = 3
+                for band in range(11, 21):
+                    w.write(0, 1)               # slen2 = 1
+            code, ln = enc[1 * n + 1]           # pair (1, 1)
+            w.write(code, ln)
+            w.write(0, 1)                       # sign x: positive
+            w.write(0, 1)                       # sign y: positive
+            bits = w.nbits + 8 * len(w.buf)
+            w.pad_to_byte()
+            payloads.append((bits, w.bytes()))
+        sw = _BitWriter()
+        sw.write(0, 9)                          # main_data_begin
+        sw.write(0, 5)
+        for _ in range(4):
+            sw.write(1, 1)                      # scfsi: share all groups
+        for g, (bits, _) in enumerate(payloads):
+            sw.write(bits, 12)
+            sw.write(1, 9)                      # big_values = 1 pair
+            sw.write(210, 8)                    # global_gain
+            sw.write(11, 4)                     # scalefac_compress -> (3, 1)
+            sw.write(0, 1)                      # long blocks
+            for _ in range(3):
+                sw.write(1, 5)                  # table 1 all regions
+            sw.write(7, 4)
+            sw.write(7, 3)
+            sw.write(0, 1)                      # preflag
+            sw.write(0, 1)                      # scalefac_scale (mult 0.5)
+            sw.write(0, 1)                      # count1 table A
+        side = sw.bytes()
+        assert len(side) == 17
+        mw = _BitWriter()
+        for bits, payload in payloads:
+            r = _BitReader(payload)
+            left = bits
+            while left > 0:
+                take = min(16, left)
+                mw.write(r.read(take), take)
+                left -= take
+        mw.pad_to_byte()
+        flen = _frame_len(3, 128, 44100)
+        frame = (_header(3, 128, 44100).to_bytes(4, "big") + side
+                 + mw.bytes())
+        return frame + b"\x00" * (flen - len(frame))
+
+    _, loud = decode_mpeg_audio(one_frame(0))
+    _, quiet = decode_mpeg_audio(one_frame(4))
+    a_loud = float(np.abs(loud).max())
+    a_quiet = float(np.abs(quiet).max())
+    assert a_loud > 0
+    # scalefactor 4 at multiplier 0.5 -> 2^-2 = 12 dB quieter, applied
+    # to granule 1 as well through scfsi sharing
+    assert abs(a_quiet / a_loud - 2.0 ** -2) < 0.02
+
+
+def test_layer3_short_block_side_info_refused():
+    sig = _music(n=2304)
+    b = bytearray(encode_layer3(sig, 44100, 128))
+    # set granule 0's window_switching_flag: side info starts at byte
+    # 4; bits 9+5+4+12+9+8+4 = 51 -> bit 3 of byte 10
+    b[4 + 6] |= 0x10
+    with pytest.raises(ValueError, match="short/mixed block"):
+        decode_mpeg_audio(bytes(b))
+
+
+def test_layer3_id3_wrap_invariant_and_deterministic():
+    sig = _music(n=4608)
+    b = encode_layer3(sig, 44100, 128)
+    assert encode_layer3(sig, 44100, 128) == b
+    _, p1 = decode_mpeg_audio(b)
+    _, p2 = decode_mpeg_audio(wrap_id3(b))
+    assert np.array_equal(p1, p2)
 
 
 def test_malformed_inputs_raise():

@@ -15,15 +15,19 @@ from rmlint_spark.operators.multimodal import (
 
 
 def test_decode_codec_formats_still_stubbed():
-    # formats with no pure-numpy codec here (WebP images, MPEG audio
-    # Layer III entropy) keep the honest NotImplementedError
+    # formats with no pure-numpy codec here (e.g. WebP images) keep
+    # the honest NotImplementedError
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPwebpbytes")
+    # MPEG-1 Layer III decodes for real since r5: the zeroed-payload
+    # metadata stub is a legal all-silence stream, not a refusal
+    import numpy as np
+
     from rmlint_spark.operators.flac import encode_mp3_stub
     from rmlint_spark.operators.multimodal import decode_audio
 
-    with pytest.raises(NotImplementedError):
-        decode_audio(encode_mp3_stub(3, bitrate_kbps=128, rate=44100))
+    rate, pcm = decode_audio(encode_mp3_stub(3, bitrate_kbps=128, rate=44100))
+    assert rate == 44100 and np.abs(pcm).max() == 0
 
 
 def test_ppm_roundtrip_and_real_decode():
