@@ -12,9 +12,13 @@ frame cropping. I_PCM is the spec's uncompressed macroblock type
 this module writes are CONFORMING constrained-baseline H.264 that a
 real decoder plays, and the decoder handles any all-I_PCM stream a
 real encoder emits (lossless-PCM encoder modes produce exactly this
-shape). CAVLC/CABAC residual entropy decode remains the documented
-``NotImplementedError`` boundary — the stub narrowed from "H.264"
-to "H.264 residual entropy".
+shape). Since r5 session 4, Intra_4x4 macroblocks with CAVLC
+residuals ALSO decode — intra prediction, the normative inverse
+transform/dequant, nC-context residual parsing — via
+operators/h264_cavlc.py (a self-consistent pair with documented VLC
+table substitution; see that module's docstring). The remaining
+``NotImplementedError`` boundary narrowed to CABAC entropy and
+Intra_16x16 macroblocks.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -382,7 +386,8 @@ def _parse_pps(rbsp: bytes) -> dict:
     _read_ue(r), _read_ue(r)            # num_ref_idx defaults
     r.read(1)                           # weighted_pred_flag
     r.read(2)                           # weighted_bipred_idc
-    _read_se(r), _read_se(r), _read_se(r)   # qp / qs / chroma offsets
+    pps["pic_init_qp"] = 26 + _read_se(r)
+    _read_se(r), _read_se(r)            # qs / chroma offsets
     pps["deblocking_control"] = r.read(1)
     r.read(1)                           # constrained_intra_pred
     pps["redundant_pic_cnt_present"] = r.read(1)
@@ -462,38 +467,53 @@ class _H264Layout:
         u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
         v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
         covered = np.zeros(mb_w * mb_h, dtype=bool)
+        cavlc_pic = None
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
-            first_mb = self._parse_slice_header(r, nal_type, ref_idc, sps, pps)
+            first_mb, qp_delta = self._parse_slice_header(
+                r, nal_type, ref_idc, sps, pps)
             if pps["entropy_coding_mode"]:
                 raise NotImplementedError(
                     "H.264 CABAC entropy decode not implemented "
-                    "(I_PCM-in-CAVLC is the implemented essence subset)")
+                    "(CAVLC is the implemented entropy subset)")
+            slice_qp = pps["pic_init_qp"] + qp_delta
+            if cavlc_pic is not None:
+                cavlc_pic.qp = slice_qp     # QP prediction resets per slice
             addr = first_mb
             while _more_rbsp_data(r):
                 if addr >= mb_w * mb_h:
                     raise ValueError("H.264 slice data overruns the picture")
                 mb_type = _read_ue(r)
-                if mb_type != _I_PCM_MB_TYPE:
+                if mb_type == _I_PCM_MB_TYPE:
+                    while r.bitpos:
+                        if r.read(1):
+                            raise ValueError("nonzero pcm_alignment bit")
+                    if r.bytepos + 384 > len(rbsp):
+                        raise ValueError("truncated I_PCM macroblock")
+                    my, mx = divmod(addr, mb_w)
+                    raw = np.frombuffer(rbsp, dtype=np.uint8,
+                                        count=384, offset=r.bytepos)
+                    r.bytepos += 384
+                    y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+                        raw[:256].reshape(16, 16)
+                    u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                        raw[256:320].reshape(8, 8)
+                    v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+                        raw[320:].reshape(8, 8)
+                    if cavlc_pic is not None:
+                        cavlc_pic.mark_ipcm(addr)
+                elif mb_type == 0:                  # Intra_4x4, CAVLC
+                    from rmlint_spark.operators.h264_cavlc import CavlcPicture
+
+                    if cavlc_pic is None:
+                        cavlc_pic = CavlcPicture(y, u, v, mb_w, mb_h)
+                        cavlc_pic.qp = slice_qp
+                    cavlc_pic.decode_mb(r, addr)
+                else:
                     raise NotImplementedError(
-                        "H.264 CAVLC residual entropy decode not implemented "
-                        f"(mb_type {mb_type}; I_PCM macroblocks are the "
-                        "implemented essence subset)")
-                while r.bitpos:
-                    if r.read(1):
-                        raise ValueError("nonzero pcm_alignment bit")
-                if r.bytepos + 384 > len(rbsp):
-                    raise ValueError("truncated I_PCM macroblock")
-                my, mx = divmod(addr, mb_w)
-                raw = np.frombuffer(rbsp, dtype=np.uint8,
-                                    count=384, offset=r.bytepos)
-                r.bytepos += 384
-                y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-                    raw[:256].reshape(16, 16)
-                u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                    raw[256:320].reshape(8, 8)
-                v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-                    raw[320:].reshape(8, 8)
+                        "H.264 Intra_16x16 residual decode not implemented "
+                        f"(mb_type {mb_type}; I_PCM and Intra_4x4-CAVLC "
+                        "macroblocks are the implemented essence subset)")
                 covered[addr] = True
                 addr += 1
         if not covered.all():
@@ -545,11 +565,11 @@ class _H264Layout:
                         _read_ue(r)
                     elif op != 5:
                         raise ValueError("invalid memory_management op")
-        _read_se(r)                         # slice_qp_delta
+        qp_delta = _read_se(r)              # slice_qp_delta
         if pps["deblocking_control"]:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
                 _read_se(r), _read_se(r)
-        return first_mb
+        return first_mb, qp_delta
 
 
 def parse_h264(payload: bytes) -> dict:
@@ -570,9 +590,9 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
 
     Materializes EVERY frame — tests and short clips; the sampling
     paths use `_H264Layout.frame_at` to decode only touched frames.
-    CAVLC/CABAC residual macroblocks raise ``NotImplementedError``
-    (the documented entropy boundary); malformed streams raise
-    ``ValueError``.
+    I_PCM and Intra_4x4-CAVLC macroblocks decode; CABAC and
+    Intra_16x16 raise ``NotImplementedError`` (the documented entropy
+    boundary); malformed streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -265,16 +265,27 @@ def _full(btype: bytes, ver: int, flags: int, body: bytes) -> bytes:
     return _box(btype, bytes([ver]) + flags.to_bytes(3, "big") + body)
 
 
-def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1)) -> bytes:
-    """RGB frames -> a REAL avc1 MP4: the H.264 I_PCM encoder produces
-    the essence, which lands length-prefixed (AVCC, 4-byte lengths) in
-    ``mdat`` with SPS/PPS in the ``avcC`` decoder-config box and full
-    ``stsz``/``stsc``/``stco`` sample tables (ISO/IEC 14496-15 s5.3).
-    :func:`mp4_extract_avc` (or any real demuxer+decoder) plays it
-    back; with all-grayscale content the round trip is bit-exact."""
+def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
+                   codec: str = "ipcm", qp: int = 20) -> bytes:
+    """RGB frames -> a REAL avc1 MP4: an H.264 encoder produces the
+    essence (``codec="ipcm"``: conforming lossless I_PCM;
+    ``codec="cavlc"``: compressed Intra_4x4 residuals at ``qp``, the
+    r5 self-consistent lane), which lands length-prefixed (AVCC,
+    4-byte lengths) in ``mdat`` with SPS/PPS in the ``avcC``
+    decoder-config box and full ``stsz``/``stsc``/``stco`` sample
+    tables (ISO/IEC 14496-15 s5.3).  :func:`mp4_extract_avc` (or any
+    real demuxer+decoder for the I_PCM lane) plays it back; with
+    all-grayscale I_PCM content the round trip is bit-exact."""
     from rmlint_spark.operators.h264 import encode_h264_ipcm
 
-    annexb = encode_h264_ipcm(frames, fps=fps)
+    if codec == "ipcm":
+        annexb = encode_h264_ipcm(frames, fps=fps)
+    elif codec == "cavlc":
+        from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+        annexb = encode_h264_cavlc(frames, fps=fps, qp=qp)
+    else:
+        raise ValueError(f"unknown avc1 essence codec {codec!r}")
     sps = pps = None
     samples: list[bytes] = []
     for nal in _split_annexb(annexb):

@@ -236,11 +236,12 @@ def test_cabac_stream_raises_not_implemented():
         decode_h264(sps + pps + slice_nal)
 
 
-def test_non_ipcm_macroblock_raises_not_implemented():
+def test_intra16x16_macroblock_raises_not_implemented():
+    # mb_type 0 (Intra_4x4 CAVLC) decodes since r5 s4; the refusal
+    # boundary narrowed to Intra_16x16 types (1..24)
     payload = encode_h264_ipcm(_gray_frames(1))
     lay = _H264Layout(payload)
     typ, ref, rbsp = lay.pictures[0][0]
-    # re-write the slice body with mb_type 0 (I_4x4 -> CAVLC residual)
     r = _BitReader(rbsp)
     lay._parse_slice_header(r, typ, ref, lay.sps, lay.pps)
     w = _BitWriter()
@@ -248,14 +249,14 @@ def test_non_ipcm_macroblock_raises_not_implemented():
     rr = _BitReader(rbsp)
     for _ in range(head_bits):
         w.write(rr.read(1), 1)
-    _write_ue(w, 0)  # mb_type 0: I_4x4
+    _write_ue(w, 1)  # mb_type 1: I_16x16_0_0_0
     w.write(1, 1)
     w.pad_to_byte()
     from rmlint_spark.operators.h264 import _START4
 
     hacked = payload[: payload.index(b"\x00\x00\x00\x01\x65")] + \
         _START4 + b"\x65" + _escape_rbsp(w.bytes())
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(NotImplementedError, match="Intra_16x16"):
         decode_h264(hacked)
 
 
@@ -411,3 +412,196 @@ def test_mp4_features_match_raw_h264():
     a = _features_for(encode_h264_ipcm(frames, fps=(5, 2)))
     b = _features_for(encode_mp4_avc(frames, fps=(5, 2)))
     assert np.allclose(a, b, atol=1e-6)
+
+
+# ----------------------------------------------- CAVLC residual lane
+
+
+def _texture_frame(h=32, w=48, seed=11):
+    rng = np.random.RandomState(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = ((xx * 4 + yy * 6) % 256).astype(np.int64)
+    tex = np.clip(base + rng.randint(-20, 20, size=(h, w)), 0, 255)
+    return np.repeat(tex.astype(np.uint8)[:, :, None], 3, axis=2)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def test_cavlc_rate_distortion_monotone_and_compresses():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    f = _texture_frame()
+    sizes, psnrs = [], []
+    for qp in (4, 16, 28):
+        b = encode_h264_cavlc([f], qp=qp)
+        _, frames = decode_h264(b)
+        sizes.append(len(b))
+        psnrs.append(_psnr(frames[0], f))
+    assert psnrs == sorted(psnrs, reverse=True), psnrs
+    assert sizes == sorted(sizes, reverse=True), sizes
+    assert psnrs[0] > 45.0 and psnrs[-1] > 28.0
+    # residual coding genuinely compresses vs raw I_PCM
+    assert sizes[1] < len(encode_h264_ipcm([f]))
+
+
+def test_cavlc_flat_frame_codes_to_skipped_blocks():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    flat = np.full((32, 32, 3), 77, np.uint8)
+    b = encode_h264_cavlc([flat], qp=20)
+    assert len(b) < 100          # cbp=0 everywhere: a few bits per MB
+    _, frames = decode_h264(b)
+    assert int(np.abs(frames[0].astype(int) - flat.astype(int)).max()) <= 1
+
+
+def test_cavlc_crop_and_determinism():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    f = _texture_frame(h=22, w=14)
+    b = encode_h264_cavlc([f, f], qp=8)
+    assert encode_h264_cavlc([f, f], qp=8) == b
+    _, frames = decode_h264(b)
+    assert frames[0].shape == (22, 14, 3)
+    assert np.array_equal(frames[0], frames[1])     # same input, IDR each
+    assert _psnr(frames[0], f) > 35.0
+
+
+def test_cavlc_vlc_tables_prefix_free_and_complete():
+    from rmlint_spark.operators.h264_cavlc import _vlc
+
+    names = (["ct0", "ct1", "ct2", "ct3", "ctc"]
+             + [f"tz_16_{tc}" for tc in range(1, 16)]
+             + [f"tz_15_{tc}" for tc in range(1, 15)]
+             + [f"tz_4_{tc}" for tc in range(1, 4)]
+             + [f"rb_{z}" for z in range(1, 8)])
+    for name in names:
+        enc, dec, ml, syms = _vlc(name)
+        codes = list(enc)
+        assert len(set(codes)) == len(codes), name
+        by_len = sorted(codes, key=lambda x: x[1])
+        for i, (c1, l1) in enumerate(by_len):
+            for c2, l2 in by_len[i + 1:]:
+                if l2 > l1:
+                    assert (c2 >> (l2 - l1)) != c1, f"{name} not prefix-free"
+        assert abs(sum(2.0 ** -ln for _, ln in codes) - 1.0) < 1e-12, name
+
+
+def test_cavlc_residual_block_property_roundtrip():
+    from rmlint_spark.operators.h264_cavlc import (
+        _read_residual,
+        _write_residual,
+    )
+
+    rng = np.random.RandomState(0)
+    cases = []
+    for maxc in (16, 15, 4):
+        cases.append(([0] * maxc, 0))                       # empty
+        cases.append(([1] + [0] * (maxc - 1), 3))           # single DC one
+        full = rng.randint(-40, 40, size=maxc).tolist()
+        cases.append(([v or 1 for v in full], 8))           # dense
+        big = [0] * maxc
+        big[0], big[maxc // 2] = 30000, -30000              # escape path
+        cases.append((big, 1))
+        for _ in range(30):                                 # sparse random
+            c = [0] * maxc
+            for _k in range(rng.randint(1, maxc)):
+                c[rng.randint(maxc)] = int(rng.randint(-300, 300))
+            cases.append((c, int(rng.randint(0, 17))))
+    for coeffs, nc in cases:
+        nc = -1 if len(coeffs) == 4 else nc
+        w = _BitWriter()
+        tc = _write_residual(w, coeffs, nc)
+        w.write(1, 1)                                       # stop marker
+        w.pad_to_byte()
+        back = _read_residual(_BitReader(w.bytes()), nc, len(coeffs))
+        assert back == coeffs, (coeffs, nc)
+        assert tc == sum(1 for v in coeffs if v)
+
+
+def test_cavlc_level_codec_escape_and_adaptation():
+    from rmlint_spark.operators.h264_cavlc import _read_level, _write_level
+
+    for first in (False, True):
+        for levels in ([2, -2, 7, -31], [5000, -20000, 3], [2, 1, -1, 900]):
+            if first:
+                # the first level after <3 trailing ones has |v| >= 2
+                levels = [v if abs(v) >= 2 else v * 2 for v in levels]
+            w = _BitWriter()
+            sl = 0
+            for i, v in enumerate(levels):
+                sl = _write_level(w, v, sl, first_escaped=(first and i == 0))
+            w.write(1, 1)
+            w.pad_to_byte()
+            r = _BitReader(w.bytes())
+            sl = 0
+            out = []
+            for i in range(len(levels)):
+                v, sl = _read_level(r, sl, first_escaped=(first and i == 0))
+                out.append(v)
+            assert out == levels, (levels, first, out)
+
+
+def test_cavlc_mixed_with_ipcm_pictures():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    f = _texture_frame()
+    bp = encode_h264_ipcm([f])
+    bc = encode_h264_cavlc([f], qp=6)
+
+    def nals(b):
+        return [p for p in b.split(b"\x00\x00\x00\x01") if p]
+
+    np_, nc_ = nals(bp), nals(bc)
+    mixed = b"".join(b"\x00\x00\x00\x01" + x
+                     for x in [np_[0], np_[1], np_[2], nc_[2]])
+    _, frames = decode_h264(mixed)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], decode_h264(bp)[1][0])
+    assert np.array_equal(frames[1], decode_h264(bc)[1][0])
+
+
+def test_cavlc_mp4_bridge_roundtrip():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+    from rmlint_spark.operators.mp4 import encode_mp4_avc, mp4_extract_avc
+
+    f = _texture_frame()
+    m = encode_mp4_avc([f, f], codec="cavlc", qp=6)
+    _, direct = decode_h264(encode_h264_cavlc([f, f], qp=6))
+    _, via_mp4 = decode_h264(mp4_extract_avc(m))
+    assert all(np.array_equal(a, b) for a, b in zip(direct, via_mp4))
+    with pytest.raises(ValueError, match="essence codec"):
+        encode_mp4_avc([f], codec="hevc")
+
+
+def test_cavlc_encoder_validation_and_truncation():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    f = _texture_frame()
+    with pytest.raises(ValueError, match="qp"):
+        encode_h264_cavlc([f], qp=35)
+    b = encode_h264_cavlc([f], qp=8)
+    with pytest.raises(ValueError):
+        decode_h264(b[: len(b) - len(b) // 3])
+
+
+def test_cavlc_features_are_real_decoded_pixels():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+    from rmlint_spark.operators.multimodal import (
+        _fake_features,
+        _features_for,
+    )
+
+    f = _texture_frame()
+    payload = encode_h264_cavlc([f], qp=8)
+    feats = _features_for(payload)
+    assert not np.allclose(feats, _fake_features(payload))
+    # the descriptor IS the decoded pixels' image features
+    from rmlint_spark.operators.multimodal import _image_features
+
+    _, frames = decode_h264(payload)
+    v = _image_features(frames[0])
+    v = v / np.linalg.norm(v)
+    assert np.allclose(feats, v.astype(np.float32), atol=1e-6)
