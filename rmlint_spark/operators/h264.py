@@ -12,13 +12,13 @@ frame cropping. I_PCM is the spec's uncompressed macroblock type
 this module writes are CONFORMING constrained-baseline H.264 that a
 real decoder plays, and the decoder handles any all-I_PCM stream a
 real encoder emits (lossless-PCM encoder modes produce exactly this
-shape). Since r5 session 4, Intra_4x4 macroblocks with CAVLC
+shape). Since r5 session 4, Intra_4x4 AND Intra_16x16 macroblocks with CAVLC
 residuals ALSO decode — intra prediction, the normative inverse
-transform/dequant, nC-context residual parsing — via
-operators/h264_cavlc.py (a self-consistent pair with documented VLC
-table substitution; see that module's docstring). The remaining
-``NotImplementedError`` boundary narrowed to CABAC entropy and
-Intra_16x16 macroblocks.
+transform/dequant, the 16x16 luma-DC Hadamard layer, nC-context
+residual parsing — via operators/h264_cavlc.py (a self-consistent
+pair with documented VLC table substitution; see that module's
+docstring). The remaining ``NotImplementedError`` boundary narrowed
+to CABAC entropy (plus plane-prediction-mode ValueError subsets).
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -502,18 +502,19 @@ class _H264Layout:
                         raw[320:].reshape(8, 8)
                     if cavlc_pic is not None:
                         cavlc_pic.mark_ipcm(addr)
-                elif mb_type == 0:                  # Intra_4x4, CAVLC
+                elif mb_type <= 24:         # Intra_4x4 / Intra_16x16, CAVLC
                     from rmlint_spark.operators.h264_cavlc import CavlcPicture
 
                     if cavlc_pic is None:
                         cavlc_pic = CavlcPicture(y, u, v, mb_w, mb_h)
                         cavlc_pic.qp = slice_qp
-                    cavlc_pic.decode_mb(r, addr)
+                    if mb_type == 0:
+                        cavlc_pic.decode_mb(r, addr)
+                    else:
+                        cavlc_pic.decode_mb16(r, addr, mb_type)
                 else:
-                    raise NotImplementedError(
-                        "H.264 Intra_16x16 residual decode not implemented "
-                        f"(mb_type {mb_type}; I_PCM and Intra_4x4-CAVLC "
-                        "macroblocks are the implemented essence subset)")
+                    raise ValueError(
+                        f"invalid I-slice mb_type {mb_type} (0..25)")
                 covered[addr] = True
                 addr += 1
         if not covered.all():
@@ -590,8 +591,8 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
 
     Materializes EVERY frame — tests and short clips; the sampling
     paths use `_H264Layout.frame_at` to decode only touched frames.
-    I_PCM and Intra_4x4-CAVLC macroblocks decode; CABAC and
-    Intra_16x16 raise ``NotImplementedError`` (the documented entropy
+    I_PCM, Intra_4x4-CAVLC and Intra_16x16-CAVLC macroblocks decode;
+    CABAC raises ``NotImplementedError`` (the documented entropy
     boundary); malformed streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)

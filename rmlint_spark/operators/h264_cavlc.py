@@ -2,16 +2,20 @@
 
 Closes the last remaining video-essence stub (VERDICT r4 "What's
 missing #3", narrowed by the r5 I_PCM codec to "residual entropy"):
-I-slice macroblocks coded Intra_4x4 with CAVLC residuals now encode
-and decode FOR REAL — intra prediction from reconstructed neighbors
-(vertical / horizontal / DC, clause 8.3.1), the 4x4 integer core
-transform with the normative dequantization V table and (x+32)>>6
-inverse butterflies (8.5.12), context-adaptive residual coding with
-nC neighbor contexts, trailing-one signs, adaptive level
+I-slice macroblocks coded Intra_4x4 OR Intra_16x16 with CAVLC
+residuals now encode and decode FOR REAL — intra prediction from
+reconstructed neighbors (vertical / horizontal / DC, clauses 8.3.1 /
+8.3.3), the 4x4 integer core transform with the normative
+dequantization V table and (x+32)>>6 inverse butterflies (8.5.12),
+the Intra_16x16 luma-DC 4x4 Hadamard layer with its 15-coefficient
+AC blocks and Table 7-11 mb_type packing, context-adaptive residual
+coding with nC neighbor contexts, trailing-one signs, adaptive level
 suffixes, total_zeros and run_before (9.2), CBP-gated block skipping,
 and in-loop reconstruction shared bit-for-bit between the encoder and
 the decoder (the encoder reconstructs through the same dequant+IDCT
-path the decoder runs, so drift is structurally impossible).
+path the decoder runs, so drift is structurally impossible).  The
+remaining refusals are CABAC entropy (NotImplementedError) and the
+16x16/chroma plane-prediction modes (ValueError subsets).
 
 Documented deviations from bit-compatibility with external decoders
 (self-consistent encoder/decoder pair, the same class as the
@@ -83,6 +87,9 @@ _BLK_GROUP = [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3]
 
 _I_PCM_NC = 16      # nC contribution of an I_PCM neighbor (9.2.1)
 _I_4x4_MB_TYPE = 0
+# I_16x16 mb_type packing (Table 7-11): 1 + pred + 4*cbp_c + 12*cbp_l
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                [1, -1, -1, 1], [1, -1, 1, -1]], dtype=np.int64)
 
 # coded_block_pattern me(v) substitute ordering (deviation #1): all-
 # coded first, none second, then ascending — deterministic both ways
@@ -196,6 +203,35 @@ def _recon4(pred: np.ndarray, q: np.ndarray, qp: int) -> np.ndarray:
     return np.clip(pred.astype(np.int64) + r, 0, 255).astype(np.uint8)
 
 
+def _recon4_dc(pred: np.ndarray, q_ac: np.ndarray, dc: int,
+               qp: int) -> np.ndarray:
+    """I_16x16 block reconstruction: the DC coefficient arrives
+    already dequantized through the Hadamard layer and overrides
+    position (0,0) after AC dequant (8.5.10)."""
+    d = _dequant4(q_ac, qp)
+    d[0, 0] = dc
+    r = _idct4(d)
+    return np.clip(pred.astype(np.int64) + r, 0, 255).astype(np.uint8)
+
+
+def _dc_hadamard_quant(w00: np.ndarray, qp: int) -> np.ndarray:
+    """Forward 4x4 Hadamard over the 16 luma DC coefficients +
+    quantization (encoder side; scale derived so the decode path's
+    (fd * V0 << e) >> 2 lands on ~4x the original W00, matching the
+    AC dequant gain)."""
+    m, e = qp % 6, qp // 6
+    f = _H4 @ w00.astype(np.int64) @ _H4
+    fr = (1 << (17 + e)) // 3
+    q = (np.abs(f) * _MF[m][0] + fr) >> (17 + e)
+    return np.where(f < 0, -q, q)
+
+
+def _dc_hadamard_dequant(qdc: np.ndarray, qp: int) -> np.ndarray:
+    m, e = qp % 6, qp // 6
+    fd = _H4 @ qdc.astype(np.int64) @ _H4
+    return ((fd * int(_V[m][0])) << e) >> 2
+
+
 # -------------------------------------------------- intra prediction
 
 def _pred4x4(plane: np.ndarray, py: int, px: int, mode: int,
@@ -222,6 +258,36 @@ def _pred4x4(plane: np.ndarray, py: int, px: int, mode: int,
     else:
         dc = 128
     return np.full((4, 4), dc, dtype=np.uint8)
+
+
+def _pred16x16(plane: np.ndarray, py: int, px: int, mode: int,
+               has_top: bool, has_left: bool) -> np.ndarray:
+    """Intra_16x16 modes 0 (vertical), 1 (horizontal), 2 (DC) from
+    reconstructed neighbors (8.3.3); mode 3 (plane) is outside the
+    implemented subset."""
+    if mode == 0:
+        if not has_top:
+            raise ValueError("H.264 16x16 vertical prediction without top")
+        return np.broadcast_to(plane[py - 1, px:px + 16], (16, 16)).copy()
+    if mode == 1:
+        if not has_left:
+            raise ValueError("H.264 16x16 horizontal prediction without left")
+        return np.broadcast_to(plane[py:py + 16, px - 1][:, None],
+                               (16, 16)).copy()
+    if mode != 2:
+        raise ValueError(
+            f"H.264 Intra_16x16 mode {mode} not in subset 0/1/2 "
+            "(plane prediction is outside the implemented essence)")
+    if has_top and has_left:
+        dc = (int(plane[py - 1, px:px + 16].sum())
+              + int(plane[py:py + 16, px - 1].sum()) + 16) >> 5
+    elif has_top:
+        dc = (int(plane[py - 1, px:px + 16].sum()) + 8) >> 4
+    elif has_left:
+        dc = (int(plane[py:py + 16, px - 1].sum()) + 8) >> 4
+    else:
+        dc = 128
+    return np.full((16, 16), dc, dtype=np.uint8)
 
 
 def _pred_chroma8(plane: np.ndarray, py: int, px: int,
@@ -459,12 +525,80 @@ class CavlcPicture:
                 self.nc_y[gy, gx] = 0
                 luma_q.append(np.zeros((4, 4), dtype=np.int64))
         cbp_chroma = cbp >> 4
-        dc_u = dc_v = [0, 0, 0, 0]
+        dc_q, ac_q = self._chroma_read(r, cbp_chroma, my, mx)
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            py, px = gy * 4, gx * 4
+            pred = _pred4x4(self.y, py, px, modes[blk],
+                            has_top=gy > 0, has_left=gx > 0)
+            self.y[py:py + 4, px:px + 4] = _recon4(pred, luma_q[blk], self.qp)
+        self._chroma_recon(my, mx, dc_q, ac_q)
+
+    def decode_mb16(self, r: _BitReader, addr: int, mb_type: int) -> None:
+        """Intra_16x16 macroblock (mb_type 1..24): prediction mode,
+        CodedBlockPatternLuma/Chroma all live in mb_type (Table 7-11);
+        the luma DC coefficients travel through the extra 4x4 Hadamard
+        layer, the 16 AC blocks carry 15 coefficients each."""
+        from rmlint_spark.operators.h264 import _read_se, _read_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        t = mb_type - 1
+        pred_mode = t % 4
+        cbp_chroma = (t // 4) % 3
+        cbp_luma = 15 if t >= 12 else 0
+        chroma_mode = _read_ue(r)
+        if chroma_mode != 0:
+            raise ValueError("H.264 intra chroma prediction mode "
+                             f"{chroma_mode} not in DC subset")
+        self.qp += _read_se(r)              # mb_qp_delta: always present
+        if not 0 <= self.qp <= 51:
+            raise ValueError("H.264 mb_qp_delta drives QP out of range")
+        # Intra16x16DCLevel: nC from luma block 0's neighbors
+        nc = _nc_for(self.nc_y, my * 4, mx * 4)
+        qdc = _unscan_coeffs(_read_residual(r, nc, 16))
+        ac_q = []
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp_luma:
+                nc = _nc_for(self.nc_y, gy, gx)
+                vals = _read_residual(r, nc, 15)
+                self.nc_y[gy, gx] = sum(1 for v in vals if v)
+                ac_q.append(_unscan_coeffs(vals, skip_dc=True))
+            else:
+                self.nc_y[gy, gx] = 0
+                ac_q.append(np.zeros((4, 4), dtype=np.int64))
+        dc_cq, ac_cq = self._chroma_read(r, cbp_chroma, my, mx)
+        self._recon16(my, mx, pred_mode, qdc, ac_q)
+        self._chroma_recon(my, mx, dc_cq, ac_cq)
+        self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+
+    # ---- shared reconstruction ----
+
+    def _recon16(self, my: int, mx: int, pred_mode: int, qdc: np.ndarray,
+                 ac_q: list[np.ndarray]) -> None:
+        py, px = my * 16, mx * 16
+        pred16 = _pred16x16(self.y, py, px, pred_mode,
+                            has_top=my > 0, has_left=mx > 0)
+        dc = _dc_hadamard_dequant(qdc, self.qp)
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            self.y[py + by * 4:py + by * 4 + 4,
+                   px + bx * 4:px + bx * 4 + 4] = _recon4_dc(
+                pred16[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4],
+                ac_q[blk], int(dc[by, bx]), self.qp)
+
+    def _chroma_read(self, r: _BitReader, cbp_chroma: int, my: int,
+                     mx: int) -> tuple[dict, dict]:
+        dc_q, ac_q = {}, {}
         if cbp_chroma:
-            dc_u = _read_residual(r, -1, 4)
-            dc_v = _read_residual(r, -1, 4)
-        ac_u, ac_v = [], []
-        for plane_nc, out in ((self.nc_u, ac_u), (self.nc_v, ac_v)):
+            dc_q["u"] = _read_residual(r, -1, 4)
+            dc_q["v"] = _read_residual(r, -1, 4)
+        else:
+            dc_q["u"], dc_q["v"] = [0] * 4, [0] * 4
+        for key, plane_nc in (("u", self.nc_u), ("v", self.nc_v)):
+            out = []
             for blk in range(4):
                 bx, by = blk % 2, blk // 2
                 gy, gx = my * 2 + by, mx * 2 + bx
@@ -476,30 +610,19 @@ class CavlcPicture:
                 else:
                     plane_nc[gy, gx] = 0
                     out.append([0] * 15)
-        self._reconstruct(my, mx, modes, luma_q, dc_u, dc_v, ac_u, ac_v)
+            ac_q[key] = out
+        return dc_q, ac_q
 
-    # ---- shared reconstruction ----
-
-    def _reconstruct(self, my: int, mx: int, modes: list[int],
-                     luma_q: list[np.ndarray], dc_u: list[int],
-                     dc_v: list[int], ac_u: list[list[int]],
-                     ac_v: list[list[int]]) -> None:
-        for blk in range(16):
-            bx, by = _BLK_XY[blk]
-            gy, gx = my * 4 + by, mx * 4 + bx
-            py, px = gy * 4, gx * 4
-            pred = _pred4x4(self.y, py, px, modes[blk],
-                            has_top=gy > 0, has_left=gx > 0)
-            self.y[py:py + 4, px:px + 4] = _recon4(pred, luma_q[blk], self.qp)
-            self.modes[gy, gx] = modes[blk]
-        for plane, dc, ac in ((self.u, dc_u, ac_u), (self.v, dc_v, ac_v)):
-            py, px = my * 8, mx * 8
+    def _chroma_recon(self, my: int, mx: int, dc_q: dict,
+                      ac_q: dict) -> None:
+        py, px = my * 8, mx * 8
+        for key, plane in (("u", self.u), ("v", self.v)):
             pred8 = _pred_chroma8(plane, py, px,
                                   has_top=my > 0, has_left=mx > 0)
             for blk in range(4):
                 bx, by = blk % 2, blk // 2
-                q = _unscan_coeffs(ac[blk], skip_dc=True)
-                q[0, 0] = dc[blk]
+                q = _unscan_coeffs(ac_q[key][blk], skip_dc=True)
+                q[0, 0] = dc_q[key][blk]
                 plane[py + by * 4:py + by * 4 + 4,
                       px + bx * 4:px + bx * 4 + 4] = _recon4(
                     pred8[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
@@ -507,7 +630,103 @@ class CavlcPicture:
     # ---- encode side ----
 
     def encode_mb(self, w: _BitWriter, addr: int, y_src: np.ndarray,
-                  u_src: np.ndarray, v_src: np.ndarray) -> None:
+                  u_src: np.ndarray, v_src: np.ndarray,
+                  force: str | None = None) -> None:
+        """Mode decision + emission: Intra_16x16 when whole-MB
+        prediction is no worse than an (approximate, source-border)
+        per-4x4-block prediction plus the I_4x4 signaling overhead —
+        any deterministic choice is a legal bitstream; ``force`` pins
+        one type for tests."""
+        my, mx = divmod(addr, self.mb_w)
+        py, px = my * 16, mx * 16
+        src = y_src[py:py + 16, px:px + 16].astype(np.int64)
+        best = None
+        for mode in (0, 1, 2):
+            if (mode == 0 and my == 0) or (mode == 1 and mx == 0):
+                continue
+            pred = _pred16x16(self.y, py, px, mode,
+                              has_top=my > 0, has_left=mx > 0)
+            sad = int(np.abs(src - pred).sum())
+            if best is None or sad < best[0]:
+                best = (sad, mode)
+        if force is None:
+            approx4 = 0
+            ysrc = y_src.astype(np.int64)
+            for blk in range(16):
+                bx, by = _BLK_XY[blk]
+                gy, gx = my * 4 + by, mx * 4 + bx
+                bpy, bpx = gy * 4, gx * 4
+                blk_src = ysrc[bpy:bpy + 4, bpx:bpx + 4]
+                cands, border = [], []
+                if gy > 0:
+                    top = ysrc[bpy - 1, bpx:bpx + 4]
+                    cands.append(int(np.abs(blk_src - top[None, :]).sum()))
+                    border.append(top)
+                if gx > 0:
+                    left = ysrc[bpy:bpy + 4, bpx - 1]
+                    cands.append(int(np.abs(blk_src - left[:, None]).sum()))
+                    border.append(left)
+                dc = (int(np.concatenate(border).mean().round())
+                      if border else 128)
+                cands.append(int(np.abs(blk_src - dc).sum()))
+                approx4 += min(cands)
+        if force == "i16x16" or (force is None and best[0] <= approx4 + 96):
+            self.encode_mb16(w, addr, y_src, u_src, v_src, best[1])
+        else:
+            self.encode_mb4(w, addr, y_src, u_src, v_src)
+
+    def encode_mb16(self, w: _BitWriter, addr: int, y_src: np.ndarray,
+                    u_src: np.ndarray, v_src: np.ndarray,
+                    pred_mode: int) -> None:
+        """Quantize + emit one Intra_16x16 macroblock (DC Hadamard
+        layer + 15-coefficient AC blocks), reconstructing in place."""
+        from rmlint_spark.operators.h264 import _write_se, _write_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        py, px = my * 16, mx * 16
+        src = y_src[py:py + 16, px:px + 16].astype(np.int64)
+        pred16 = _pred16x16(self.y, py, px, pred_mode,
+                            has_top=my > 0, has_left=mx > 0)
+        resid = src - pred16
+        w00 = np.zeros((4, 4), dtype=np.int64)
+        ac = []
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            q = _quant4(_fdct4(resid[by * 4:by * 4 + 4,
+                                     bx * 4:bx * 4 + 4]), self.qp)
+            w00[by, bx] = _fdct4(resid[by * 4:by * 4 + 4,
+                                       bx * 4:bx * 4 + 4])[0, 0]
+            q[0, 0] = 0
+            ac.append(q)
+        qdc = _dc_hadamard_quant(w00, self.qp)
+        cbp_luma = 15 if any(q.any() for q in ac) else 0
+        if not cbp_luma:
+            ac = [np.zeros((4, 4), dtype=np.int64) for _ in range(16)]
+        dc_cq, ac_cq, cbp_chroma = self._chroma_quantize(my, mx,
+                                                         u_src, v_src)
+        mb_type = 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+        _write_ue(w, mb_type)
+        _write_ue(w, 0)                              # chroma pred: DC
+        _write_se(w, 0)                              # mb_qp_delta
+        nc = _nc_for(self.nc_y, my * 4, mx * 4)
+        _write_residual(w, _scan_coeffs(qdc), nc)
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp_luma:
+                nc = _nc_for(self.nc_y, gy, gx)
+                self.nc_y[gy, gx] = _write_residual(
+                    w, _scan_coeffs(ac[blk], skip_dc=True), nc)
+            else:
+                self.nc_y[gy, gx] = 0
+        self._chroma_write(w, dc_cq, ac_cq, cbp_chroma, my, mx)
+        self._recon16(my, mx, pred_mode, qdc, ac)
+        dc_eff, ac_eff = self._chroma_effective(dc_cq, ac_cq, cbp_chroma)
+        self._chroma_recon(my, mx, dc_eff, ac_eff)
+        self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+
+    def encode_mb4(self, w: _BitWriter, addr: int, y_src: np.ndarray,
+                   u_src: np.ndarray, v_src: np.ndarray) -> None:
         """Quantize + emit one Intra_4x4 macroblock, reconstructing
         in place so later predictions see what the decoder will."""
         from rmlint_spark.operators.h264 import _write_se, _write_ue
@@ -538,30 +757,11 @@ class CavlcPicture:
             self.modes[gy, gx] = mode
             modes.append(mode)
             luma_q.append(q)
-        # chroma: DC prediction, direct-quantized DC + AC residual
-        dc_q, ac_q = {}, {}
-        for key, plane, src_pl in (("u", self.u, u_src), ("v", self.v, v_src)):
-            py, px = my * 8, mx * 8
-            pred8 = _pred_chroma8(plane, py, px,
-                                  has_top=my > 0, has_left=mx > 0)
-            dcs, acs = [], []
-            for blk in range(4):
-                bx, by = blk % 2, blk // 2
-                src = src_pl[py + by * 4:py + by * 4 + 4,
-                             px + bx * 4:px + bx * 4 + 4].astype(np.int64)
-                q = _quant4(
-                    _fdct4(src - pred8[by * 4:by * 4 + 4,
-                                       bx * 4:bx * 4 + 4]), self.qp)
-                dcs.append(int(q[0, 0]))
-                acs.append(_scan_coeffs(q, skip_dc=True))
-            dc_q[key], ac_q[key] = dcs, acs
-        cbp = 0
+        dc_q, ac_q, cbp_chroma = self._chroma_quantize(my, mx, u_src, v_src)
+        cbp = cbp_chroma << 4
         for blk in range(16):
             if luma_q[blk].any():
                 cbp |= 1 << _BLK_GROUP[blk]
-        any_dc = any(dc_q["u"]) or any(dc_q["v"])
-        any_ac = any(any(a) for a in ac_q["u"] + ac_q["v"])
-        cbp |= (2 if any_ac else 1 if any_dc else 0) << 4
         # ---- bitstream ----
         _write_ue(w, _I_4x4_MB_TYPE)
         for use_pred, rem in flags:
@@ -581,7 +781,39 @@ class CavlcPicture:
                     w, _scan_coeffs(luma_q[blk]), nc)
             else:
                 self.nc_y[gy, gx] = 0
-        cbp_chroma = cbp >> 4
+        self._chroma_write(w, dc_q, ac_q, cbp_chroma, my, mx)
+        dc_eff, ac_eff = self._chroma_effective(dc_q, ac_q, cbp_chroma)
+        self._chroma_recon(my, mx, dc_eff, ac_eff)
+
+    # ---- shared encode-side chroma helpers ----
+
+    def _chroma_quantize(self, my: int, mx: int, u_src: np.ndarray,
+                         v_src: np.ndarray) -> tuple[dict, dict, int]:
+        """DC-predicted chroma residual quantization + the 2-bit
+        chroma CBP field (0 none / 1 DC only / 2 DC+AC)."""
+        dc_q, ac_q = {}, {}
+        py, px = my * 8, mx * 8
+        for key, plane, src_pl in (("u", self.u, u_src),
+                                   ("v", self.v, v_src)):
+            pred8 = _pred_chroma8(plane, py, px,
+                                  has_top=my > 0, has_left=mx > 0)
+            dcs, acs = [], []
+            for blk in range(4):
+                bx, by = blk % 2, blk // 2
+                src = src_pl[py + by * 4:py + by * 4 + 4,
+                             px + bx * 4:px + bx * 4 + 4].astype(np.int64)
+                q = _quant4(
+                    _fdct4(src - pred8[by * 4:by * 4 + 4,
+                                       bx * 4:bx * 4 + 4]), self.qp)
+                dcs.append(int(q[0, 0]))
+                acs.append(_scan_coeffs(q, skip_dc=True))
+            dc_q[key], ac_q[key] = dcs, acs
+        any_dc = any(dc_q["u"]) or any(dc_q["v"])
+        any_ac = any(any(a) for a in ac_q["u"] + ac_q["v"])
+        return dc_q, ac_q, (2 if any_ac else 1 if any_dc else 0)
+
+    def _chroma_write(self, w: _BitWriter, dc_q: dict, ac_q: dict,
+                      cbp_chroma: int, my: int, mx: int) -> None:
         if cbp_chroma:
             _write_residual(w, dc_q["u"], -1)
             _write_residual(w, dc_q["v"], -1)
@@ -594,29 +826,26 @@ class CavlcPicture:
                     plane_nc[gy, gx] = _write_residual(w, ac_q[key][blk], nc)
                 else:
                     plane_nc[gy, gx] = 0
-        # reconstruct chroma through the shared path (luma already done)
+
+    @staticmethod
+    def _chroma_effective(dc_q: dict, ac_q: dict,
+                          cbp_chroma: int) -> tuple[dict, dict]:
+        """What the decoder will see: residuals below the CBP gate
+        reconstruct as zero even if the quantizer produced them."""
         dc_eff = dc_q if cbp_chroma else {"u": [0] * 4, "v": [0] * 4}
         ac_eff = ac_q if cbp_chroma == 2 else {"u": [[0] * 15] * 4,
                                                "v": [[0] * 15] * 4}
-        py, px = my * 8, mx * 8
-        for key, plane in (("u", self.u), ("v", self.v)):
-            pred8 = _pred_chroma8(plane, py, px,
-                                  has_top=my > 0, has_left=mx > 0)
-            for blk in range(4):
-                bx, by = blk % 2, blk // 2
-                q = _unscan_coeffs(ac_eff[key][blk], skip_dc=True)
-                q[0, 0] = dc_eff[key][blk]
-                plane[py + by * 4:py + by * 4 + 4,
-                      px + bx * 4:px + bx * 4 + 4] = _recon4(
-                    pred8[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
+        return dc_eff, ac_eff
 
 
 def encode_h264_cavlc(frames: list[np.ndarray],
                       fps: tuple[int, int] = (25, 1),
-                      qp: int = 20) -> bytes:
-    """(h, w, 3) uint8 RGB frames -> Annex-B H.264, every macroblock
-    Intra_4x4 with CAVLC residuals, every picture an IDR.  Lossy (DCT
-    quantization at ``qp``), self-consistent with
+                      qp: int = 20,
+                      mb_force: str | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with CAVLC
+    residuals, every picture an IDR.  Each macroblock codes Intra_4x4
+    or Intra_16x16 by a smoothness decision (``mb_force`` pins one).
+    Lossy (DCT quantization at ``qp``), self-consistent with
     :func:`rmlint_spark.operators.h264.decode_h264` (deviations 1-4
     in the module docstring keep it off bit-compatibility with
     external decoders; the I_PCM lane remains the conforming one)."""
@@ -660,7 +889,7 @@ def encode_h264_cavlc(frames: list[np.ndarray],
         bw.write(0, 1)                  # long_term_reference_flag
         _write_se(bw, qp - 26)          # slice_qp_delta
         for addr in range(mb_w * mb_h):
-            pic.encode_mb(bw, addr, y, u, v)
+            pic.encode_mb(bw, addr, y, u, v, force=mb_force)
         _trailing_bits(bw)
         out += _START4 + b"\x65" + _escape_rbsp(bw.bytes())
     return bytes(out)

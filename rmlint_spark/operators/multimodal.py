@@ -41,7 +41,7 @@ for real in pure numpy (no codec libraries exist in this container):
   prediction and the normative inverse transform
   (``operators/h264_cavlc.py``): frame sampling decodes REAL pixels
   random-access per picture, features average real frames, and probe
-  walks the SPS/VUI. CABAC / Intra_16x16 streams raise
+  walks the SPS/VUI. CABAC streams raise
   NotImplementedError and degrade.
 - **BMP** — 24/32-bit uncompressed DIB, bottom-up or top-down rows.
 - **TIFF** — baseline 8-bit gray/RGB(A) strips, uncompressed or
@@ -50,7 +50,7 @@ for real in pure numpy (no codec libraries exist in this container):
 MPEG-1 audio essence decodes for real too — Layer I/II subband
 requantization and (r5) Layer III Huffman + bit reservoir + IMDCT,
 all through one polyphase synthesis (operators/mpeg_audio.py).
-Remaining opaque formats (H.264 CABAC/Intra_16x16
+Remaining opaque formats (H.264 CABAC
 residual entropy, WebP/HEIC...) fall back to the
 deterministic hash-seeded stand-in ``_fake_features`` — swap it for a
 real encoder (PIL/libvips/ffmpeg) with no Spark-side code changes; the
@@ -1291,8 +1291,8 @@ def _features_for(payload: bytes) -> np.ndarray:
             return _video_features(payload)
         if payload and (payload[:4] == b"\x00\x00\x00\x01"
                         or payload[:3] == b"\x00\x00\x01"):
-            # I_PCM and Intra_4x4-CAVLC essence decode for real;
-            # CABAC / Intra_16x16 streams raise NotImplementedError
+            # I_PCM, Intra_4x4- and Intra_16x16-CAVLC essence decode
+            # for real; CABAC streams raise NotImplementedError
             # (documented entropy boundary) and fall through to the
             # stand-in below.
             return _h264_video_features(payload)
@@ -1496,11 +1496,11 @@ def sample_frames(assets: DataFrame, every_ms: int = 500) -> DataFrame:
                     # MP4: frame TIMING is always real (stts sample
                     # table). Frame IDENTITY is real too when the
                     # carried avc1 essence is an implemented subset
-                    # (I_PCM, or Intra_4x4-CAVLC since r5 s4) — the
-                    # sample tables reconstruct Annex-B and the
-                    # decoded RGB is hashed, so MP4 frames dedupe
-                    # against Y4M/GIF/raw-H.264. CABAC / Intra_16x16
-                    # essence (the documented entropy stub) keeps the
+                    # (I_PCM, or Intra_4x4/Intra_16x16-CAVLC since
+                    # r5 s4) — the sample tables reconstruct Annex-B
+                    # and the decoded RGB is hashed, so MP4 frames
+                    # dedupe against Y4M/GIF/raw-H.264. CABAC essence
+                    # (the documented entropy stub) keeps the
                     # payload-derived identity.
                     try:
                         from rmlint_spark.operators.mp4 import (

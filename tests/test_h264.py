@@ -236,9 +236,9 @@ def test_cabac_stream_raises_not_implemented():
         decode_h264(sps + pps + slice_nal)
 
 
-def test_intra16x16_macroblock_raises_not_implemented():
-    # mb_type 0 (Intra_4x4 CAVLC) decodes since r5 s4; the refusal
-    # boundary narrowed to Intra_16x16 types (1..24)
+def test_out_of_range_mb_type_raises_value_error():
+    # mb_types 0..24 (Intra_4x4 / Intra_16x16 CAVLC) decode since
+    # r5 s4 and 25 is I_PCM; anything above is malformed, not a stub
     payload = encode_h264_ipcm(_gray_frames(1))
     lay = _H264Layout(payload)
     typ, ref, rbsp = lay.pictures[0][0]
@@ -249,14 +249,14 @@ def test_intra16x16_macroblock_raises_not_implemented():
     rr = _BitReader(rbsp)
     for _ in range(head_bits):
         w.write(rr.read(1), 1)
-    _write_ue(w, 1)  # mb_type 1: I_16x16_0_0_0
+    _write_ue(w, 26)  # invalid I-slice mb_type
     w.write(1, 1)
     w.pad_to_byte()
     from rmlint_spark.operators.h264 import _START4
 
     hacked = payload[: payload.index(b"\x00\x00\x00\x01\x65")] + \
         _START4 + b"\x65" + _escape_rbsp(w.bytes())
-    with pytest.raises(NotImplementedError, match="Intra_16x16"):
+    with pytest.raises(ValueError, match="mb_type"):
         decode_h264(hacked)
 
 
@@ -605,3 +605,76 @@ def test_cavlc_features_are_real_decoded_pixels():
     v = _image_features(frames[0])
     v = v / np.linalg.norm(v)
     assert np.allclose(feats, v.astype(np.float32), atol=1e-6)
+
+
+def test_i16x16_forced_roundtrip_and_smaller_on_smooth():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    # smooth gradient: I_16x16 must round-trip well and code smaller
+    # than forced I_4x4 (per-block pred-mode signaling overhead)
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    f = np.stack([((xx * 2 + yy) % 256).astype(np.uint8)] * 3, axis=-1)
+    b16 = encode_h264_cavlc([f], qp=10, mb_force="i16x16")
+    b4 = encode_h264_cavlc([f], qp=10, mb_force="i4x4")
+    _, fr16 = decode_h264(b16)
+    _, fr4 = decode_h264(b4)
+    assert _psnr(fr16[0], f) > 40.0
+    assert _psnr(fr4[0], f) > 40.0
+    assert len(b16) < len(b4)
+
+
+def test_i16x16_auto_decision_uses_both_types(monkeypatch):
+    from rmlint_spark.operators import h264_cavlc as m
+
+    # left half flat (I_16x16 territory), right half a steep gradient
+    # where per-4x4-block prediction genuinely wins (I_4x4 territory)
+    xx, yy = np.meshgrid(np.arange(64), np.arange(32))
+    tex = np.where(xx < 32, 100, (xx * 6 + yy * 5) % 256).astype(np.uint8)
+    f = np.stack([tex] * 3, axis=-1)
+    payload = m.encode_h264_cavlc([f], qp=16)
+    calls = {"i4": 0, "i16": 0}
+    orig4, orig16 = m.CavlcPicture.decode_mb, m.CavlcPicture.decode_mb16
+
+    def spy4(self, r, addr):
+        calls["i4"] += 1
+        return orig4(self, r, addr)
+
+    def spy16(self, r, addr, t):
+        calls["i16"] += 1
+        return orig16(self, r, addr, t)
+
+    monkeypatch.setattr(m.CavlcPicture, "decode_mb", spy4)
+    monkeypatch.setattr(m.CavlcPicture, "decode_mb16", spy16)
+    _, frames = decode_h264(payload)
+    assert calls["i4"] > 0 and calls["i16"] > 0, calls
+    assert _psnr(frames[0], f) > 30.0
+
+
+def test_i16x16_dc_hadamard_layer_roundtrip():
+    from rmlint_spark.operators.h264_cavlc import (
+        _dc_hadamard_dequant,
+        _dc_hadamard_quant,
+    )
+
+    rng = np.random.RandomState(0)
+    for qp in (0, 11, 23):
+        w00 = rng.randint(-4000, 4000, size=(4, 4)).astype(np.int64)
+        d = _dc_hadamard_dequant(_dc_hadamard_quant(w00, qp), qp)
+        # decoded DC ~ 4x the original W00 (the AC dequant gain), with
+        # quantization error bounded by the qp step
+        step = 2.0 ** (qp / 6.0)
+        assert np.abs(d / 4.0 - w00).max() < 40 * step + 4
+
+
+def test_i16x16_vertical_horizontal_prediction_selected():
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+
+    # columns constant -> vertical prediction wins below the first MB
+    # row; rows constant -> horizontal
+    col = np.tile(np.arange(0, 256, 8, dtype=np.uint8), (64, 1))[:, :32]
+    row = col.T.copy()
+    for f in (col, row):
+        fr3 = np.stack([f] * 3, axis=-1)
+        b = encode_h264_cavlc([fr3], qp=8, mb_force="i16x16")
+        _, dec = decode_h264(b)
+        assert _psnr(dec[0], fr3) > 42.0
