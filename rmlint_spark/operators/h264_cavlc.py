@@ -354,6 +354,9 @@ def _write_level(w: _BitWriter, level: int, suffix_len: int,
         if suffix_len:
             w.write(code & ((1 << suffix_len) - 1), suffix_len)
     else:
+        if code >= 1 << 16:
+            raise ValueError("H.264 level exceeds the 16-bit escape "
+                             "(quantized residual out of 8-bit range)")
         w.write(1, 16)                              # 15 zeros + stop 1
         w.write(code, 16)
     if suffix_len == 0:
@@ -692,10 +695,9 @@ class CavlcPicture:
         ac = []
         for blk in range(16):
             bx, by = _BLK_XY[blk]
-            q = _quant4(_fdct4(resid[by * 4:by * 4 + 4,
-                                     bx * 4:bx * 4 + 4]), self.qp)
-            w00[by, bx] = _fdct4(resid[by * 4:by * 4 + 4,
-                                       bx * 4:bx * 4 + 4])[0, 0]
+            wblk = _fdct4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            w00[by, bx] = wblk[0, 0]
+            q = _quant4(wblk, self.qp)
             q[0, 0] = 0
             ac.append(q)
         qdc = _dc_hadamard_quant(w00, self.qp)

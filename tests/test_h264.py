@@ -678,3 +678,36 @@ def test_i16x16_vertical_horizontal_prediction_selected():
         b = encode_h264_cavlc([fr3], qp=8, mb_force="i16x16")
         _, dec = decode_h264(b)
         assert _psnr(dec[0], fr3) > 42.0
+
+
+def test_new_codec_lanes_fail_bounded_under_fuzz():
+    """Seeded bit-flip + truncation fuzz over the r5 entropy lanes
+    (Layer III, CAVLC): decode either succeeds or raises ValueError /
+    NotImplementedError — never an unexpected exception type (the
+    crafted-header discipline the other codecs already pin)."""
+    from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
+    from rmlint_spark.operators.mpeg_audio import (
+        decode_mpeg_audio,
+        encode_layer3,
+    )
+
+    rng = np.random.RandomState(0)
+    g = rng.randint(0, 256, (32, 48)).astype(np.uint8)
+    vid = bytearray(encode_h264_cavlc([np.stack([g] * 3, axis=-1)], qp=12))
+    sig = np.clip(0.3 * np.sin(2 * np.pi * 440 * np.arange(2304) / 44100.0)
+                  + 0.05 * rng.randn(2304), -0.9, 0.9)
+    aud = bytearray(encode_layer3(sig, 44100, 128))
+    for payload, dec in ((vid, decode_h264), (aud, decode_mpeg_audio)):
+        for _ in range(60):
+            b = bytearray(payload)
+            for _k in range(rng.randint(1, 6)):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(1, len(payload), max(1, len(payload) // 23)):
+            try:
+                dec(bytes(payload[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
