@@ -262,9 +262,8 @@ def _pred4x4(plane: np.ndarray, py: int, px: int, mode: int,
 
 def _pred16x16(plane: np.ndarray, py: int, px: int, mode: int,
                has_top: bool, has_left: bool) -> np.ndarray:
-    """Intra_16x16 modes 0 (vertical), 1 (horizontal), 2 (DC) from
-    reconstructed neighbors (8.3.3); mode 3 (plane) is outside the
-    implemented subset."""
+    """Intra_16x16 modes 0 (vertical), 1 (horizontal), 2 (DC) and
+    3 (plane) from reconstructed neighbors (8.3.3)."""
     if mode == 0:
         if not has_top:
             raise ValueError("H.264 16x16 vertical prediction without top")
@@ -274,10 +273,26 @@ def _pred16x16(plane: np.ndarray, py: int, px: int, mode: int,
             raise ValueError("H.264 16x16 horizontal prediction without left")
         return np.broadcast_to(plane[py:py + 16, px - 1][:, None],
                                (16, 16)).copy()
+    if mode == 3:
+        # plane prediction (8.3.3.4): needs top, left AND top-left
+        if not (has_top and has_left):
+            raise ValueError("H.264 16x16 plane prediction without "
+                             "top+left neighbors")
+        top = plane[py - 1, px - 1:px + 16].astype(np.int64)   # [-1..15]
+        left = plane[py - 1:py + 16, px - 1].astype(np.int64)  # [-1..15]
+        k = np.arange(8) + 1
+        hgrad = int((k * (top[9 + np.arange(8)]
+                          - top[7 - np.arange(8)])).sum())
+        vgrad = int((k * (left[9 + np.arange(8)]
+                          - left[7 - np.arange(8)])).sum())
+        a = 16 * (int(top[16]) + int(left[16]))
+        b = (5 * hgrad + 32) >> 6
+        c = (5 * vgrad + 32) >> 6
+        xs = np.arange(16)
+        grid = (a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5
+        return np.clip(grid, 0, 255).astype(np.uint8)
     if mode != 2:
-        raise ValueError(
-            f"H.264 Intra_16x16 mode {mode} not in subset 0/1/2 "
-            "(plane prediction is outside the implemented essence)")
+        raise ValueError(f"H.264 Intra_16x16 mode {mode} out of range")
     if has_top and has_left:
         dc = (int(plane[py - 1, px:px + 16].sum())
               + int(plane[py:py + 16, px - 1].sum()) + 16) >> 5
@@ -644,8 +659,10 @@ class CavlcPicture:
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         best = None
-        for mode in (0, 1, 2):
+        for mode in (0, 1, 2, 3):
             if (mode == 0 and my == 0) or (mode == 1 and mx == 0):
+                continue
+            if mode == 3 and (my == 0 or mx == 0):
                 continue
             pred = _pred16x16(self.y, py, px, mode,
                               has_top=my > 0, has_left=mx > 0)

@@ -711,3 +711,25 @@ def test_new_codec_lanes_fail_bounded_under_fuzz():
                 dec(bytes(payload[:cut]))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_i16x16_plane_prediction_on_ramp(monkeypatch):
+    from rmlint_spark.operators import h264_cavlc as m
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    ramp = np.clip(40 + xx * 2 + yy, 0, 255).astype(np.uint8)
+    f = np.stack([ramp] * 3, axis=-1)
+    payload = m.encode_h264_cavlc([f], qp=10, mb_force="i16x16")
+    seen = set()
+    orig = m._pred16x16
+
+    def spy(plane, py, px, mode, has_top, has_left):
+        seen.add(mode)
+        return orig(plane, py, px, mode, has_top, has_left)
+
+    monkeypatch.setattr(m, "_pred16x16", spy)
+    _, frames = decode_h264(payload)
+    assert 3 in seen, f"plane mode never selected on a ramp: {seen}"
+    assert _psnr(frames[0], f) > 50.0
+    # plane soaks up the gradient: the whole 12-MB frame in <500 bytes
+    assert len(payload) < 500
