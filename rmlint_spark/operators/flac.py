@@ -533,8 +533,8 @@ def mp3_metadata(payload: bytes) -> dict:
         layer = {0b01: 3, 0b10: 2, 0b11: 1}.get((hdr >> 17) & 0x3)
         if version is None or layer is None:
             raise ValueError("unsupported MPEG version/layer")
-        if layer != 3 and version != 1:
-            raise ValueError("only MPEG-1 Layer I/II streams are supported")
+        if layer != 3 and version == 25:
+            raise ValueError("MPEG-2.5 is Layer III only")
         if layer_out is not None and layer != layer_out:
             raise ValueError("MPEG layer changes mid-stream")
         br_idx = (hdr >> 12) & 0xF
@@ -543,6 +543,12 @@ def mp3_metadata(payload: bytes) -> dict:
         mode = (hdr >> 6) & 0x3
         if layer == 3:
             vtab = _MP3_BITRATES[(min(version, 2), 3)]
+        elif version == 2 and layer == 1:
+            from rmlint_spark.operators.mpeg_audio import BITRATES_V2_L1
+
+            vtab = BITRATES_V2_L1
+        elif version == 2:                       # LSF Layer II = L3 table
+            vtab = _MP3_BITRATES[(2, 3)]
         else:
             from rmlint_spark.operators.mpeg_audio import BITRATES
 

@@ -9,9 +9,11 @@ big_values pair Huffman with linbits escapes, count1 quadruples, a
 spec-true bit reservoir, 4/3-power requantization, alias-reduction
 butterflies and the sine-windowed 18-point IMDCT/overlap-add, all
 feeding the same polyphase synthesis.  Matching encoders produce
-spec-grammar bitstreams for fixtures.  The remaining refused subsets
-are ``ValueError`` boundaries (stereo, MPEG-2, Layer III short/mixed
-blocks), not stubs.
+spec-grammar bitstreams for fixtures.  MPEG-2 LSF Layer I (22050/24000/16000 Hz)
+encodes and decodes too — its body grammar is MPEG-1 Layer I's, only
+the header tables differ (ISO 13818-3).  The remaining refused
+subsets are ``ValueError`` boundaries (stereo, MPEG-2 LSF Layer
+II/III, Layer III short/mixed blocks), not stubs.
 
 Spec basis (public): ISO/IEC 11172-3. The frame header, bitrate /
 sample-rate tables, Layer I body grammar (4-bit allocation, 6-bit
@@ -127,6 +129,10 @@ BITRATES = {
     3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
 }
 RATES = [44100, 48000, 32000]
+# MPEG-2 LSF (ISO 13818-3): half sample rates; Layer I bitrate table
+RATES_V2 = [22050, 24000, 16000]
+BITRATES_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128,
+                  144, 160, 176, 192, 224, 256]
 SAMPLES_PER_FRAME = {1: 384, 2: 1152, 3: 1152}
 _LAYER_BITS = {1: 0b11, 2: 0b10, 3: 0b01}
 _BITS_LAYER = {v: k for k, v in _LAYER_BITS.items()}
@@ -142,8 +148,13 @@ def _frame_len(layer: int, kbps: int, rate: int, padding: int = 0) -> int:
 
 
 def _header(layer: int, kbps: int, rate: int) -> int:
-    hdr = (0x7FF << 21) | (0b11 << 19) | (_LAYER_BITS[layer] << 17) | (1 << 16)
-    hdr |= (BITRATES[layer].index(kbps) << 12) | (RATES.index(rate) << 10)
+    if rate in RATES:
+        ver, br_idx, sr_idx = 0b11, BITRATES[layer].index(kbps), RATES.index(rate)
+    else:
+        ver = 0b10                      # MPEG-2 LSF (Layer I only here)
+        br_idx, sr_idx = BITRATES_V2_L1.index(kbps), RATES_V2.index(rate)
+    hdr = (0x7FF << 21) | (ver << 19) | (_LAYER_BITS[layer] << 17) | (1 << 16)
+    hdr |= (br_idx << 12) | (sr_idx << 10)
     hdr |= 0b11 << 6  # mono
     return hdr
 
@@ -177,10 +188,14 @@ def encode_layer1(samples: np.ndarray, rate: int = 44100,
     while the frame bit budget holds (any in-budget allocation is a
     legal bitstream; the spec's psychoacoustic model only picks
     *which* one).  Leftover bits are zero ancillary data (spec-legal).
+    MPEG-2 LSF rates (22050/24000/16000) are accepted too — the LSF
+    Layer I body grammar is identical, only the header tables differ
+    (ISO 13818-3).
     """
-    if rate not in RATES:
-        raise ValueError(f"unsupported MPEG-1 sample rate {rate}")
-    if bitrate_kbps not in BITRATES[1][1:]:
+    if rate not in RATES and rate not in RATES_V2:
+        raise ValueError(f"unsupported MPEG sample rate {rate}")
+    vtab = BITRATES[1] if rate in RATES else BITRATES_V2_L1
+    if bitrate_kbps not in vtab[1:]:
         raise ValueError(f"invalid Layer I bitrate {bitrate_kbps}")
     x = np.asarray(samples)
     if x.dtype.kind == "i":
@@ -981,13 +996,14 @@ def _decode_layer3_stream(frames: list[tuple[int, bytes, bytes]]
 # ---------------------------------------------------------------------------
 
 def decode_mpeg_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode an MPEG-1 Layer I/II/III mono stream to (rate, int16 PCM).
+    """Decode an MPEG Layer I/II/III mono stream to (rate, int16 PCM).
 
     Skips a leading ID3v2 tag, walks spec-exact frame headers, decodes
-    each frame's essence (Layer I/II subband requantization; Layer III
-    Huffman + reservoir + IMDCT, long-block subset) and runs one
-    polyphase synthesis over the whole stream.  Malformed frames and
-    the refused Layer III short-block/stereo subsets raise
+    each frame's essence (Layer I/II subband requantization — MPEG-1
+    and MPEG-2 LSF rates for Layer I; Layer III Huffman + reservoir +
+    IMDCT, long-block subset) and runs one polyphase synthesis over
+    the whole stream.  Malformed frames and the refused subsets
+    (stereo, LSF Layer II/III, Layer III short blocks) raise
     ``ValueError``.
     """
     pos = _id3v2_size(payload)
@@ -1001,17 +1017,26 @@ def decode_mpeg_audio(payload: bytes) -> tuple[int, np.ndarray]:
             if n == 0:
                 raise ValueError("no MPEG frame sync at stream start")
             break
-        if (hdr >> 19) & 0x3 != 0b11:
-            raise ValueError("only MPEG-1 essence decode is supported")
+        version = (hdr >> 19) & 0x3
         layer = _BITS_LAYER.get((hdr >> 17) & 0x3)
         if layer is None:
             raise ValueError("reserved MPEG layer code")
+        if version == 0b10 and layer != 1:
+            raise ValueError(
+                "MPEG-2 LSF Layer II/III essence not supported (LSF "
+                "Layer I decodes; LSF II/III use different allocation/"
+                "granule tables)")
+        if version != 0b11 and not (version == 0b10 and layer == 1):
+            raise ValueError("unsupported MPEG version for essence decode")
         br_idx, sr_idx = (hdr >> 12) & 0xF, (hdr >> 10) & 0x3
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("free-format/invalid MPEG frame header")
         if (hdr >> 6) & 0x3 != 0b11:
             raise ValueError("only mono MPEG essence decode is supported")
-        kbps, rate = BITRATES[layer][br_idx], RATES[sr_idx]
+        if version == 0b11:
+            kbps, rate = BITRATES[layer][br_idx], RATES[sr_idx]
+        else:
+            kbps, rate = BITRATES_V2_L1[br_idx], RATES_V2[sr_idx]
         padding = (hdr >> 9) & 0x1
         flen = _frame_len(layer, kbps, rate, padding)
         if pos + flen > len(payload):

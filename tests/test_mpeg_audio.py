@@ -348,3 +348,28 @@ def test_features_use_real_decode_for_layer2():
     want = _audio_features(*decode_mpeg_audio(stream))
     assert np.allclose(got, want)
     assert not np.allclose(got, _fake_features(stream))
+
+
+def test_mpeg2_lsf_layer1_roundtrip_and_metadata():
+    # LSF Layer I: identical body grammar, half sample rates, its own
+    # bitrate table (ISO 13818-3); LSF Layer II/III refuse cleanly
+    from rmlint_spark.operators.flac import encode_mp3_stub, mp3_metadata
+
+    rng = np.random.RandomState(7)
+    t = np.arange(22050) / 22050.0
+    noise = np.convolve(rng.randn(22050 + 8), np.ones(8) / 8, "same")
+    sig = np.clip(0.5 * np.sin(2 * np.pi * 440 * t)
+                  + 0.1 * noise[:22050], -0.99, 0.99)
+    for rate, kbps in ((22050, 144), (24000, 192), (16000, 112)):
+        b = encode_layer1(sig, rate, kbps)
+        r, pcm = decode_mpeg_audio(b)
+        assert r == rate
+        assert _snr_db(sig, pcm.astype(np.float64) / 32768.0) > 50.0
+        m = mp3_metadata(b)
+        assert (m["sample_rate"], m["layer"], m["bitrate_kbps"]) == \
+            (rate, 1, kbps)
+    with pytest.raises(ValueError, match="LSF Layer II/III"):
+        decode_mpeg_audio(encode_mp3_stub(2, bitrate_kbps=64,
+                                          rate=22050, version=2))
+    with pytest.raises(ValueError):
+        encode_layer1(sig, 22050, 320)     # not in the LSF L1 table
