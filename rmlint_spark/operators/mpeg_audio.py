@@ -11,9 +11,13 @@ butterflies and the sine-windowed 18-point IMDCT/overlap-add, all
 feeding the same polyphase synthesis.  Matching encoders produce
 spec-grammar bitstreams for fixtures.  MPEG-2 LSF Layer I (22050/24000/16000 Hz)
 encodes and decodes too — its body grammar is MPEG-1 Layer I's, only
-the header tables differ (ISO 13818-3).  The remaining refused
-subsets are ``ValueError`` boundaries (stereo, MPEG-2 LSF Layer
-II/III, Layer III short/mixed blocks), not stubs.
+the header tables differ (ISO 13818-3).  Layer III covers the FULL
+window machinery: long blocks plus short blocks (block_type 2, the
+3x6-point IMDCT with reorder, per-window scalefactors and
+subblock_gain) and the start/stop transition windows (block_type
+1/3), driven by an encoder transient detector.  The remaining
+refused subsets are ``ValueError`` boundaries (stereo, MPEG-2 LSF
+Layer II/III, Layer III mixed blocks), not stubs.
 
 Spec basis (public): ISO/IEC 11172-3. The frame header, bitrate /
 sample-rate tables, Layer I body grammar (4-bit allocation, 6-bit
@@ -512,6 +516,32 @@ _L3_WIN = np.sin(np.pi / _L3_N * (np.arange(_L3_N) + 0.5))
 _L3_M = np.cos(np.pi / (2 * _L3_N)
                * (2 * np.arange(_L3_N)[None, :] + 1 + _L3_H)
                * (2 * np.arange(_L3_H)[:, None] + 1))
+# block_type 1 (start) / 3 (stop) transition windows and the 6-point
+# short MDCT (block_type 2): three 12-sample sine windows at hop 6,
+# composite placed at offset 6 inside the granule's 36-sample frame —
+# the Princen-Bradley hybrid set (PR verified to 1e-14 in tests)
+_L3_WIN_START = _L3_WIN.copy()
+_L3_WIN_START[18:24] = 1.0
+_L3_WIN_START[24:30] = np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5))
+_L3_WIN_START[30:] = 0.0
+_L3_WIN_STOP = _L3_WIN_START[::-1].copy()
+_L3_WIN12 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+_L3_M12 = np.cos(np.pi / 24
+                 * (2 * np.arange(12)[None, :] + 1 + 6)
+                 * (2 * np.arange(6)[:, None] + 1))
+_BT_WINDOWS = {0: _L3_WIN, 1: _L3_WIN_START, 3: _L3_WIN_STOP}
+
+# Table B.8 short-block scalefactor band widths (13 bands x 3 windows)
+_SFB_SHORT_WIDTHS = {
+    44100: (4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+    48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+    32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
+}
+_SFB_SHORT = {r: np.concatenate([[0], np.cumsum(w)]).astype(np.int64)
+              for r, w in _SFB_SHORT_WIDTHS.items()}
+# window_switching granules use a FIXED region0 boundary: scalefactor
+# band 8 long = 3 x band 3 short = line 36 at every MPEG-1 rate
+_WSF_REGION0 = 36
 
 # Huffman table shapes: table -> pair dims n (values 0..n-1); 4 and 14
 # are the spec's unused slots; 16-31 escape at 15 with linbits
@@ -640,10 +670,12 @@ def _l3_pair_bits(q: np.ndarray, lo: int, hi: int, t: int) -> int:
     return bits
 
 
-def _l3_layout(q: np.ndarray, rate: int) -> dict:
+def _l3_layout(q: np.ndarray, rate: int, wsf: bool = False) -> dict:
     """Split a quantized 576-line granule into big_values / count1 /
     rzero and pick per-region tables.  big_values extent is rounded up
-    to a multiple of 4 so the count1 quads never cross line 576."""
+    to a multiple of 4 so the count1 quads never cross line 576.
+    window_switching granules (``wsf``) use the fixed two-region split
+    at line 36 (region2/table_select[2] unused)."""
     aq = np.abs(q)
     nz = np.flatnonzero(aq)
     if nz.size == 0:
@@ -654,7 +686,10 @@ def _l3_layout(q: np.ndarray, rate: int) -> dict:
     nquads = (extent - bv2 + 3) // 4 if extent > bv2 else 0
     if bv2 // 2 > 288:
         raise ValueError("Layer III big_values over 288 pairs")
-    b0, b1 = _l3_regions(rate, bv2)
+    if wsf:
+        b0, b1 = min(_WSF_REGION0, bv2), bv2
+    else:
+        b0, b1 = _l3_regions(rate, bv2)
     tables = (_l3_pick_table(int(aq[:b0].max()) if b0 else 0),
               _l3_pick_table(int(aq[b0:b1].max()) if b1 > b0 else 0),
               _l3_pick_table(int(aq[b1:bv2].max()) if bv2 > b1 else 0))
@@ -666,10 +701,12 @@ def _l3_layout(q: np.ndarray, rate: int) -> dict:
         quad = q[bv2 + 4 * qd: bv2 + 4 * qd + 4]
         sym = sum((1 << (3 - j)) for j, v in enumerate(quad) if v)
         bits += enc_a[sym][1] + int(np.count_nonzero(quad))
-    return {"bv2": bv2, "tables": tables, "nquads": nquads, "bits": bits}
+    return {"bv2": bv2, "tables": tables, "nquads": nquads, "bits": bits,
+            "b0": b0, "b1": b1}
 
 
-def _l3_quantize(xr: np.ndarray, rate: int, budget_bits: int):
+def _l3_quantize(xr: np.ndarray, rate: int, budget_bits: int,
+                 wsf: bool = False):
     """Pick global_gain: finest quantization whose Huffman payload
     fits the granule budget (the spec's inner loop; no psychoacoustic
     outer loop — scalefactors stay 0, like the Layer I/II greedy
@@ -686,7 +723,7 @@ def _l3_quantize(xr: np.ndarray, rate: int, budget_bits: int):
         q = np.rint((np.abs(xr) / step) ** 0.75).astype(np.int64)
         if int(q.max()) <= 15 + (1 << 13) - 1:
             qs = np.where(xr < 0, -q, q)
-            layout = _l3_layout(qs, rate)
+            layout = _l3_layout(qs, rate, wsf=wsf)
             if layout["bits"] <= budget_bits:
                 return gg, qs, layout
         if gg >= 255:
@@ -699,7 +736,9 @@ def _l3_write_granule(w: "_BitWriter", q: np.ndarray, layout: dict,
     """Huffman payload: big_values pair regions, then count1 quads
     (table A).  Sign bit 1 = negative; linbits carry |v|-15."""
     bv2 = layout["bv2"]
-    b0, b1 = _l3_regions(rate, bv2)
+    b0, b1 = (layout.get("b0"), layout.get("b1"))
+    if b0 is None:
+        b0, b1 = _l3_regions(rate, bv2)
     for lo, hi, t in ((0, b0, layout["tables"][0]),
                       (b0, b1, layout["tables"][1]),
                       (b1, bv2, layout["tables"][2])):
@@ -754,6 +793,62 @@ def _l3_alias_decode(spec: np.ndarray) -> np.ndarray:
     return s
 
 
+_REORDER_CACHE: dict[int, tuple] = {}
+
+
+def _l3_reorder_maps(rate: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(maps, band_of, win_of) over coded-order indices for short
+    blocks: coded order walks (scalefactor band, window, line); the
+    spectrum layout keeps each frequency line's three windows adjacent
+    (line f, window w -> 3f + w), which is what the per-subband
+    3x(6-point) IMDCT consumes; band_of/win_of drive requantization
+    gains in the coded domain."""
+    if rate in _REORDER_CACHE:
+        return _REORDER_CACHE[rate]
+    bounds = _SFB_SHORT[rate]
+    maps = np.empty(576, dtype=np.int64)
+    band_of = np.empty(576, dtype=np.int64)
+    win_of = np.empty(576, dtype=np.int64)
+    c = 0
+    for band in range(13):
+        start = int(bounds[band])
+        width = int(bounds[band + 1] - bounds[band])
+        for w in range(3):
+            maps[c:c + width] = (start + np.arange(width)) * 3 + w
+            band_of[c:c + width] = band
+            win_of[c:c + width] = w
+            c += width
+    _REORDER_CACHE[rate] = (maps, band_of, win_of)
+    return _REORDER_CACHE[rate]
+
+
+def _l3_block_types(x: np.ndarray, ng: int) -> list[int]:
+    """Per-granule window sequence: a granule whose thirds' energies
+    swing hard (transient attack) codes short (2); its long neighbors
+    become start (1) / stop (3); a granule needing both goes short
+    (the standard short-run extension)."""
+    bt = [0] * ng
+    for g in range(ng):
+        seg = x[g * 576: (g + 1) * 576]
+        e = [float(np.sum(seg[b * 192:(b + 1) * 192] ** 2)) for b in range(3)]
+        if max(e) > 1e-4 and max(e) > 16.0 * (min(e) + 1e-12):
+            bt[g] = 2
+    changed = True
+    while changed:
+        changed = False
+        for g in range(ng):
+            if bt[g] == 2:
+                continue
+            need_start = g + 1 < ng and bt[g + 1] == 2
+            need_stop = g > 0 and bt[g - 1] == 2
+            want = 2 if (need_start and need_stop) else \
+                1 if need_start else 3 if need_stop else 0
+            if want != bt[g]:
+                bt[g] = want
+                changed = bt[g] == 2 or changed
+    return bt
+
+
 def encode_layer3(samples: np.ndarray, rate: int = 44100,
                   bitrate_kbps: int = 128) -> bytes:
     """Mono MPEG-1 Layer III, long blocks: polyphase analysis ->
@@ -775,7 +870,8 @@ def encode_layer3(samples: np.ndarray, rate: int = 44100,
     # MP3 encoders use
     x = np.concatenate([np.zeros(576), x])
     nfr = max(1, -(-len(x) // 1152))
-    S = pqmf_analyze(np.pad(x, (0, nfr * 1152 - len(x))))   # (nfr*36, 32)
+    x = np.pad(x, (0, nfr * 1152 - len(x)))
+    S = pqmf_analyze(x)                                     # (nfr*36, 32)
     S = np.vstack([S, np.zeros((18, 32))])                  # MDCT lookahead
     # frequency inversion (involution; granule-local parity == global
     # parity because 18 is even)
@@ -785,17 +881,29 @@ def encode_layer3(samples: np.ndarray, rate: int = 44100,
     cap = flen - 4 - 17                                     # main-data slot
     budget = min(cap * 8 // 2, 4095)                        # per granule
     ng = nfr * 2
+    bts = _l3_block_types(x, ng)
+    maps, _, _ = _l3_reorder_maps(rate)
     grans = []
     for g in range(ng):
         seg = inv[g * 18: g * 18 + 36, :].T                 # (32, 36)
-        X = (_L3_WIN[None, :] * seg) @ _L3_M.T              # (32, 18)
-        spec = _l3_alias_encode(X.reshape(576))
-        gg, q, layout = _l3_quantize(spec, rate, budget)
+        bt = bts[g]
+        if bt == 2:
+            inter = np.zeros(576)
+            f = 6 * np.arange(32)[:, None] + np.arange(6)[None, :]
+            for b in range(3):
+                xb = _L3_WIN12[None, :] * seg[:, 6 + 6 * b: 18 + 6 * b]
+                inter[3 * f + b] = xb @ _L3_M12.T           # (32, 6)
+            spec = inter[maps]                              # coded order
+        else:
+            win = _BT_WINDOWS[bt]
+            X = (win[None, :] * seg) @ _L3_M.T              # (32, 18)
+            spec = _l3_alias_encode(X.reshape(576))
+        gg, q, layout = _l3_quantize(spec, rate, budget, wsf=bt != 0)
         w = _BitWriter()
         _l3_write_granule(w, q, layout, rate)
         nbits = w.nbits + 8 * len(w.buf)
         w.pad_to_byte()
-        grans.append((gg, layout, nbits, w.bytes()))
+        grans.append((gg, layout, nbits, w.bytes(), bt))
     # reservoir layout: one continuous main-data stream, each frame's
     # data byte-aligned; main_data_begin = bytes it starts before this
     # frame's own slot (<= 511, stuffing pulls it forward past that)
@@ -814,16 +922,25 @@ def encode_layer3(samples: np.ndarray, rate: int = 44100,
             w.write(0, 1)                                   # scfsi
         frame_bits = bytearray()
         for g in (2 * f, 2 * f + 1):
-            gg, layout, nbits, _ = grans[g]
+            gg, layout, nbits, _, bt = grans[g]
             w.write(nbits, 12)                              # part2_3_length
             w.write(layout["bv2"] // 2, 9)                  # big_values
             w.write(gg, 8)
             w.write(0, 4)                                   # scalefac_compress
-            w.write(0, 1)                                   # window_switching
-            for t in layout["tables"]:
-                w.write(t, 5)
-            w.write(7, 4)                                   # region0_count
-            w.write(7, 3)                                   # region1_count
+            if bt == 0:
+                w.write(0, 1)                               # window_switching
+                for t in layout["tables"]:
+                    w.write(t, 5)
+                w.write(7, 4)                               # region0_count
+                w.write(7, 3)                               # region1_count
+            else:
+                w.write(1, 1)                               # window_switching
+                w.write(bt, 2)                              # block_type
+                w.write(0, 1)                               # mixed_block_flag
+                for t in layout["tables"][:2]:
+                    w.write(t, 5)
+                for _sb in range(3):
+                    w.write(0, 3)                           # subblock_gain
             w.write(0, 1)                                   # preflag
             w.write(0, 1)                                   # scalefac_scale
             w.write(0, 1)                                   # count1table: A
@@ -833,7 +950,7 @@ def encode_layer3(samples: np.ndarray, rate: int = 44100,
         # frame's main data; re-pack them through one writer
         mw = _BitWriter()
         for g in (2 * f, 2 * f + 1):
-            _, _, nbits, payload = grans[g]
+            _, _, nbits, payload, _bt = grans[g]
             r = _BitReader(payload)
             left = nbits
             while left > 0:
@@ -889,26 +1006,47 @@ def _decode_l3_granule(r: "_BitReader", gr: dict, rate: int,
                        ) -> tuple[np.ndarray, np.ndarray]:
     """One granule's main data -> requantized spectrum (576,).
 
-    Returns (xr, scalefactors) so granule 1 can scfsi-share.  Reader
-    is left exactly part2_3_length bits past where it started (the
-    spec's ancillary-bit skip)."""
+    Returns (xr, scalefactors, block_type) so granule 1 can
+    scfsi-share and the IMDCT stage can pick windows.  For short
+    granules (block_type 2) ``xr`` is already reordered to the
+    line-interleaved layout the 3x6 IMDCT consumes.  Reader is left
+    exactly part2_3_length bits past where it started (the spec's
+    ancillary-bit skip)."""
     start_bits = r.bytepos * 8 + r.bitpos
+    bt = gr.get("block_type", 0) if gr["wsf"] else 0
     if gr["wsf"]:
-        raise ValueError(
-            "Layer III short/mixed block decode not supported "
-            "(long-block subset; block grammar parsed, essence refused)")
+        if gr.get("mixed"):
+            raise ValueError("Layer III mixed-block decode not supported")
+        if bt == 0:
+            raise ValueError("window_switching with block_type 0 is invalid")
     slen1, slen2 = _SLEN[gr["sfc"]]
-    sf = np.zeros(22, np.int64)
-    for gi, (a, b) in enumerate(_SCFSI_GROUPS):
-        slen = slen1 if gi < 2 else slen2
-        if prev_sf is not None and scfsi[gi]:
-            sf[a:b] = prev_sf[a:b]
-        elif slen:
-            for band in range(a, b):
-                sf[band] = r.read(slen)
+    short = bt == 2
+    if short:
+        sf_s = np.zeros((13, 3), np.int64)
+        for band in range(12):
+            slen = slen1 if band < 6 else slen2
+            if slen:
+                for wdw in range(3):
+                    sf_s[band, wdw] = r.read(slen)
+        sf = sf_s                           # scfsi never applies to short
+    else:
+        sf = np.zeros(22, np.int64)
+        for gi, (a, b) in enumerate(_SCFSI_GROUPS):
+            slen = slen1 if gi < 2 else slen2
+            if (prev_sf is not None and prev_sf.ndim == 1
+                    and scfsi[gi] and not gr["wsf"]):
+                # scfsi sharing is long-to-long only (a short granule 0
+                # has per-window scalefactors with no long analog)
+                sf[a:b] = prev_sf[a:b]
+            elif slen:
+                for band in range(a, b):
+                    sf[band] = r.read(slen)
     q = np.zeros(576, np.int64)
     bv2 = 2 * gr["big_values"]
-    b0, b1 = _l3_regions(rate, bv2, gr["r0c"], gr["r1c"])
+    if gr["wsf"]:
+        b0, b1 = min(_WSF_REGION0, bv2), bv2
+    else:
+        b0, b1 = _l3_regions(rate, bv2, gr["r0c"], gr["r1c"])
     for lo, hi, t in ((0, b0, gr["tables"][0]),
                       (b0, b1, gr["tables"][1]),
                       (b1, bv2, gr["tables"][2])):
@@ -949,8 +1087,19 @@ def _decode_l3_granule(r: "_BitReader", gr: dict, rate: int,
     if (r.bytepos * 8 + r.bitpos) - start_bits > gr["part2_3"] + 32:
         raise ValueError("Layer III Huffman data overruns part2_3_length")
     r.bytepos, r.bitpos = total // 8, total % 8
-    # requantize: |q|^(4/3) * 2^((gg-210)/4) * band gain
+    # requantize: |q|^(4/3) * 2^((gg-210)/4) * band/window gain
     mult = 0.5 * (gr["sfscale"] + 1)
+    if short:
+        maps, band_of, win_of = _l3_reorder_maps(rate)
+        sbg = np.array(gr.get("subblock_gain", [0, 0, 0]), np.float64)
+        exp = ((gr["gg"] - 210) / 4.0
+               - 2.0 * sbg[win_of]
+               - mult * sf[band_of, win_of].astype(np.float64))
+        xr_coded = (np.sign(q) * np.abs(q).astype(np.float64) ** (4.0 / 3.0)
+                    * 2.0 ** exp)
+        xr = np.zeros(576)
+        xr[maps] = xr_coded                 # the spec's reorder step
+        return xr, sf, bt
     widths = np.diff(_SFB_LONG[rate])
     band_exp = np.repeat(
         -mult * (sf[:21].astype(np.float64)
@@ -959,7 +1108,7 @@ def _decode_l3_granule(r: "_BitReader", gr: dict, rate: int,
                                np.zeros(576 - band_exp.size)])
     gain = 2.0 ** ((gr["gg"] - 210) / 4.0 + band_exp)
     xr = np.sign(q) * np.abs(q).astype(np.float64) ** (4.0 / 3.0) * gain
-    return xr, sf
+    return xr, sf, bt
 
 
 def _decode_layer3_stream(frames: list[tuple[int, bytes, bytes]]
@@ -979,10 +1128,19 @@ def _decode_layer3_stream(frames: list[tuple[int, bytes, bytes]]
         r = _BitReader(bytes(reservoir), pos=start)
         prev_sf: np.ndarray | None = None
         for gi, gr in enumerate(side["granules"]):
-            xr, prev_sf = _decode_l3_granule(
+            xr, prev_sf, bt = _decode_l3_granule(
                 r, gr, rate, side["scfsi"], prev_sf if gi else None)
-            spec = _l3_alias_decode(xr).reshape(32, 18)
-            block = (4.0 / _L3_N) * (spec @ _L3_M) * _L3_WIN[None, :]
+            if bt == 2:
+                spec = xr.reshape(32, 18)                   # 6 lines x 3 wdw
+                block = np.zeros((32, 36))
+                for b in range(3):
+                    y12 = ((4.0 / 12) * (spec[:, b::3] @ _L3_M12)
+                           * _L3_WIN12[None, :])
+                    block[:, 6 + 6 * b: 18 + 6 * b] += y12
+            else:
+                spec = _l3_alias_decode(xr).reshape(32, 18)
+                win = _BT_WINDOWS[bt]
+                block = (4.0 / _L3_N) * (spec @ _L3_M) * win[None, :]
             out = block[:, :18] + prev                      # TDAC overlap-add
             prev = block[:, 18:]
             t = out.T.copy()                                # (18, 32)
@@ -1001,10 +1159,10 @@ def decode_mpeg_audio(payload: bytes) -> tuple[int, np.ndarray]:
     Skips a leading ID3v2 tag, walks spec-exact frame headers, decodes
     each frame's essence (Layer I/II subband requantization — MPEG-1
     and MPEG-2 LSF rates for Layer I; Layer III Huffman + reservoir +
-    IMDCT, long-block subset) and runs one polyphase synthesis over
-    the whole stream.  Malformed frames and the refused subsets
-    (stereo, LSF Layer II/III, Layer III short blocks) raise
-    ``ValueError``.
+    IMDCT with the full long/short/start/stop window sequence) and
+    runs one polyphase synthesis over the whole stream.  Malformed
+    frames and the refused subsets (stereo, LSF Layer II/III, Layer
+    III mixed blocks) raise ``ValueError``.
     """
     pos = _id3v2_size(payload)
     rate_out = None

@@ -268,13 +268,56 @@ def test_layer3_scfsi_and_scalefactor_requantization():
     assert abs(a_quiet / a_loud - 2.0 ** -2) < 0.02
 
 
-def test_layer3_short_block_side_info_refused():
-    sig = _music(n=2304)
-    b = bytearray(encode_layer3(sig, 44100, 128))
-    # set granule 0's window_switching_flag: side info starts at byte
-    # 4; bits 9+5+4+12+9+8+4 = 51 -> bit 3 of byte 10
-    b[4 + 6] |= 0x10
-    with pytest.raises(ValueError, match="short/mixed block"):
+def _transient_signal(n=23040):
+    sig = 0.01 * np.sin(2 * np.pi * 300 * np.arange(n) / 44100.0)
+    for pos in range(1000, n - 200, 2300):
+        sig[pos:pos + 120] += (0.8 * np.sin(2 * np.pi * 2000
+                                            * np.arange(120) / 44100.0)
+                               * np.hanning(120))
+    return np.clip(sig, -0.99, 0.99)
+
+
+def _granule_block_types(b: bytes, kbps: int = 160) -> list[int]:
+    from rmlint_spark.operators.mpeg_audio import _frame_len, _parse_l3_side
+
+    bts, flen, pos = [], _frame_len(3, kbps, 44100), 0
+    while pos + flen <= len(b):
+        for g in _parse_l3_side(b[pos + 4 : pos + 21])["granules"]:
+            bts.append(g.get("block_type", 0) if g["wsf"] else 0)
+        pos += flen
+    return bts
+
+
+def test_layer3_short_blocks_on_transients():
+    # clicks over a quiet tone: the encoder's attack detector switches
+    # to short blocks with start/stop transition windows around them,
+    # and the full window sequence round-trips through the 3x6 IMDCT
+    sig = _transient_signal()
+    b = encode_layer3(sig, 44100, 160)
+    bts = set(_granule_block_types(b))
+    assert bts == {0, 1, 2, 3}, f"window sequence incomplete: {bts}"
+    rate, pcm = decode_mpeg_audio(b)
+    assert _snr_db(sig, pcm.astype(np.float64) / 32768.0) > 40.0
+    # steady music never switches
+    assert set(_granule_block_types(encode_layer3(_music(n=11520),
+                                                  44100, 160))) == {0}
+
+
+def test_layer3_mixed_block_flag_refused():
+    from rmlint_spark.operators.mpeg_audio import _frame_len, _parse_l3_side
+
+    b = bytearray(encode_layer3(_transient_signal(), 44100, 160))
+    flen, pos, target = _frame_len(3, 160, 44100), 0, None
+    while pos + flen <= len(b):
+        g0 = _parse_l3_side(bytes(b[pos + 4 : pos + 21]))["granules"][0]
+        if g0["wsf"] and g0.get("block_type") == 2:
+            target = pos
+            break
+        pos += flen
+    assert target is not None, "no short granule 0 found"
+    # granule 0's mixed_block_flag is side-info bit 54 (byte 6, 0x02)
+    b[target + 4 + 6] |= 0x02
+    with pytest.raises(ValueError, match="mixed-block"):
         decode_mpeg_audio(bytes(b))
 
 
