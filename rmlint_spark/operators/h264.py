@@ -17,8 +17,12 @@ residuals ALSO decode — intra prediction, the normative inverse
 transform/dequant, the 16x16 luma-DC Hadamard layer, nC-context
 residual parsing — via operators/h264_cavlc.py (a self-consistent
 pair with documented VLC table substitution; see that module's
-docstring). The remaining ``NotImplementedError`` boundary narrowed
-to CABAC entropy (plus plane-prediction-mode ValueError subsets).
+docstring). Since r5 session 5, CABAC entropy slices decode too
+(operators/h264_cabac.py: the full clause-9.3 arithmetic engine with
+derived tables, I-slice binarizations, residual_block_cabac, and the
+pcm_flag terminate/flush/reinit lane) — no video-essence stub
+remains; the refusal surface is down to inter (P/B) slices and
+chroma-mode ValueError subsets.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -229,11 +233,11 @@ def _encode_sps(mb_w: int, mb_h: int, width: int, height: int,
     return w.bytes()
 
 
-def _encode_pps() -> bytes:
+def _encode_pps(entropy_coding: int = 0) -> bytes:
     w = _BitWriter()
     _write_ue(w, 0)                     # pic_parameter_set_id
     _write_ue(w, 0)                     # seq_parameter_set_id
-    w.write(0, 1)                       # entropy_coding_mode_flag (CAVLC)
+    w.write(entropy_coding, 1)          # entropy_coding_mode_flag
     w.write(0, 1)                       # bottom_field_pic_order_in_frame_present
     _write_ue(w, 0)                     # num_slice_groups_minus1
     _write_ue(w, 0)                     # num_ref_idx_l0_default_active_minus1
@@ -472,11 +476,15 @@ class _H264Layout:
             r = _BitReader(rbsp)
             first_mb, qp_delta = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
-            if pps["entropy_coding_mode"]:
-                raise NotImplementedError(
-                    "H.264 CABAC entropy decode not implemented "
-                    "(CAVLC is the implemented entropy subset)")
             slice_qp = pps["pic_init_qp"] + qp_delta
+            if pps["entropy_coding_mode"]:
+                from rmlint_spark.operators.h264_cabac import CabacPicture
+
+                if not isinstance(cavlc_pic, CabacPicture):
+                    cavlc_pic = CabacPicture(y, u, v, mb_w, mb_h)
+                cavlc_pic.qp = slice_qp
+                cavlc_pic.decode_slice(r, first_mb, covered)
+                continue
             if cavlc_pic is not None:
                 cavlc_pic.qp = slice_qp     # QP prediction resets per slice
             addr = first_mb

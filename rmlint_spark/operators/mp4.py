@@ -269,8 +269,10 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
                    codec: str = "ipcm", qp: int = 20) -> bytes:
     """RGB frames -> a REAL avc1 MP4: an H.264 encoder produces the
     essence (``codec="ipcm"``: conforming lossless I_PCM;
-    ``codec="cavlc"``: compressed Intra_4x4 residuals at ``qp``, the
-    r5 self-consistent lane), which lands length-prefixed (AVCC,
+    ``codec="cavlc"``: compressed intra residuals at ``qp``, the
+    r5 self-consistent lane; ``codec="cabac"``: the same residual
+    semantics under CABAC arithmetic entropy, r5 s5), which lands
+    length-prefixed (AVCC,
     4-byte lengths) in ``mdat`` with SPS/PPS in the ``avcC``
     decoder-config box and full ``stsz``/``stsc``/``stco`` sample
     tables (ISO/IEC 14496-15 s5.3).  :func:`mp4_extract_avc` (or any
@@ -284,6 +286,10 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
         from rmlint_spark.operators.h264_cavlc import encode_h264_cavlc
 
         annexb = encode_h264_cavlc(frames, fps=fps, qp=qp)
+    elif codec == "cabac":
+        from rmlint_spark.operators.h264_cabac import encode_h264_cabac
+
+        annexb = encode_h264_cabac(frames, fps=fps, qp=qp)
     else:
         raise ValueError(f"unknown avc1 essence codec {codec!r}")
     sps = pps = None

@@ -206,10 +206,11 @@ def test_oversized_dimensions_rejected():
         _H264Layout(payload + m._START4 + b"\x68" + _escape_rbsp(b"\x80"))
 
 
-def test_cabac_stream_raises_not_implemented():
-    # flip the PPS entropy_coding_mode bit: decode must refuse with
-    # NotImplementedError (the documented entropy boundary), which the
-    # multimodal dispatcher degrades to the deterministic stand-in
+def test_cabac_pps_with_cavlc_slice_body_fails_bounded():
+    # a PPS that claims CABAC paired with a CAVLC-coded slice body is
+    # a MALFORMED stream: since r5 s5 the CABAC engine decodes it and
+    # must fail with a bounded ValueError (real CABAC round-trips live
+    # in tests/test_h264_cabac.py)
     from rmlint_spark.operators.h264 import _encode_pps, _encode_sps, _START4
 
     sps = _START4 + b"\x67" + _escape_rbsp(_encode_sps(1, 1, 16, 16, (25, 1)))
@@ -232,7 +233,7 @@ def test_cabac_stream_raises_not_implemented():
     pps = _START4 + b"\x68" + _escape_rbsp(w.bytes())
     body = encode_h264_ipcm([_gray_frames(1)[0]])
     slice_nal = body[body.index(b"\x00\x00\x00\x01\x65"):]
-    with pytest.raises(NotImplementedError, match="CABAC"):
+    with pytest.raises(ValueError):
         decode_h264(sps + pps + slice_nal)
 
 
