@@ -1092,10 +1092,11 @@ def q_audio_probe(spark, sf_dir):
 
 
 def q_frame_dedup(spark, sf_dir):
-    """Cross-video duplicate-frame detection over REAL containers:
-    sample_frames decodes Y4M and animated-GIF payloads (pure
-    numpy/LZW codecs) and hashes decoded pixels, so the same frame is
-    found across different container formats. The decoded frame table
+    """Cross-video duplicate-frame detection over FIVE real
+    containers (Y4M, GIF, raw H.264, avc1-MP4, CABAC-entropy H.264):
+    sample_frames decodes each payload with the pure-numpy codecs and
+    hashes decoded pixels, so the same frame is found across
+    different container formats. The decoded frame table
     goes to the side-channel; DuckDB recomputes the dedup aggregation
     from the same bytes (decode determinism itself is pinned by
     tests/test_multimodal.py)."""

@@ -1628,15 +1628,17 @@ def synthetic_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Deterministic REAL-container video assets for the frame-dedup
     query: an 8-frame pool of grayscale images; video ``i`` carries 4
     consecutive pool frames starting at ``i % 8`` (wrap-around), so
-    neighboring videos overlap on 3 frames. Ids rotate through FOUR
+    neighboring videos overlap on 3 frames. Ids rotate through FIVE
     real containers — Y4M (Cmono, 2.5 fps = 400 ms/frame), GIF
-    (400 ms delays), Annex-B H.264 I_PCM (2.5 fps VUI timing) and
-    avc1-in-MP4 (same essence behind real sample tables) — all of
-    which decode grayscale content to bit-identical RGB, so duplicate
-    frames are found ACROSS container formats purely by decoded pixel
-    content."""
+    (400 ms delays), Annex-B H.264 I_PCM (2.5 fps VUI timing),
+    avc1-in-MP4 (same essence behind real sample tables) and CABAC-
+    entropy H.264 carrying I_PCM macroblocks through real arithmetic-
+    coded slices (r5 s5) — all of which decode grayscale content to
+    bit-identical RGB, so duplicate frames are found ACROSS container
+    formats purely by decoded pixel content."""
     from rmlint_spark.operators.gif import encode_gif
     from rmlint_spark.operators.h264 import encode_h264_ipcm
+    from rmlint_spark.operators.h264_cabac import encode_h264_cabac
     from rmlint_spark.operators.mp4 import encode_mp4_avc
 
     rng = np.random.RandomState(seed)
@@ -1647,14 +1649,17 @@ def synthetic_video_assets(spark, n: int = 24, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         frames = [pool[(i + j) % 8] for j in range(4)]
-        if i % 4 == 0:
+        if i % 5 == 0:
             payload = encode_y4m(frames, fps=(5, 2), colorspace="Cmono")
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             payload = encode_gif(frames, delays_ms=[400] * 4)
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             payload = encode_h264_ipcm(frames, fps=(5, 2))
-        else:
+        elif i % 5 == 3:
             payload = encode_mp4_avc(frames, fps=(5, 2))
+        else:
+            payload = encode_h264_cabac(frames, fps=(5, 2),
+                                        mb_force="ipcm")
         rows.append((i, "video", bytearray(payload), None, None, None, None))
     return spark.createDataFrame(
         rows,

@@ -316,17 +316,21 @@ def test_sample_frames_and_probe_h264(spark):
     assert probe[3]["codec"] == "avc1"
     assert probe[3]["n_frames"] == 4
     assert probe[3]["duration_ms"] == 1600
+    # asset 4: CABAC-entropy Annex-B (r5 s5) probes like any H.264
+    assert probe[4]["container"] == "h264"
+    assert probe[4]["n_frames"] == 4
+    assert probe[4]["duration_ms"] == 1600
 
     fr = sample_frames(assets, every_ms=250)
     per_sha = (
         fr.join(assets.select("asset_id"), "asset_id")
-        .withColumn("c", F.pmod("asset_id", F.lit(4)))
+        .withColumn("c", F.pmod("asset_id", F.lit(5)))
         .groupBy("frame_sha")
         .agg(F.countDistinct("c").alias("nc"))
     )
     rows = per_sha.collect()
     assert len(rows) == 8  # the 8-frame pool
-    assert all(r["nc"] == 4 for r in rows)  # every frame in all 4 containers
+    assert all(r["nc"] == 5 for r in rows)  # every frame in all 5 containers
 
 
 def test_frame_sha_is_decoded_pixels():
