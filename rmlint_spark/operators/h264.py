@@ -21,8 +21,13 @@ docstring). Since r5 session 5, CABAC entropy slices decode too
 (operators/h264_cabac.py: the full clause-9.3 arithmetic engine with
 derived tables, I-slice binarizations, residual_block_cabac, and the
 pcm_flag terminate/flush/reinit lane) — no video-essence stub
-remains; the refusal surface is down to inter (P/B) slices and
-chroma-mode ValueError subsets.
+remains. Since r5 session 6, CAVLC P slices decode as well
+(operators/h264_inter.py: quarter-pel luma / eighth-pel chroma
+motion compensation, median MV prediction, P_Skip runs, inter
+residuals, intra-in-P fallback), so IDR+P GOPs round-trip; the
+refusal surface is down to B/SP/SI slices, sub-16x16 P partitions,
+multi-reference prediction, CABAC P slices and chroma-mode
+ValueError subsets.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -193,7 +198,7 @@ def _level_idc(mbs_per_frame: int) -> int:
 
 
 def _encode_sps(mb_w: int, mb_h: int, width: int, height: int,
-                fps: tuple[int, int]) -> bytes:
+                fps: tuple[int, int], num_ref_frames: int = 0) -> bytes:
     w = _BitWriter()
     w.write(66, 8)                      # profile_idc: baseline
     w.write(0b11000000, 8)              # constraint_set0+1 (constrained baseline)
@@ -201,7 +206,7 @@ def _encode_sps(mb_w: int, mb_h: int, width: int, height: int,
     _write_ue(w, 0)                     # seq_parameter_set_id
     _write_ue(w, 0)                     # log2_max_frame_num_minus4
     _write_ue(w, 2)                     # pic_order_cnt_type
-    _write_ue(w, 0)                     # max_num_ref_frames
+    _write_ue(w, num_ref_frames)        # max_num_ref_frames (1 for P GOPs)
     w.write(0, 1)                       # gaps_in_frame_num_value_allowed
     _write_ue(w, mb_w - 1)              # pic_width_in_mbs_minus1
     _write_ue(w, mb_h - 1)              # pic_height_in_map_units_minus1
@@ -388,7 +393,7 @@ def _parse_pps(rbsp: bytes) -> dict:
     if _read_ue(r):                     # num_slice_groups_minus1
         raise ValueError("FMO slice groups unsupported")
     _read_ue(r), _read_ue(r)            # num_ref_idx defaults
-    r.read(1)                           # weighted_pred_flag
+    pps["weighted_pred"] = r.read(1)
     r.read(2)                           # weighted_bipred_idc
     pps["pic_init_qp"] = 26 + _read_se(r)
     _read_se(r), _read_se(r)            # qs / chroma offsets
@@ -424,15 +429,16 @@ def _iter_nals(payload: bytes):
 class _H264Layout:
     """Parsed stream geometry: SPS/PPS plus the RBSP of every slice,
     grouped into pictures (a slice with first_mb_in_slice == 0 starts
-    a new picture). Pictures decode independently — all-I_PCM slices
-    have no inter or intra-neighbor dependencies — so sampling paths
-    decode ONLY the frames they touch (the Y4M discipline)."""
+    a new picture). Intra pictures decode independently, so sampling
+    paths decode ONLY the frames they touch (the Y4M discipline);
+    P pictures decode their GOP prefix through the plane cache."""
 
-    __slots__ = ("sps", "pps", "pictures", "fps")
+    __slots__ = ("sps", "pps", "pictures", "fps", "_cache")
 
     def __init__(self, payload: bytes):
         self.sps: dict | None = None
         self.pps: dict | None = None
+        self._cache: dict[int, tuple] = {}
         self.pictures: list[list[tuple[int, int, bytes]]] = []
         for typ, ref_idc, rbsp in _iter_nals(payload):
             if typ == _NAL_SPS:
@@ -463,8 +469,57 @@ class _H264Layout:
         num, den = self.fps
         return self.n_frames * 1000 * den // num
 
+    def _peek_slice_type(self, rbsp: bytes) -> int:
+        r = _BitReader(rbsp)
+        _read_ue(r)                         # first_mb_in_slice
+        return _read_ue(r)
+
+    def _pic_has_p(self, idx: int) -> bool:
+        return any(self._peek_slice_type(rbsp) % 5 == 0
+                   for _, _, rbsp in self.pictures[idx])
+
     def frame_at(self, idx: int) -> np.ndarray:
-        """Decode picture ``idx`` to (h, w, 3) uint8 RGB."""
+        """Decode picture ``idx`` to (h, w, 3) uint8 RGB.  P pictures
+        reference the previous decoded picture, so sampling a P frame
+        decodes its GOP prefix back to the nearest intra picture (the
+        honest random-access cost of temporal compression); decoded
+        planes are cached so sequential access stays O(1)/frame."""
+        y, u, v = self._decode_planes(idx)
+        sps = self.sps
+        mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+        cl, cr, ct, cb = sps["crop"]
+        y = y[2 * ct: mb_h * 16 - 2 * cb, 2 * cl: mb_w * 16 - 2 * cr]
+        u = u[ct: mb_h * 8 - cb, cl: mb_w * 8 - cr]
+        v = v[ct: mb_h * 8 - cb, cl: mb_w * 8 - cr]
+        return _yuv420_to_rgb(y, u, v)
+
+    def _decode_planes(self, idx: int) -> tuple:
+        cache = self._cache
+        if idx in cache:
+            return cache[idx]
+        start = idx
+        while (start > 0 and self._pic_has_p(start)
+               and (start - 1) not in cache):
+            start -= 1
+        for i in range(start, idx + 1):
+            if i in cache:
+                continue
+            ref = cache.get(i - 1)
+            if self._pic_has_p(i):
+                if self.pps["entropy_coding_mode"]:
+                    raise NotImplementedError(
+                        "H.264 CABAC P-slice decode not implemented "
+                        "(CAVLC P + CABAC I are the implemented subsets)")
+                if ref is None:
+                    raise ValueError(
+                        "H.264 P picture without a decoded reference")
+            cache[i] = self._decode_picture(i, ref)
+            if len(cache) > 64:             # refs only look one back
+                cache.pop(min(k for k in cache if k not in (i, i - 1)))
+        return cache[idx]
+
+    def _decode_picture(self, idx: int, ref: tuple | None) -> tuple:
+        """Decode one picture to uncropped (y, u, v) planes."""
         sps, pps = self.sps, self.pps
         mb_w, mb_h = sps["mb_w"], sps["mb_h"]
         y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
@@ -472,11 +527,19 @@ class _H264Layout:
         v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
         covered = np.zeros(mb_w * mb_h, dtype=bool)
         cavlc_pic = None
+        if self._pic_has_p(idx):
+            from rmlint_spark.operators.h264_inter import InterPicture
+
+            cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
-            first_mb, qp_delta = self._parse_slice_header(
+            first_mb, qp_delta, slice_type = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
             slice_qp = pps["pic_init_qp"] + qp_delta
+            if slice_type % 5 == 0:         # CAVLC P slice
+                cavlc_pic.qp = slice_qp
+                cavlc_pic.decode_slice_p(r, first_mb, covered)
+                continue
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac import CabacPicture
 
@@ -510,6 +573,7 @@ class _H264Layout:
                         raw[320:].reshape(8, 8)
                     if cavlc_pic is not None:
                         cavlc_pic.mark_ipcm(addr)
+                        cavlc_pic.note_intra(addr)
                 elif mb_type <= 24:         # Intra_4x4 / Intra_16x16, CAVLC
                     from rmlint_spark.operators.h264_cavlc import CavlcPicture
 
@@ -520,6 +584,7 @@ class _H264Layout:
                         cavlc_pic.decode_mb(r, addr)
                     else:
                         cavlc_pic.decode_mb16(r, addr, mb_type)
+                    cavlc_pic.note_intra(addr)
                 else:
                     raise ValueError(
                         f"invalid I-slice mb_type {mb_type} (0..25)")
@@ -527,20 +592,21 @@ class _H264Layout:
                 addr += 1
         if not covered.all():
             raise ValueError("H.264 picture has uncovered macroblocks")
-        cl, cr, ct, cb = sps["crop"]
-        y = y[2 * ct: mb_h * 16 - 2 * cb, 2 * cl: mb_w * 16 - 2 * cr]
-        u = u[ct: mb_h * 8 - cb, cl: mb_w * 8 - cr]
-        v = v[ct: mb_h * 8 - cb, cl: mb_w * 8 - cr]
-        return _yuv420_to_rgb(y, u, v)
+        return y, u, v
 
     def _parse_slice_header(self, r: _BitReader, nal_type: int,
-                            ref_idc: int, sps: dict, pps: dict) -> int:
+                            ref_idc: int, sps: dict,
+                            pps: dict) -> tuple[int, int, int]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
-        if slice_type % 5 != 2:
+        if slice_type % 5 == 0 and pps["entropy_coding_mode"]:
             raise NotImplementedError(
-                "H.264 inter/SP/SI slice decode not implemented "
-                "(I slices are the implemented essence subset)")
+                "H.264 CABAC P-slice decode not implemented "
+                "(CAVLC P + CABAC I are the implemented subsets)")
+        if slice_type % 5 not in (0, 2):
+            raise NotImplementedError(
+                "H.264 B/SP/SI slice decode not implemented "
+                "(I and CAVLC-P slices are the implemented subset)")
         if _read_ue(r) != pps["pps_id"]:
             raise ValueError("slice references an unknown PPS")
         r.read(sps["log2_max_frame_num"])   # frame_num
@@ -556,8 +622,20 @@ class _H264Layout:
                 _read_se(r)
         if pps["redundant_pic_cnt_present"]:
             _read_ue(r)
-        # I slice: no ref-pic list modification; dec_ref_pic_marking
-        # is present only when the slice is a reference (nal_ref_idc != 0)
+        if slice_type % 5 == 0:             # P-only header fields
+            if r.read(1):                   # num_ref_idx_active_override
+                if _read_ue(r) != 0:
+                    raise ValueError(
+                        "H.264 multi-reference P slices unsupported "
+                        "(num_ref_idx_l0_active > 1)")
+            if r.read(1):                   # ref_pic_list_modification_l0
+                raise ValueError(
+                    "H.264 ref_pic_list_modification unsupported")
+            if pps["weighted_pred"]:
+                raise ValueError(
+                    "H.264 weighted prediction unsupported")
+        # dec_ref_pic_marking is present only when the slice is a
+        # reference (nal_ref_idc != 0)
         if ref_idc:
             if nal_type == _NAL_IDR:
                 r.read(2)                   # no_output / long_term flags
@@ -578,7 +656,7 @@ class _H264Layout:
         if pps["deblocking_control"]:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
                 _read_se(r), _read_se(r)
-        return first_mb, qp_delta
+        return first_mb, qp_delta, slice_type
 
 
 def parse_h264(payload: bytes) -> dict:
@@ -599,9 +677,11 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
 
     Materializes EVERY frame — tests and short clips; the sampling
     paths use `_H264Layout.frame_at` to decode only touched frames.
-    I_PCM, Intra_4x4-CAVLC and Intra_16x16-CAVLC macroblocks decode;
-    CABAC raises ``NotImplementedError`` (the documented entropy
-    boundary); malformed streams raise ``ValueError``.
+    I_PCM, Intra_4x4/Intra_16x16 (CAVLC and CABAC) and CAVLC P-slice
+    (P_Skip / P_L0_16x16 / intra-in-P) macroblocks decode; B/SP/SI
+    and CABAC-P slices raise ``NotImplementedError`` / ``ValueError``
+    (the documented refusal surface); malformed streams raise
+    ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -271,7 +271,9 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
     essence (``codec="ipcm"``: conforming lossless I_PCM;
     ``codec="cavlc"``: compressed intra residuals at ``qp``, the
     r5 self-consistent lane; ``codec="cabac"``: the same residual
-    semantics under CABAC arithmetic entropy, r5 s5), which lands
+    semantics under CABAC arithmetic entropy, r5 s5;
+    ``codec="p"``: IDR+P GOPs with motion compensation, r5 s6 —
+    ``stss`` then lists only the IDR sync samples), which lands
     length-prefixed (AVCC,
     4-byte lengths) in ``mdat`` with SPS/PPS in the ``avcC``
     decoder-config box and full ``stsz``/``stsc``/``stco`` sample
@@ -290,18 +292,25 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
         from rmlint_spark.operators.h264_cabac import encode_h264_cabac
 
         annexb = encode_h264_cabac(frames, fps=fps, qp=qp)
+    elif codec == "p":
+        from rmlint_spark.operators.h264_inter import encode_h264_p
+
+        annexb = encode_h264_p(frames, fps=fps, qp=qp)
     else:
         raise ValueError(f"unknown avc1 essence codec {codec!r}")
     sps = pps = None
     samples: list[bytes] = []
+    sync: list[int] = []                # 1-based IDR sample numbers
     for nal in _split_annexb(annexb):
         typ = nal[0] & 0x1F
         if typ == 7:
             sps = nal
         elif typ == 8:
             pps = nal
-        else:  # one IDR slice NAL per picture in the I_PCM encoder
+        else:                           # one slice NAL per picture
             samples.append(struct.pack(">I", len(nal)) + nal)
+            if typ == 5:                # IDR = sync sample
+                sync.append(len(samples))
     assert sps is not None and pps is not None
     h, w = __import__("numpy").asarray(frames[0]).shape[:2]
     n = len(samples)
@@ -327,8 +336,8 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
                + avcc),
     )
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
-    stss = _full(b"stss", 0, 0, struct.pack(">I", n)
-                 + b"".join(struct.pack(">I", i + 1) for i in range(n)))
+    stss = _full(b"stss", 0, 0, struct.pack(">I", len(sync))
+                 + b"".join(struct.pack(">I", i) for i in sync))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
                  + b"".join(struct.pack(">I", len(s)) for s in samples))

@@ -697,16 +697,19 @@ def test_new_codec_lanes_fail_bounded_under_fuzz():
     )
 
     from rmlint_spark.operators.h264_cabac import encode_h264_cabac
+    from rmlint_spark.operators.h264_inter import encode_h264_p
 
     rng = np.random.RandomState(0)
     g = rng.randint(0, 256, (32, 48)).astype(np.uint8)
     vid = bytearray(encode_h264_cavlc([np.stack([g] * 3, axis=-1)], qp=12))
     vidc = bytearray(encode_h264_cabac([np.stack([g] * 3, axis=-1)], qp=12))
+    vidp = bytearray(encode_h264_p(
+        [np.stack([g] * 3, axis=-1)] * 2, qp=12, gop=8))
     sig = np.clip(0.3 * np.sin(2 * np.pi * 440 * np.arange(2304) / 44100.0)
                   + 0.05 * rng.randn(2304), -0.9, 0.9)
     aud = bytearray(encode_layer3(sig, 44100, 128))
     for payload, dec in ((vid, decode_h264), (vidc, decode_h264),
-                         (aud, decode_mpeg_audio)):
+                         (vidp, decode_h264), (aud, decode_mpeg_audio)):
         for _ in range(60):
             b = bytearray(payload)
             for _k in range(rng.randint(1, 6)):
