@@ -211,6 +211,78 @@ def with_combined_signatures(
     return reps.select("fid", *KEY, "sha", "n_rows", "b.sig", "b.simhash")
 
 
+def lsh_collision_probability(s: float, bands: int, rows: int) -> float:
+    """S-curve P(candidate | Jaccard = s) = 1 - (1 - s^r)^b for the
+    banding scheme (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets ch. 3.4.2)."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def band_threshold(bands: int, rows: int) -> float:
+    """The S-curve's steepest point ~ (1/b)^(1/r) — the effective
+    Jaccard threshold of a (bands, rows) choice."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def _band_error_integrals(threshold: float, bands: int, rows: int,
+                          n: int = 256) -> tuple[float, float]:
+    """Midpoint-rule integrals of the two banding error masses:
+    false-positive area below the threshold, false-negative area
+    above it (the datasketch-style tuning objective)."""
+    fp = fn = 0.0
+    for i in range(n):
+        s = (i + 0.5) / n
+        p = lsh_collision_probability(s, bands, rows)
+        if s < threshold:
+            fp += p
+        else:
+            fn += 1.0 - p
+    return fp / n, fn / n
+
+
+def optimal_band_config(threshold: float, num_perm: int = 128,
+                        fp_weight: float = 0.5) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for a target Jaccard ``threshold``:
+    enumerate every exact divisor split of ``num_perm`` (the engine
+    requires bands * rows == num_perm so signature slices tile) and
+    minimize ``fp_weight * FP-integral + (1-fp_weight) * FN-integral``.
+    Driver-side config math — runs once per pipeline, never per row.
+
+    Raising ``fp_weight`` biases toward fewer spurious candidate
+    pairs (cheaper verification joins at 100 TB); lowering it biases
+    toward recall. The escalation ladder in :func:`candidate_pairs`
+    still bounds the damage of a too-loose choice at runtime."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError("fp_weight must be in [0, 1]")
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        fp, fn = _band_error_integrals(threshold, bands, rows)
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    return best[1], best[2]
+
+
+def tuned_config(cfg: EngineConfig, threshold: float | None = None,
+                 fp_weight: float = 0.5) -> EngineConfig:
+    """EngineConfig with ``sig.bands`` re-tuned for ``threshold``
+    (default: the config's own ``jaccard_threshold``), so the band
+    join's candidate recall/precision matches the verification
+    threshold instead of whatever the static default implies."""
+    from dataclasses import replace
+
+    t = cfg.jaccard_threshold if threshold is None else threshold
+    bands, _rows = optimal_band_config(t, cfg.sig.num_perm, fp_weight)
+    return replace(cfg, sig=replace(cfg.sig, bands=bands))
+
+
 def band_buckets(signatures: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """(fid, band_id, band_hash): xxhash64 over each signature slice.
     JVM-side (no Python): transform+slice+xxhash64 inside codegen.
