@@ -21,13 +21,15 @@ docstring). Since r5 session 5, CABAC entropy slices decode too
 (operators/h264_cabac.py: the full clause-9.3 arithmetic engine with
 derived tables, I-slice binarizations, residual_block_cabac, and the
 pcm_flag terminate/flush/reinit lane) — no video-essence stub
-remains. Since r5 session 6, CAVLC P slices decode as well
-(operators/h264_inter.py: quarter-pel luma / eighth-pel chroma
-motion compensation, median MV prediction, P_Skip runs, inter
-residuals, intra-in-P fallback), so IDR+P GOPs round-trip; the
-refusal surface is down to B/SP/SI slices, sub-16x16 P partitions,
-multi-reference prediction, CABAC P slices and chroma-mode
-ValueError subsets.
+remains. Since r5 session 6, P slices decode as well, under BOTH
+entropy modes (operators/h264_inter.py: quarter-pel luma /
+eighth-pel chroma motion compensation, median MV prediction, P_Skip
+runs, inter residuals, intra-in-P fallback, CAVLC mb_skip_run;
+operators/h264_cabac_p.py: the same semantics under arithmetic
+entropy — mb_skip_flag contexts, P mb_type binarization, UEG3 mvd),
+so IDR+P GOPs round-trip in all four encoder lanes; the refusal
+surface is down to B/SP/SI slices, sub-16x16 P partitions,
+multi-reference prediction and chroma-mode ValueError subsets.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -505,14 +507,9 @@ class _H264Layout:
             if i in cache:
                 continue
             ref = cache.get(i - 1)
-            if self._pic_has_p(i):
-                if self.pps["entropy_coding_mode"]:
-                    raise NotImplementedError(
-                        "H.264 CABAC P-slice decode not implemented "
-                        "(CAVLC P + CABAC I are the implemented subsets)")
-                if ref is None:
-                    raise ValueError(
-                        "H.264 P picture without a decoded reference")
+            if self._pic_has_p(i) and ref is None:
+                raise ValueError(
+                    "H.264 P picture without a decoded reference")
             cache[i] = self._decode_picture(i, ref)
             if len(cache) > 64:             # refs only look one back
                 cache.pop(min(k for k in cache if k not in (i, i - 1)))
@@ -528,15 +525,21 @@ class _H264Layout:
         covered = np.zeros(mb_w * mb_h, dtype=bool)
         cavlc_pic = None
         if self._pic_has_p(idx):
-            from rmlint_spark.operators.h264_inter import InterPicture
+            if pps["entropy_coding_mode"]:
+                from rmlint_spark.operators.h264_cabac_p import \
+                    CabacInterPicture
 
-            cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
+                cavlc_pic = CabacInterPicture(y, u, v, mb_w, mb_h, ref)
+            else:
+                from rmlint_spark.operators.h264_inter import InterPicture
+
+                cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
             first_mb, qp_delta, slice_type = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
             slice_qp = pps["pic_init_qp"] + qp_delta
-            if slice_type % 5 == 0:         # CAVLC P slice
+            if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
                 cavlc_pic.qp = slice_qp
                 cavlc_pic.decode_slice_p(r, first_mb, covered)
                 continue
@@ -599,14 +602,10 @@ class _H264Layout:
                             pps: dict) -> tuple[int, int, int]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
-        if slice_type % 5 == 0 and pps["entropy_coding_mode"]:
-            raise NotImplementedError(
-                "H.264 CABAC P-slice decode not implemented "
-                "(CAVLC P + CABAC I are the implemented subsets)")
         if slice_type % 5 not in (0, 2):
             raise NotImplementedError(
                 "H.264 B/SP/SI slice decode not implemented "
-                "(I and CAVLC-P slices are the implemented subset)")
+                "(I and P slices are the implemented subset)")
         if _read_ue(r) != pps["pps_id"]:
             raise ValueError("slice references an unknown PPS")
         r.read(sps["log2_max_frame_num"])   # frame_num
@@ -652,6 +651,9 @@ class _H264Layout:
                         _read_ue(r)
                     elif op != 5:
                         raise ValueError("invalid memory_management op")
+        if pps["entropy_coding_mode"] and slice_type % 5 != 2:
+            if _read_ue(r) > 2:             # cabac_init_idc
+                raise ValueError("cabac_init_idc out of range")
         qp_delta = _read_se(r)              # slice_qp_delta
         if pps["deblocking_control"]:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
@@ -677,11 +679,11 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
 
     Materializes EVERY frame — tests and short clips; the sampling
     paths use `_H264Layout.frame_at` to decode only touched frames.
-    I_PCM, Intra_4x4/Intra_16x16 (CAVLC and CABAC) and CAVLC P-slice
-    (P_Skip / P_L0_16x16 / intra-in-P) macroblocks decode; B/SP/SI
-    and CABAC-P slices raise ``NotImplementedError`` / ``ValueError``
-    (the documented refusal surface); malformed streams raise
-    ``ValueError``.
+    I_PCM, Intra_4x4/Intra_16x16 and P-slice (P_Skip / P_L0_16x16 /
+    intra-in-P) macroblocks decode under BOTH entropy modes; B/SP/SI
+    slices raise ``NotImplementedError`` and sub-16x16 P partitions
+    ``ValueError`` (the documented refusal surface); malformed
+    streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -38,9 +38,10 @@ dequant/IDCT/MC path the decoder runs, so encoder/decoder drift is
 structurally impossible.
 
 Refusal surface after this module: B/SP/SI slices, P partition
-sizes below 16x16 (mb_type 1..4 raise ValueError), multiple
-reference frames, and CABAC-coded P slices (the CABAC lane stays
-I-slice-only).
+sizes below 16x16 (mb_type 1..4 raise ValueError), and multiple
+reference frames.  CABAC-coded P slices decode too, via
+h264_cabac_p.py composing this module's MotionMixin with the
+arithmetic engine.
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as
@@ -161,18 +162,20 @@ def _interp_chroma(ref: np.ndarray, py: int, px: int, bh: int, bw: int,
 
 # ------------------------------------------------------ picture state
 
-class InterPicture(CavlcPicture):
-    """CavlcPicture plus the inter state a P picture needs: the
-    reference planes, a per-macroblock motion-vector grid, and the
-    decoded/intra/inter state grid that drives MV prediction
-    availability.  I-slice macroblocks inside the same picture run
-    through the inherited intra paths."""
+class MotionMixin:
+    """The entropy-independent inter machinery a P picture needs:
+    reference planes, a per-macroblock motion-vector grid, the
+    decoded/intra/inter state grid that drives MV-prediction
+    availability, motion compensation / search, and residual
+    quantization + reconstruction.  The CAVLC lane (InterPicture
+    below) and the CABAC lane (h264_cabac_p.CabacInterPicture) both
+    mix this in over their entropy-layer picture class."""
 
-    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                 mb_w: int, mb_h: int,
-                 ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
-        super().__init__(y, u, v, mb_w, mb_h)
+    def _init_motion(
+            self,
+            ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
         self.ref_y, self.ref_u, self.ref_v = ref
+        mb_h, mb_w = self.mb_h, self.mb_w
         self.mvs = np.zeros((mb_h, mb_w, 2), dtype=np.int64)  # (mvy, mvx)
         # 0 = not yet decoded, 1 = intra / I_PCM, 2 = inter
         self.mb_state = np.zeros((mb_h, mb_w), dtype=np.int64)
@@ -263,111 +266,6 @@ class InterPicture(CavlcPicture):
         self.nc_v[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
         self._commit_inter(addr, mv)
 
-    def decode_mb_p16(self, r: _BitReader, addr: int) -> None:
-        """P_L0_16x16: mvd pair, CBP, residual over the MC block."""
-        from rmlint_spark.operators.h264 import _read_se, _read_ue
-
-        my, mx = divmod(addr, self.mb_w)
-        mvd_x = _read_se(r)                 # compIdx 0 = horizontal
-        mvd_y = _read_se(r)
-        mvp = self._mv_pred(my, mx)
-        mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
-        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
-        cbp_code = _read_ue(r)
-        if cbp_code > 47:
-            raise ValueError("H.264 coded_block_pattern out of range")
-        cbp = _CBP_FROM_CODE[cbp_code]
-        if cbp:
-            self.qp += _read_se(r)
-            if not 0 <= self.qp <= 51:
-                raise ValueError("H.264 mb_qp_delta drives QP out of range")
-        for blk in range(16):
-            bx, by = _BLK_XY[blk]
-            gy, gx = my * 4 + by, mx * 4 + bx
-            if cbp & (1 << _BLK_GROUP[blk]):
-                nc = _nc_for(self.nc_y, gy, gx)
-                vals = _read_residual(r, nc, 16)
-                self.nc_y[gy, gx] = sum(1 for vv in vals if vv)
-                q = _unscan_coeffs(vals)
-            else:
-                self.nc_y[gy, gx] = 0
-                q = np.zeros((4, 4), dtype=np.int64)
-            self.y[gy * 4:gy * 4 + 4, gx * 4:gx * 4 + 4] = _recon4(
-                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
-        dc_q, ac_q = self._chroma_read(r, cbp >> 4, my, mx)
-        self._mc_chroma = {"u": pred_u, "v": pred_v}
-        try:
-            self._chroma_recon(my, mx, dc_q, ac_q)
-        finally:
-            self._mc_chroma = None
-        self._commit_inter(addr, mv)
-
-    def decode_ipcm(self, r: _BitReader, addr: int) -> None:
-        """I_PCM raw samples (also reachable from P slices as
-        mb_type 30); mirrors the I-slice inline path in h264.py."""
-        while r.bitpos:
-            if r.read(1):
-                raise ValueError("nonzero pcm_alignment bit")
-        if r.bytepos + 384 > len(r.data):
-            raise ValueError("truncated I_PCM macroblock")
-        my, mx = divmod(addr, self.mb_w)
-        raw = np.frombuffer(r.data, dtype=np.uint8, count=384,
-                            offset=r.bytepos)
-        r.bytepos += 384
-        self.y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-            raw[:256].reshape(16, 16)
-        self.u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-            raw[256:320].reshape(8, 8)
-        self.v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
-            raw[320:].reshape(8, 8)
-        self.mark_ipcm(addr)
-
-    def decode_slice_p(self, r: _BitReader, first_mb: int,
-                       covered: np.ndarray) -> None:
-        """slice_data() for a CAVLC P slice (7.3.4): alternating
-        mb_skip_run / macroblock_layer until the rbsp stop bit."""
-        from rmlint_spark.operators.h264 import (_more_rbsp_data,
-                                                 _read_ue)
-
-        total = self.mb_w * self.mb_h
-        addr = first_mb
-        while _more_rbsp_data(r):
-            skip_run = _read_ue(r)
-            for _ in range(skip_run):
-                if addr >= total:
-                    raise ValueError("H.264 mb_skip_run overruns "
-                                     "the picture")
-                self._decode_skip(addr)
-                covered[addr] = True
-                addr += 1
-            if not _more_rbsp_data(r):
-                break
-            if addr >= total:
-                raise ValueError("H.264 slice data overruns the picture")
-            mb_type = _read_ue(r)
-            my, mx = divmod(addr, self.mb_w)
-            if mb_type == _P_L0_16x16:
-                self.decode_mb_p16(r, addr)
-            elif mb_type < _P_INTRA_OFFSET:
-                raise ValueError(
-                    f"H.264 P partition mb_type {mb_type} "
-                    "(16x8/8x16/8x8) not in the 16x16 subset")
-            else:
-                it = mb_type - _P_INTRA_OFFSET
-                if it == 25:
-                    self.decode_ipcm(r, addr)
-                elif it == 0:
-                    self.decode_mb(r, addr)
-                elif it <= 24:
-                    self.decode_mb16(r, addr, it)
-                else:
-                    raise ValueError(f"invalid P-slice mb_type {mb_type}")
-                self.mb_state[my, mx] = 1
-            covered[addr] = True
-            addr += 1
-
-    # ---- encode side ----
-
     def _motion_search(self, src: np.ndarray, my: int, mx: int,
                        rng: int) -> tuple[tuple[int, int], int]:
         """Center-biased integer full search, then half- and
@@ -449,6 +347,123 @@ class InterPicture(CavlcPicture):
             self._chroma_recon(my, mx, dc_eff, ac_eff)
         finally:
             self._mc_chroma = None
+
+class InterPicture(MotionMixin, CavlcPicture):
+    """CavlcPicture plus MotionMixin: the CAVLC-entropy P lane.
+    I-slice macroblocks inside the same picture run through the
+    inherited intra paths."""
+
+    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 mb_w: int, mb_h: int,
+                 ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
+        CavlcPicture.__init__(self, y, u, v, mb_w, mb_h)
+        self._init_motion(ref)
+
+    def decode_ipcm(self, r: _BitReader, addr: int) -> None:
+        """I_PCM raw samples (also reachable from P slices as
+        mb_type 30); mirrors the I-slice inline path in h264.py."""
+        while r.bitpos:
+            if r.read(1):
+                raise ValueError("nonzero pcm_alignment bit")
+        if r.bytepos + 384 > len(r.data):
+            raise ValueError("truncated I_PCM macroblock")
+        my, mx = divmod(addr, self.mb_w)
+        raw = np.frombuffer(r.data, dtype=np.uint8, count=384,
+                            offset=r.bytepos)
+        r.bytepos += 384
+        self.y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+            raw[:256].reshape(16, 16)
+        self.u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            raw[256:320].reshape(8, 8)
+        self.v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            raw[320:].reshape(8, 8)
+        self.mark_ipcm(addr)
+
+    def decode_slice_p(self, r: _BitReader, first_mb: int,
+                       covered: np.ndarray) -> None:
+        """slice_data() for a CAVLC P slice (7.3.4): alternating
+        mb_skip_run / macroblock_layer until the rbsp stop bit."""
+        from rmlint_spark.operators.h264 import (_more_rbsp_data,
+                                                 _read_ue)
+
+        total = self.mb_w * self.mb_h
+        addr = first_mb
+        while _more_rbsp_data(r):
+            skip_run = _read_ue(r)
+            for _ in range(skip_run):
+                if addr >= total:
+                    raise ValueError("H.264 mb_skip_run overruns "
+                                     "the picture")
+                self._decode_skip(addr)
+                covered[addr] = True
+                addr += 1
+            if not _more_rbsp_data(r):
+                break
+            if addr >= total:
+                raise ValueError("H.264 slice data overruns the picture")
+            mb_type = _read_ue(r)
+            my, mx = divmod(addr, self.mb_w)
+            if mb_type == _P_L0_16x16:
+                self.decode_mb_p16(r, addr)
+            elif mb_type < _P_INTRA_OFFSET:
+                raise ValueError(
+                    f"H.264 P partition mb_type {mb_type} "
+                    "(16x8/8x16/8x8) not in the 16x16 subset")
+            else:
+                it = mb_type - _P_INTRA_OFFSET
+                if it == 25:
+                    self.decode_ipcm(r, addr)
+                elif it == 0:
+                    self.decode_mb(r, addr)
+                elif it <= 24:
+                    self.decode_mb16(r, addr, it)
+                else:
+                    raise ValueError(f"invalid P-slice mb_type {mb_type}")
+                self.mb_state[my, mx] = 1
+            covered[addr] = True
+            addr += 1
+
+    # ---- encode side ----
+
+    def decode_mb_p16(self, r: _BitReader, addr: int) -> None:
+        """P_L0_16x16: mvd pair, CBP, residual over the MC block."""
+        from rmlint_spark.operators.h264 import _read_se, _read_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        mvd_x = _read_se(r)                 # compIdx 0 = horizontal
+        mvd_y = _read_se(r)
+        mvp = self._mv_pred(my, mx)
+        mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
+        cbp_code = _read_ue(r)
+        if cbp_code > 47:
+            raise ValueError("H.264 coded_block_pattern out of range")
+        cbp = _CBP_FROM_CODE[cbp_code]
+        if cbp:
+            self.qp += _read_se(r)
+            if not 0 <= self.qp <= 51:
+                raise ValueError("H.264 mb_qp_delta drives QP out of range")
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp & (1 << _BLK_GROUP[blk]):
+                nc = _nc_for(self.nc_y, gy, gx)
+                vals = _read_residual(r, nc, 16)
+                self.nc_y[gy, gx] = sum(1 for vv in vals if vv)
+                q = _unscan_coeffs(vals)
+            else:
+                self.nc_y[gy, gx] = 0
+                q = np.zeros((4, 4), dtype=np.int64)
+            self.y[gy * 4:gy * 4 + 4, gx * 4:gx * 4 + 4] = _recon4(
+                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
+        dc_q, ac_q = self._chroma_read(r, cbp >> 4, my, mx)
+        self._mc_chroma = {"u": pred_u, "v": pred_v}
+        try:
+            self._chroma_recon(my, mx, dc_q, ac_q)
+        finally:
+            self._mc_chroma = None
+        self._commit_inter(addr, mv)
+
 
     def encode_mb_p(self, w: _BitWriter, addr: int, y_src: np.ndarray,
                     u_src: np.ndarray, v_src: np.ndarray,

@@ -272,8 +272,9 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
     ``codec="cavlc"``: compressed intra residuals at ``qp``, the
     r5 self-consistent lane; ``codec="cabac"``: the same residual
     semantics under CABAC arithmetic entropy, r5 s5;
-    ``codec="p"``: IDR+P GOPs with motion compensation, r5 s6 —
-    ``stss`` then lists only the IDR sync samples), which lands
+    ``codec="p"`` / ``codec="cabac_p"``: IDR+P GOPs with motion
+    compensation under CAVLC / CABAC entropy, r5 s6 — ``stss`` then
+    lists only the IDR sync samples), which lands
     length-prefixed (AVCC,
     4-byte lengths) in ``mdat`` with SPS/PPS in the ``avcC``
     decoder-config box and full ``stsz``/``stsc``/``stco`` sample
@@ -296,6 +297,10 @@ def encode_mp4_avc(frames, fps: tuple[int, int] = (25, 1),
         from rmlint_spark.operators.h264_inter import encode_h264_p
 
         annexb = encode_h264_p(frames, fps=fps, qp=qp)
+    elif codec == "cabac_p":
+        from rmlint_spark.operators.h264_cabac_p import encode_h264_cabac_p
+
+        annexb = encode_h264_cabac_p(frames, fps=fps, qp=qp)
     else:
         raise ValueError(f"unknown avc1 essence codec {codec!r}")
     sps = pps = None

@@ -335,7 +335,10 @@ def test_b_slice_header_refused():
         decode_h264(payload)
 
 
-def test_cabac_p_slice_refused():
+def test_truncated_cabac_p_header_refused():
+    # a CABAC P slice whose header stops mid-grammar must raise the
+    # documented ValueError, never decode garbage (CABAC-P itself is
+    # implemented — see test_h264_cabac_p.py)
     from rmlint_spark.operators.h264 import (_encode_pps, _encode_sps,
                                              _escape_rbsp,
                                              _trailing_bits, _write_ue)
@@ -349,7 +352,7 @@ def test_cabac_p_slice_refused():
                + b"\x00\x00\x00\x01\x68"
                + _escape_rbsp(_encode_pps(entropy_coding=1))
                + b"\x00\x00\x00\x01\x41" + _escape_rbsp(w.bytes()))
-    with pytest.raises(NotImplementedError, match="CABAC P"):
+    with pytest.raises(ValueError):
         decode_h264(payload)
 
 
