@@ -136,6 +136,21 @@ def test_sub16_partition_refused():
         pic2.decode_slice_p(_BitReader(w.bytes()), 0, covered)
 
 
+def test_cross_entropy_mode_pixel_identical_dedup():
+    """The CAVLC-P and CABAC-P encoders share motion search, mode
+    decisions, quantization and in-loop reconstruction — only the
+    entropy layer differs — so the SAME frames encoded through both
+    lanes decode to PIXEL-IDENTICAL output: lossy temporally-
+    compressed video dedups across entropy modes by decoded content,
+    exactly like the lossless cross-container lanes."""
+    frames = _pan_frames(n=4)
+    _, dec_v = decode_h264(encode_h264_p(frames, qp=16, gop=8, search=4))
+    _, dec_c = decode_h264(encode_h264_cabac_p(frames, qp=16, gop=8,
+                                               search=4))
+    for a, b in zip(dec_v, dec_c):
+        assert np.array_equal(a, b)
+
+
 def test_cabac_p_fuzz_fails_bounded():
     rng = np.random.RandomState(13)
     payload = bytearray(encode_h264_cabac_p(_pan_frames(n=3),
