@@ -251,7 +251,22 @@ def optimal_band_config(threshold: float, num_perm: int = 128,
     Raising ``fp_weight`` biases toward fewer spurious candidate
     pairs (cheaper verification joins at 100 TB); lowering it biases
     toward recall. The escalation ladder in :func:`candidate_pairs`
-    still bounds the damage of a too-loose choice at runtime."""
+    still bounds the damage of a too-loose choice at runtime.
+
+    Measured decision rule (scripts/band_tuning_ab.py, 4000 planted
+    docs at Jaccard grades 0.95/0.90/0.80/0.70, threshold 0.7,
+    BENCH/band_tuning_ab_r05.jsonl): the BALANCED optimum (16, 8)
+    has S-curve P(candidate | s=0.70) = 0.61 and measured band-stage
+    recall 0.771 at grade 0.70 / 0.970 at 0.80 — it trades away real
+    signal exactly at the threshold boundary for only a 23% candidate
+    reduction (978 -> 754). A dedup pipeline with a downstream verify
+    join must NOT make that trade: verification absorbs false
+    positives, but a pair the band join never emits is lost forever.
+    Hence: ``fp_weight <= 0.05`` for dedup (at threshold 0.7 /
+    num_perm 128 it recovers the recall-padded (32, 4), measured
+    recall 1.0 at every grade); the balanced/precision weightings are
+    for candidate-budgeted retrieval where the threshold is a ranking
+    preference, not a correctness contract."""
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
     if num_perm < 2:
@@ -271,11 +286,12 @@ def optimal_band_config(threshold: float, num_perm: int = 128,
 
 
 def tuned_config(cfg: EngineConfig, threshold: float | None = None,
-                 fp_weight: float = 0.5) -> EngineConfig:
+                 fp_weight: float = 0.05) -> EngineConfig:
     """EngineConfig with ``sig.bands`` re-tuned for ``threshold``
-    (default: the config's own ``jaccard_threshold``), so the band
-    join's candidate recall/precision matches the verification
-    threshold instead of whatever the static default implies."""
+    (default: the config's own ``jaccard_threshold``).  The default
+    ``fp_weight`` is the measured recall-safe dedup setting (see
+    :func:`optimal_band_config`); pass ~0.5 only for candidate-
+    budgeted retrieval where boundary recall is negotiable."""
     from dataclasses import replace
 
     t = cfg.jaccard_threshold if threshold is None else threshold

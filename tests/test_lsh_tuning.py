@@ -59,11 +59,22 @@ def test_tuned_config_keeps_divisibility_invariant():
     cfg = tuned_config(DEFAULT, threshold=0.8)
     # the SignatureConfig property asserts num_perm % bands == 0
     assert cfg.sig.bands * cfg.sig.rows_per_band == cfg.sig.num_perm
-    # default threshold comes from the config itself
+    # default threshold comes from the config itself, at the measured
+    # recall-safe dedup weighting
     cfg2 = tuned_config(DEFAULT)
     b, _ = optimal_band_config(DEFAULT.jaccard_threshold,
-                               DEFAULT.sig.num_perm)
+                               DEFAULT.sig.num_perm, fp_weight=0.05)
     assert cfg2.sig.bands == b
+
+
+def test_recall_safe_weighting_recovers_engine_default():
+    """The measured decision rule (band_tuning_ab): at threshold 0.7
+    / 128 perms, fp_weight 0.05 lands on the recall-padded (32, 4)
+    the engine ships — band-stage recall 1.0 at every planted grade —
+    while the balanced weighting's (16, 8) measured 0.771 at grade
+    0.70."""
+    assert optimal_band_config(0.7, 128, fp_weight=0.05) == (32, 4)
+    assert tuned_config(DEFAULT).sig.bands == DEFAULT.sig.bands
 
 
 def test_validation():
