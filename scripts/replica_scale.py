@@ -70,9 +70,29 @@ def main() -> None:
     n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
     tmp = tempfile.mkdtemp(prefix="rmlint_spark_replica_")
     zip_path = build_zip(tmp)
-    corpus = os.environ.get("SCALE_CORPUS") or gen_corpus(tmp, n_rows)
-    big = os.path.join(tmp, "corpus_x4")
-    expect = build_replica(corpus, big, K)
+    if os.environ.get("REPLICA_CORPUS"):
+        # reuse a previously built replica corpus (reruns after a
+        # harness timeout); recompute the expectation cheaply
+        from pyspark.sql import functions as F
+
+        from rmlint_spark.session import get_spark
+
+        big = os.environ["REPLICA_CORPUS"]
+        spark = get_spark("replica_expect", cores=32, shuffle_partitions=64)
+        bigdf = spark.read.parquet(big)
+        expect = {
+            "n_files": bigdf.count(),
+            "expect_members": (
+                bigdf.filter(F.length("content") > 0)
+                .dropDuplicates(["repo", "path", "commit"])
+                .count()
+            ),
+        }
+        spark.stop()
+    else:
+        corpus = os.environ.get("SCALE_CORPUS") or gen_corpus(tmp, n_rows)
+        big = os.path.join(tmp, "corpus_x4")
+        expect = build_replica(corpus, big, K)
     print(f"replica corpus at {big}: {expect}", flush=True)
 
     p0 = probe()
