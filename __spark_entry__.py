@@ -254,6 +254,7 @@ def q_text_stats(spark, sf_dir):
         TX.bpe_token_count(F.col("text")).alias("bpe_tokens"),
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_id(F.col("text")).alias("lang_guess"),
+        TX.fingerprint(F.col("text")).alias("fp"),
     )
 
 
@@ -317,9 +318,38 @@ def q_span_dedup(spark, sf_dir):
     )
 
 
-def q_fingerprint(spark, sf_dir):
+def q_cdc_chunks(spark, sf_dir):
+    # Content-defined chunking (FastCDC-style, operators/cdc.py) —
+    # storage-dedup at sub-file granularity, rmlint's funnel taken
+    # below the whole-file boundary. A shared boilerplate region is
+    # INSERTED into every 5th doc at a doc_id-dependent offset, so the
+    # dedup evidence is exactly CDC's selling point: identical interior
+    # chunks despite different byte offsets (a fixed-size blocker would
+    # find nothing). The chunk relation is materialized to the
+    # side-channel; DuckDB replays the per-content rollup (boundary
+    # detection itself is the vectorized rolling hash — oracled
+    # structurally, the substring_clones/span_dedup precedent).
+    from rmlint_spark.operators.cdc import cdc_chunks, chunk_dedup_stats
+
+    boiler = (_SPAN_BOILER + " ") * 5  # ~600 bytes, many interior chunks
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.expr("substring(text, 1, int(pmod(doc_id * 37, length(text) + 1)))"),
+                F.lit(boiler),
+                F.expr("substring(text, int(pmod(doc_id * 37, length(text) + 1)) + 1)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    chunks = cdc_chunks(planted, window=16, avg_bits=5, min_size=16, max_size=128)
+    path = f"{ORACLE_SIDE}/cdc_chunks"
+    chunks.write.mode("overwrite").parquet(path)
+    return chunk_dedup_stats(spark.read.parquet(path)).filter(F.col("n_copies") >= 2)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -1133,7 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "span_dedup": q_span_dedup,
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        "fingerprint": q_fingerprint,
+        "cdc_chunks": q_cdc_chunks,
         "events_hourly": q_events_hourly,
         "topk_per_group": q_topk_per_group,
         "dedup_canonical": q_dedup_canonical,
@@ -1318,7 +1348,8 @@ def oracle_sql() -> dict[str, str]:
                      WHEN ({s_de}) >= ({s_fr}) AND ({s_de}) > 0 THEN 'de'
                      WHEN ({s_fr}) > 0 THEN 'fr'
                      ELSE 'und'
-                   END AS lang_guess
+                   END AS lang_guess,
+                   sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
             FROM documents
         """,
         "embedding_dup_pairs": """
@@ -1383,10 +1414,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
             LEFT JOIN mc ON mc.doc_id = d.doc_id
         """,
-        "fingerprint": """
-            SELECT doc_id,
-                   sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
-            FROM documents
+        # cdc_chunks: replay the per-content rollup from the
+        # materialized chunk relation (boundary detection is the
+        # vectorized rolling hash — structural oracle, the
+        # substring_clones/span_dedup precedent)
+        "cdc_chunks": f"""
+            SELECT chunk_sha,
+                   count(*) AS n_copies,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(length) AS chunk_bytes
+            FROM read_parquet('{ORACLE_SIDE}/cdc_chunks/*.parquet')
+            GROUP BY chunk_sha
+            HAVING count(*) >= 2
         """,
         "events_hourly": """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour,
