@@ -149,3 +149,56 @@ def test_invalid_size_ordering_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         cdc_chunks(df, window=W, avg_bits=5, min_size=64, max_size=16)
+
+
+# -- property-based coverage (pure kernel, no Spark) ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=3000),
+    st.integers(4, 24),
+    st.integers(3, 7),
+)
+def test_chunking_invariants_hold_for_any_input(data, window, avg_bits):
+    mn = max(4, 1 << (avg_bits - 2))
+    mx = 1 << (avg_bits + 2)
+    spans = chunk_document(data, window, avg_bits, mn, mx)
+    if not data:
+        assert spans == []
+        return
+    # exact partition of the byte range, in order
+    assert spans[0][0] == 0 and spans[-1][1] == len(data)
+    assert all(e0 == s1 for (_, e0), (s1, _) in zip(spans, spans[1:]))
+    # every chunk bounded above; all but the tail bounded below
+    assert all(0 < e - s <= mx for s, e in spans)
+    assert all(e - s >= mn for s, e in spans[:-1])
+    # deterministic (same bytes -> same cuts)
+    assert spans == chunk_document(data, window, avg_bits, mn, mx)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=50, max_size=1500), st.binary(min_size=0, max_size=200))
+def test_shared_suffix_chunks_realign_eventually(base, prefix):
+    # appending any prefix leaves the tail chunk identical once both
+    # streams resync — weaker than the seeded 80% assertion above but
+    # universally quantified: the FINAL chunk end always coincides,
+    # and if both partitions contain a cut at the same content offset,
+    # everything after it is byte-identical.
+    w, ab = 8, 4
+    mn, mx = 4, 64
+    c1 = chunk_document(base, w, ab, mn, mx)
+    c2 = chunk_document(prefix + base, w, ab, mn, mx)
+    d = len(prefix)
+    cuts1 = {e for _, e in c1}
+    cuts2 = {e - d for _, e in c2 if e - d > 0}
+    shared = sorted(cuts1 & cuts2)
+    assert shared, "streams never realign even at the document end"
+    first = shared[0]
+    # after the first shared cut, the chunkings are identical
+    tail1 = [(s, e) for s, e in c1 if s >= first]
+    tail2 = [(s - d, e - d) for s, e in c2 if s - d >= first]
+    assert tail1 == tail2
