@@ -158,9 +158,12 @@ def cdc_chunks(
     max_size: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    id_type: str = "long",
 ) -> DataFrame:
     """Chunk every document; returns the chunk relation
     (id, chunk_idx int, start long, length long, chunk_sha string).
+    ``id_type`` is the Spark SQL type of ``id_col`` (e.g. ``"string"``
+    when the key is a content sha, as in the incremental chunk store).
 
     Defaults follow the FastCDC paper's shape: 8 KiB average
     (``avg_bits=13``), min = avg/4, max = avg*4. ``start``/``length``
@@ -184,8 +187,9 @@ def cdc_chunks(
     w = window
     mask = np.uint64((1 << avg_bits) - 1)
     out_schema = (
-        f"{id_col} long, chunk_idx int, start long, length long, chunk_sha string"
+        f"{id_col} {id_type}, chunk_idx int, start long, length long, chunk_sha string"
     )
+    id_dtype = "int64" if id_type in ("long", "bigint", "int", "integer") else "object"
 
     def _chunk_batches(batches):
         for pdf in batches:
@@ -220,7 +224,7 @@ def cdc_chunks(
                 off += n
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(rows_id, dtype="int64"),
+                    id_col: pd.Series(rows_id, dtype=id_dtype),
                     "chunk_idx": pd.Series(rows_ix, dtype="int32"),
                     "start": pd.Series(rows_st, dtype="int64"),
                     "length": pd.Series(rows_ln, dtype="int64"),

@@ -150,6 +150,175 @@ class IncrementalDedup:
         )
 
 
+class IncrementalChunkDedup:
+    """foreachBatch chunk-level storage dedup (operators/cdc.py made
+    incremental): maintain a persistent content-sha -> CDC-chunk store
+    so arriving batches chunk only never-seen contents — the funnel's
+    "only hash what's new" economy applied to the sub-file layer.
+
+    Store layout (hash-partitioned by content sha, the
+    ``IncrementalNearDup`` economics):
+
+    - ``chunks/`` — (sha, chunk_idx, chunk_sha, length, pt): the chunk
+      relation of every distinct content ever seen. Chunk rows are a
+      pure function of the content bytes, so appends are idempotent
+      once guarded (below).
+    - ``metrics/`` — (epoch, n_contents, n_new, n_chunk_rows): one
+      per-epoch lineage row (appended before the seen marker; a replay
+      can append a second, SMALLER row for the same epoch, so readers
+      take max per epoch — the width-delta precedent).
+    - ``seen/`` — (sha, pt): the idempotency marker, appended LAST
+      (replay-safe commit order: a crash anywhere earlier makes the
+      replay redo the fold, never skip it).
+
+    Per-batch cost is O(new): the seen anti-join and the replay guard
+    both read only the partitions (plus exact sha values via a pushed
+    In filter) the batch touches. The expensive step — the Arrow
+    chunking pass — runs only on contents that survive BOTH guards:
+    the seen marker (normal path) and the chunk store's own distinct
+    shas (crash-between-appends replay path), so the chunk store never
+    accumulates duplicate rows.
+
+    File-level multiplicity deliberately lives elsewhere: this store
+    is keyed by content sha (one row set per distinct content);
+    compose with ``IncrementalDedup``'s per-file signature store to
+    weight chunks by file copies.
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        n_partitions: int = 16,
+        isin_limit: int = 100_000,
+        window: int = 48,
+        avg_bits: int = 13,
+        min_size: int | None = None,
+        max_size: int | None = None,
+    ):
+        self.store_dir = store_dir
+        self.n_partitions = n_partitions
+        self.isin_limit = isin_limit
+        self.window = window
+        self.avg_bits = avg_bits
+        self.min_size = min_size
+        self.max_size = max_size
+        self.chunk_path = os.path.join(store_dir, "chunks")
+        self.metrics_path = os.path.join(store_dir, "metrics")
+        self.seen_path = os.path.join(store_dir, "seen")
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from rmlint_spark.operators.cdc import cdc_chunks
+        from rmlint_spark.operators.exact import pin_scope
+        from rmlint_spark.sources.bucketed import (
+            append_partitioned,
+            hex_pt,
+            hex_pt_py,
+            pruned_read,
+        )
+
+        spark = batch.sparkSession
+        with pin_scope(spark):
+            contents = (
+                batch.filter(F.length("content") > 0)
+                .select(F.sha2("content", 256).alias("sha"), "content")
+                .dropDuplicates(["sha"])
+                .localCheckpoint(eager=True)
+            )
+            shas = [r["sha"] for r in contents.select("sha").collect()]
+            n_contents = len(shas)
+            if not shas:
+                return
+            pts = sorted({hex_pt_py(s, self.n_partitions) for s in shas})
+            unmarked = contents
+            seen = _read_store(spark, self.seen_path)
+            if seen is not None:
+                unmarked = unmarked.join(
+                    pruned_read(seen, pts, "sha", shas, self.isin_limit).select("sha"),
+                    "sha",
+                    "left_anti",
+                )
+            unmarked = unmarked.localCheckpoint(eager=True)
+            # replay guard: a crash between the chunk append and the
+            # seen marker leaves chunked-but-UNMARKED contents; chunk
+            # rows are deterministic, so the replay skips re-chunking
+            # them (fresh) but still writes their seen marker (from
+            # unmarked) so the fold completes
+            fresh = unmarked
+            chunk_store = _read_store(spark, self.chunk_path)
+            if chunk_store is not None:
+                fresh = fresh.join(
+                    pruned_read(chunk_store, pts, "sha", shas, self.isin_limit)
+                    .select("sha")
+                    .distinct(),
+                    "sha",
+                    "left_anti",
+                )
+            fresh = fresh.localCheckpoint(eager=True)
+            new_chunks = cdc_chunks(
+                fresh,
+                window=self.window,
+                avg_bits=self.avg_bits,
+                min_size=self.min_size,
+                max_size=self.max_size,
+                id_col="sha",
+                text_col="content",
+                id_type="string",
+            ).localCheckpoint(eager=True)
+            n_chunk_rows = new_chunks.count()
+            n_new = fresh.count()
+            append_partitioned(
+                new_chunks.withColumn("pt", hex_pt(F.col("sha"), self.n_partitions)),
+                self.chunk_path,
+            )
+            spark.createDataFrame(
+                [(int(epoch_id), n_contents, n_new, n_chunk_rows)],
+                "epoch long, n_contents long, n_new long, n_chunk_rows long",
+            ).write.mode("append").parquet(self.metrics_path)
+            # seen marker LAST (commit order: replay redoes, never skips)
+            append_partitioned(
+                unmarked.select("sha").withColumn(
+                    "pt", hex_pt(F.col("sha"), self.n_partitions)
+                ),
+                self.seen_path,
+            )
+
+    def chunk_store(self, spark: SparkSession) -> DataFrame:
+        store = _read_store(spark, self.chunk_path)
+        assert store is not None, "no batches processed yet"
+        return store.select("sha", "chunk_idx", "start", "length", "chunk_sha")
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """Per-epoch lineage, replay-collapsed: max per column per epoch
+        (the first, pre-crash append always carries the full counts)."""
+        m = _read_store(spark, self.metrics_path)
+        assert m is not None, "no batches processed yet"
+        return m.groupBy("epoch").agg(
+            F.max("n_contents").alias("n_contents"),
+            F.max("n_new").alias("n_new"),
+            F.max("n_chunk_rows").alias("n_chunk_rows"),
+        )
+
+    def current_dedup_ratio(self, spark: SparkSession) -> DataFrame:
+        """One-row storage-dedup summary over every content seen so far
+        (distinct contents; see class docstring for file weighting)."""
+        from rmlint_spark.operators.cdc import dedup_ratio
+
+        return dedup_ratio(self.chunk_store(spark))
+
+    def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):
+        stream = (
+            spark.readStream.schema(FILES_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 class IncrementalNearDup:
     """foreachBatch NEAR-dup: fold each micro-batch into persistent
     hash-partitioned (index, signature, band-bucket, width, edge)
