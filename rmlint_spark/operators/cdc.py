@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 _P = 0x9E3779B97F4A7C15
 _PINV = pow(_P, -1, 1 << 64)
 
+# Default concatenated-buffer cap for the vectorized hash pass (see
+# cdc_chunks): bounds per-task temporary memory at ~50x this value.
+_DEFAULT_BUF_CAP = 8 << 20
+
 # 256-entry byte-mixing table (the FastCDC "gear" idea): each byte maps
 # to a full-width pseudorandom word so short windows still fill all 64
 # hash bits. Derived from fixed sha256 strings — no RNG state.
@@ -159,6 +163,7 @@ def cdc_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     id_type: str = "long",
+    buf_cap: int | None = None,
 ) -> DataFrame:
     """Chunk every document; returns the chunk relation
     (id, chunk_idx int, start long, length long, chunk_sha string).
@@ -182,6 +187,8 @@ def cdc_chunks(
     avg = 1 << avg_bits
     mn = avg // 4 if min_size is None else min_size
     mx = avg * 4 if max_size is None else max_size
+    if window < 1:
+        raise ValueError(f"need window >= 1, got {window}")
     if not (0 < mn <= avg <= mx):
         raise ValueError(f"need 0 < min({mn}) <= avg({avg}) <= max({mx})")
     w = window
@@ -191,46 +198,73 @@ def cdc_chunks(
     )
     id_dtype = "int64" if id_type in ("long", "bigint", "int", "integer") else "object"
 
+    # The vectorized pass materializes ~40-50 bytes of uint64
+    # temporaries per input byte (gear terms, power/inverse-power
+    # cumprods, prefix sums, the windowed difference), so the
+    # concatenated buffer is capped: documents group into sub-batches
+    # of at most ``buf_cap`` total bytes (a single larger document still
+    # processes whole — per-task peak is then ~50x the LARGEST document,
+    # not 50x the Arrow batch). Grouping is invisible to results
+    # (position normalization makes the hash content-pure; the batching
+    # invariance test pins it).
+    cap = _DEFAULT_BUF_CAP if buf_cap is None else buf_cap
+
+    def _sub_batches(ids, raw):
+        cur_i, cur_r, cur_bytes = [], [], 0
+        for did, data in zip(ids, raw):
+            if cur_r and cur_bytes + len(data) > cap:
+                yield cur_i, cur_r
+                cur_i, cur_r, cur_bytes = [], [], 0
+            cur_i.append(did)
+            cur_r.append(data)
+            cur_bytes += len(data)
+        if cur_r:
+            yield cur_i, cur_r
+
     def _chunk_batches(batches):
         for pdf in batches:
-            ids = pdf[id_col].tolist()
-            raw = [(t or "").encode("utf-8") for t in pdf[text_col].tolist()]
-            if not raw:
+            all_ids = pdf[id_col].tolist()
+            all_raw = [(t or "").encode("utf-8") for t in pdf[text_col].tolist()]
+            if not all_raw:
                 continue
-            buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
-            H = _window_hashes(buf, w)
-            is_cand = (H & mask) == 0 if len(H) else np.empty(0, dtype=bool)
-            rows_id, rows_ix, rows_st, rows_ln, rows_sha = [], [], [], [], []
-            off = 0
-            for did, data in zip(ids, raw):
-                n = len(data)
-                if n == 0:
-                    off += n
-                    continue
-                if n >= w:
-                    # windows fully inside this document: global starts
-                    # off .. off + n - w
-                    local = np.nonzero(is_cand[off : off + n - w + 1])[0] + w
-                else:
-                    local = np.empty(0, dtype=np.int64)
-                for ix, (s, e) in enumerate(
-                    _greedy_boundaries(n, local, mn, mx)
-                ):
-                    rows_id.append(did)
-                    rows_ix.append(ix)
-                    rows_st.append(s)
-                    rows_ln.append(e - s)
-                    rows_sha.append(hashlib.sha256(data[s:e]).hexdigest())
+            for ids, raw in _sub_batches(all_ids, all_raw):
+                yield _chunk_group(ids, raw)
+
+    def _chunk_group(ids, raw):
+        buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+        H = _window_hashes(buf, w)
+        is_cand = (H & mask) == 0 if len(H) else np.empty(0, dtype=bool)
+        rows_id, rows_ix, rows_st, rows_ln, rows_sha = [], [], [], [], []
+        off = 0
+        for did, data in zip(ids, raw):
+            n = len(data)
+            if n == 0:
                 off += n
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(rows_id, dtype=id_dtype),
-                    "chunk_idx": pd.Series(rows_ix, dtype="int32"),
-                    "start": pd.Series(rows_st, dtype="int64"),
-                    "length": pd.Series(rows_ln, dtype="int64"),
-                    "chunk_sha": pd.Series(rows_sha, dtype="object"),
-                }
-            )
+                continue
+            if n >= w:
+                # windows fully inside this document: global starts
+                # off .. off + n - w
+                local = np.nonzero(is_cand[off : off + n - w + 1])[0] + w
+            else:
+                local = np.empty(0, dtype=np.int64)
+            for ix, (s, e) in enumerate(
+                _greedy_boundaries(n, local, mn, mx)
+            ):
+                rows_id.append(did)
+                rows_ix.append(ix)
+                rows_st.append(s)
+                rows_ln.append(e - s)
+                rows_sha.append(hashlib.sha256(data[s:e]).hexdigest())
+            off += n
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(rows_id, dtype=id_dtype),
+                "chunk_idx": pd.Series(rows_ix, dtype="int32"),
+                "start": pd.Series(rows_st, dtype="int64"),
+                "length": pd.Series(rows_ln, dtype="int64"),
+                "chunk_sha": pd.Series(rows_sha, dtype="object"),
+            }
+        )
 
     return docs.select(id_col, text_col).mapInPandas(_chunk_batches, schema=out_schema)
 

@@ -35,6 +35,23 @@ FILES_SCHEMA = T.StructType(
 )
 
 
+def _start_files_stream(spark: SparkSession, source_dir: str, checkpoint_dir: str, process_batch):
+    """Shared readStream → foreachBatch harness for the incremental
+    sinks: micro-batched file source over ``FILES_SCHEMA``, drain-all
+    trigger, durable stream checkpoint."""
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a store directory, distinguishing "no store yet" from
     genuine corruption (judge r3 finding: a blanket except here made a
@@ -137,17 +154,7 @@ class IncrementalDedup:
         )
 
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):
-        stream = (
-            spark.readStream.schema(FILES_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
-            .parquet(source_dir)
-        )
-        return (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+        return _start_files_stream(spark, source_dir, checkpoint_dir, self.process_batch)
 
 
 class IncrementalChunkDedup:
@@ -266,14 +273,20 @@ class IncrementalChunkDedup:
             ).localCheckpoint(eager=True)
             n_chunk_rows = new_chunks.count()
             n_new = fresh.count()
-            append_partitioned(
-                new_chunks.withColumn("pt", hex_pt(F.col("sha"), self.n_partitions)),
-                self.chunk_path,
-            )
+            # metrics BEFORE the chunk append: a crash in either window
+            # leaves max-per-epoch collapse correct — before: the replay
+            # recomputes the same full counts; after: the replay's
+            # smaller row loses the max. (Appending metrics after the
+            # chunks would let a crash in between permanently record
+            # n_new=0 for an epoch that chunked rows.)
             spark.createDataFrame(
                 [(int(epoch_id), n_contents, n_new, n_chunk_rows)],
                 "epoch long, n_contents long, n_new long, n_chunk_rows long",
             ).write.mode("append").parquet(self.metrics_path)
+            append_partitioned(
+                new_chunks.withColumn("pt", hex_pt(F.col("sha"), self.n_partitions)),
+                self.chunk_path,
+            )
             # seen marker LAST (commit order: replay redoes, never skips)
             append_partitioned(
                 unmarked.select("sha").withColumn(
@@ -306,17 +319,7 @@ class IncrementalChunkDedup:
         return dedup_ratio(self.chunk_store(spark))
 
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):
-        stream = (
-            spark.readStream.schema(FILES_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
-            .parquet(source_dir)
-        )
-        return (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+        return _start_files_stream(spark, source_dir, checkpoint_dir, self.process_batch)
 
 
 class IncrementalNearDup:
@@ -790,17 +793,7 @@ class IncrementalNearDup:
         return report
 
     def start(self, spark: SparkSession, source_dir: str, checkpoint_dir: str):
-        stream = (
-            spark.readStream.schema(FILES_SCHEMA)
-            .option("maxFilesPerTrigger", 4)
-            .parquet(source_dir)
-        )
-        return (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+        return _start_files_stream(spark, source_dir, checkpoint_dir, self.process_batch)
 
 
 EVENTS_SCHEMA = T.StructType(

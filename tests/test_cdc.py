@@ -202,3 +202,17 @@ def test_shared_suffix_chunks_realign_eventually(base, prefix):
     tail1 = [(s, e) for s, e in c1 if s >= first]
     tail2 = [(s - d, e - d) for s, e in c2 if s - d >= first]
     assert tail1 == tail2
+
+
+def test_buffer_cap_grouping_is_invisible(spark):
+    """Forcing one-doc sub-batches via buf_cap
+    changes nothing — the memory bound is pure batching policy."""
+
+    docs = [(i, _text(100 + i, 300)) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+    kw = dict(window=W, avg_bits=AVG_BITS, min_size=MIN, max_size=MAX)
+    base = sorted(map(tuple, cdc_chunks(df, **kw).collect()))
+    # 64 bytes is far below one document: every doc becomes its own
+    # sub-batch, exercising the single-doc-over-cap branch
+    capped = sorted(map(tuple, cdc_chunks(df, buf_cap=64, **kw).collect()))
+    assert base == capped
