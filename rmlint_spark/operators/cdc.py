@@ -307,3 +307,40 @@ def dedup_ratio(chunks: DataFrame) -> DataFrame:
         "unique_bytes",
         (F.col("unique_bytes") / F.col("total_bytes")).alias("dedup_ratio"),
     )
+
+
+def weighted_dedup_ratio(
+    chunks: DataFrame, file_counts: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level storage-dedup summary when the chunk relation is
+    keyed by DISTINCT content (the incremental store's economy) but
+    each content backs ``n_files`` real files: chunk occurrence counts
+    weight by their content's file multiplicity, so ``total_bytes`` is
+    the corpus's physical footprint and ``dedup_ratio`` the fraction a
+    chunk store would actually keep — whole-file duplication and
+    sub-file sharing accounted in one number.
+
+    ``file_counts`` is (id_col, n_files) — e.g.
+    ``IncrementalDedup.signatures(...).groupBy("checksum").count()``
+    renamed, composed with ``IncrementalChunkDedup.chunk_store(...)``.
+    The join key is per-content (≤ distinct contents, far below file
+    count) and the weighted rollup shuffles only (chunk_sha, n,
+    length) rows."""
+    weighted = chunks.join(file_counts, id_col).select(
+        "chunk_sha", "length", F.col("n_files").cast("long").alias("n_files")
+    )
+    per_sha = weighted.groupBy("chunk_sha").agg(
+        F.sum("n_files").alias("n"), F.min("length").alias("length")
+    )
+    return per_sha.agg(
+        F.sum("n").alias("total_chunks"),
+        F.count("*").alias("distinct_chunks"),
+        F.sum(F.col("n") * F.col("length")).alias("total_bytes"),
+        F.sum("length").alias("unique_bytes"),
+    ).select(
+        "total_chunks",
+        "distinct_chunks",
+        "total_bytes",
+        "unique_bytes",
+        (F.col("unique_bytes") / F.col("total_bytes")).alias("dedup_ratio"),
+    )

@@ -140,3 +140,48 @@ def test_replay_after_partial_crash(spark, tmp_path, monkeypatch):
     assert raw.count() == 2
     m = cd.metrics(spark).collect()
     assert len(m) == 1 and m[0]["n_new"] == 2
+
+
+def test_weighted_ratio_composes_with_file_store(spark, tmp_path):
+    """Chunk store keyed by distinct content + the exact-dup file
+    store's multiplicities = the corpus's PHYSICAL dedup ratio: three
+    identical files must weigh their content's chunks three times."""
+    from rmlint_spark.operators.cdc import cdc_chunks, weighted_dedup_ratio
+    from rmlint_spark.streaming.incremental import IncrementalDedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    a, b = _text(6, 500), _text(7, 400)
+    rows = [
+        ("r1", "a.py", "c1", "py", a),
+        ("r2", "a_copy.py", "c1", "py", a),
+        ("r3", "a_again.py", "c1", "py", a),
+        ("r1", "b.py", "c1", "py", b),
+    ]
+    spark.createDataFrame(rows, COLS).coalesce(1).write.mode("append").parquet(src)
+    cd = IncrementalChunkDedup(str(tmp_path / "cstore"), n_partitions=8, **PARAMS)
+    fd = IncrementalDedup(str(tmp_path / "fstore"), n_partitions=8)
+    cd.start(spark, src, str(tmp_path / "ck1")).awaitTermination()
+    fd.start(spark, src, str(tmp_path / "ck2")).awaitTermination()
+
+    counts = (
+        fd.signatures(spark)
+        .groupBy("checksum")
+        .agg(F.count("*").alias("n_files"))
+        .withColumnRenamed("checksum", "sha")
+    )
+    got = weighted_dedup_ratio(cd.chunk_store(spark), counts, id_col="sha").collect()[0]
+    # physical footprint: content a three times, b once
+    assert got.total_bytes == 3 * len(a.encode()) + len(b.encode())
+    # unique bytes equal the unweighted distinct-chunk bytes
+    direct = spark.createDataFrame([(t,) for t in (a, b)], "content string").select(
+        F.sha2("content", 256).alias("sha"), "content"
+    )
+    from rmlint_spark.operators.cdc import dedup_ratio
+
+    unweighted = dedup_ratio(
+        cdc_chunks(direct, id_col="sha", text_col="content", id_type="string", **PARAMS)
+    ).collect()[0]
+    assert got.unique_bytes == unweighted.unique_bytes
+    assert got.distinct_chunks == unweighted.distinct_chunks
+    assert got.dedup_ratio < unweighted.dedup_ratio  # file dups add savings
