@@ -741,21 +741,70 @@ def q_winnow(spark, sf_dir):
     )
 
 
+def _code_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic source-code corpus derived from documents: every
+    4 consecutive doc_ids form a type-2 clone FAMILY — same code
+    skeleton, per-doc function names / comments / string payloads /
+    constants (so raw texts are all distinct).  The family's identity
+    is encoded as two contiguous 5-char operator runs (base-5 digits
+    of the family id over the disjoint alphabets '+-*/%' and '&|^<>'),
+    the one structural element blind renaming cannot fold — each run
+    is unique per family (bound: 5^5 = 3125 families = 12500 docs;
+    sf0.1 uses 1250), so after normalization the run-covering k-grams
+    have bucket width exactly 4 while every family-generic gram goes
+    over the cap and lands in the dropped report. Both engines build
+    the identical corpus (the oracle replays this construction in
+    DuckDB)."""
+    fam = F.expr("doc_id div 4")
+    op1 = [F.expr(f"substr('+-*/%', CAST((doc_id div 4 div {5**i}) % 5 AS INT) + 1, 1)") for i in range(5)]
+    op2 = [F.expr(f"substr('&|^<>', CAST((doc_id div 4 div {5**i}) % 5 AS INT) + 1, 1)") for i in range(5)]
+    did = F.col("doc_id").cast("string")
+    code = F.concat(
+        F.lit("def fn_"), did, F.lit("(aa, bb, cc):\n"),
+        F.lit("    # "), F.substring("text", 1, 40), F.lit("\n"),
+        F.lit('    tag = "'), F.substring("text", 1, 24), F.lit('"\n'),
+        F.lit("    va = aa "), *op1, F.lit(" bb\n"),
+        F.lit("    vb = va "), *op2, F.lit(" cc\n"),
+        F.lit("    return vb + "), (F.col("doc_id") + 17).cast("string"), F.lit("\n"),
+    )
+    return docs.select("doc_id", code.alias("text"), fam.alias("fam"))
+
+
 def q_winnow_clone_pairs(spark, sf_dir):
-    """Clone-candidate pairs from winnowed fingerprints (the MOSS
-    match step): shared-fp self-join with the repo-standard width cap.
-    k=20/w=8 makes the guarantee window 27 chars — long enough that
-    the synthetic corpus' shared vocabulary stays out of the pair
+    """Two clone lanes sharing the winnow match machinery:
+
+    kind='raw'  — type-1 (verbatim) clone candidates on the document
+    texts: k=20/w=8 makes the guarantee window 27 chars, long enough
+    that the synthetic corpus' shared vocabulary stays out of the pair
     relation and only genuine clone families (114 pairs at sf0.01,
-    zero capped buckets) surface. n_shared >= 2 is the match gate."""
+    zero capped buckets) surface.
+
+    kind='t2'   — type-2 (renamed) clone candidates on the derived
+    code corpus (_code_corpus): identifier-blind normalization
+    (operators/clone2) then winnow k=12/w=4 with the width cap acting
+    as the structural-boilerplate filter; each planted 4-doc family is
+    guaranteed >= 2 surviving shared fingerprints (one per operator
+    run), so min_shared=2 keeps every family while killing the
+    single-fp boundary-selection leaks.
+
+    n_shared >= 2 is the match gate on both lanes."""
+    from rmlint_spark.operators.clone2 import type2_clone_pairs
     from rmlint_spark.operators.winnow import (
         shared_fingerprint_pairs,
         winnow_fingerprints,
     )
 
-    fps = winnow_fingerprints(_docs(spark, sf_dir), k=20, w=8)
-    pairs, _dropped = shared_fingerprint_pairs(fps, max_bucket_width=16)
-    return pairs.filter(F.col("n_shared") >= 2).select("id_a", "id_b", "n_shared")
+    docs = _docs(spark, sf_dir)
+    fps = winnow_fingerprints(docs, k=20, w=8)
+    raw, _dropped = shared_fingerprint_pairs(fps, max_bucket_width=16)
+    raw = raw.filter(F.col("n_shared") >= 2)
+    t2, _t2drop = type2_clone_pairs(
+        _code_corpus(docs), k=12, w=4, max_bucket_width=16, min_shared=2
+    )
+    return (
+        raw.select(F.lit("raw").alias("kind"), "id_a", "id_b", "n_shared")
+        .unionByName(t2.select(F.lit("t2").alias("kind"), "id_a", "id_b", "n_shared"))
+    )
 
 
 def q_corpus_report(spark, sf_dir):
@@ -1217,6 +1266,27 @@ def _lang_score_sql(lang: str) -> str:
     from rmlint_spark.functions.text import LANG_MARKERS
 
     return " + ".join(_word_sql(w) for w in LANG_MARKERS[lang])
+
+
+# DuckDB fragments for the winnow_clone_pairs t2 lane (must mirror
+# _code_corpus and operators/clone2.normalize_code exactly)
+_OPS1 = " || ".join(
+    f"substr('+-*/%', CAST(((doc_id // 4) // {5**i}) % 5 AS INT) + 1, 1)"
+    for i in range(5)
+)
+_OPS2 = " || ".join(
+    f"substr('&|^<>', CAST(((doc_id // 4) // {5**i}) % 5 AS INT) + 1, 1)"
+    for i in range(5)
+)
+
+
+def _norm_t() -> str:
+    from rmlint_spark.operators.clone2 import normalize_code_sql
+
+    return normalize_code_sql("t")
+
+
+_NORM_T = _norm_t()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1754,7 +1824,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(array_to_string(list_sort(fps), ',')) AS fps_sha
             FROM m
         """,
-        "winnow_clone_pairs": """
+        "winnow_clone_pairs": f"""
             WITH g AS (
               SELECT doc_id,
                      list_transform(generate_series(1, length(text) - 19),
@@ -1771,10 +1841,48 @@ def oracle_sql() -> dict[str, str]:
             fp AS (SELECT doc_id, x AS fp FROM m, unnest(fps) AS u(x)),
             width AS (SELECT fp, COUNT(*) AS w FROM fp GROUP BY fp),
             usable AS (SELECT fp.doc_id, fp.fp
-                       FROM fp JOIN width USING (fp) WHERE w <= 16)
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       FROM fp JOIN width USING (fp) WHERE w <= 16),
+            -- t2 lane: derived code corpus (see _code_corpus) ->
+            -- identifier-blind normalization (operators/clone2) ->
+            -- winnow k=12/w=4 -> width cap 16 -> shared-fp pairs
+            code AS (
+              SELECT doc_id,
+                     'def fn_' || CAST(doc_id AS VARCHAR) || '(aa, bb, cc):' || chr(10)
+                     || '    # ' || substr(text, 1, 40) || chr(10)
+                     || '    tag = "' || substr(text, 1, 24) || '"' || chr(10)
+                     || '    va = aa ' || {_OPS1} || ' bb' || chr(10)
+                     || '    vb = va ' || {_OPS2} || ' cc' || chr(10)
+                     || '    return vb + ' || CAST(doc_id + 17 AS VARCHAR) || chr(10)
+                     AS t
+              FROM documents),
+            norm AS (SELECT doc_id, {_NORM_T} AS text FROM code),
+            g2 AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(text) - 11),
+                        i -> substr(sha256(substr(text, CAST(i AS INT), 12)), 1, 8))
+                     AS grams
+              FROM norm WHERE length(text) >= 15),
+            m2 AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                        generate_series(1, len(grams) - 3),
+                        j -> list_aggregate(array_slice(grams, j, j + 3), 'min')))
+                     AS fps
+              FROM g2),
+            fp2 AS (SELECT doc_id, x AS fp FROM m2, unnest(fps) AS u(x)),
+            width2 AS (SELECT fp, COUNT(*) AS w FROM fp2 GROUP BY fp),
+            usable2 AS (SELECT fp2.doc_id, fp2.fp
+                        FROM fp2 JOIN width2 USING (fp) WHERE w <= 16)
+            SELECT 'raw' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(COUNT(*) AS BIGINT) AS n_shared
             FROM usable a JOIN usable b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+            UNION ALL
+            SELECT 't2' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM usable2 a JOIN usable2 b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 2
