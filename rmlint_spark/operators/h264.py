@@ -27,9 +27,13 @@ eighth-pel chroma motion compensation, median MV prediction, P_Skip
 runs, inter residuals, intra-in-P fallback, CAVLC mb_skip_run;
 operators/h264_cabac_p.py: the same semantics under arithmetic
 entropy — mb_skip_flag contexts, P mb_type binarization, UEG3 mvd),
-so IDR+P GOPs round-trip in all four encoder lanes; the refusal
-surface is down to B/SP/SI slices, sub-16x16 P partitions,
-multi-reference prediction and chroma-mode ValueError subsets.
+so IDR+P GOPs round-trip in all four encoder lanes, and CAVLC B
+slices (operators/h264_b.py: two reference lists, default
+bi-prediction, spatial direct, B_Skip, POC display reordering)
+complete the slice-type family; the refusal surface is down to
+CABAC B slices, reference (pyramid) B pictures, temporal direct,
+weighted prediction, SP/SI slices, sub-16x16 partitions and
+multi-reference prediction.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -200,15 +204,24 @@ def _level_idc(mbs_per_frame: int) -> int:
 
 
 def _encode_sps(mb_w: int, mb_h: int, width: int, height: int,
-                fps: tuple[int, int], num_ref_frames: int = 0) -> bytes:
+                fps: tuple[int, int], num_ref_frames: int = 0,
+                poc_type: int = 2) -> bytes:
     w = _BitWriter()
-    w.write(66, 8)                      # profile_idc: baseline
-    w.write(0b11000000, 8)              # constraint_set0+1 (constrained baseline)
+    # B streams use main profile (constrained baseline excludes B
+    # slices); everything else stays in constrained baseline
+    if poc_type == 0:
+        w.write(77, 8)                  # profile_idc: main
+        w.write(0, 8)                   # no constraint flags
+    else:
+        w.write(66, 8)                  # profile_idc: baseline
+        w.write(0b11000000, 8)          # constraint_set0+1 (constrained baseline)
     w.write(_level_idc(mb_w * mb_h), 8)
     _write_ue(w, 0)                     # seq_parameter_set_id
     _write_ue(w, 0)                     # log2_max_frame_num_minus4
-    _write_ue(w, 2)                     # pic_order_cnt_type
-    _write_ue(w, num_ref_frames)        # max_num_ref_frames (1 for P GOPs)
+    _write_ue(w, poc_type)              # pic_order_cnt_type
+    if poc_type == 0:
+        _write_ue(w, 4)                 # log2_max_pic_order_cnt_lsb_minus4 (8 bits)
+    _write_ue(w, num_ref_frames)        # max_num_ref_frames (1 for P GOPs, 2 for B)
     w.write(0, 1)                       # gaps_in_frame_num_value_allowed
     _write_ue(w, mb_w - 1)              # pic_width_in_mbs_minus1
     _write_ue(w, mb_h - 1)              # pic_height_in_map_units_minus1
@@ -396,7 +409,7 @@ def _parse_pps(rbsp: bytes) -> dict:
         raise ValueError("FMO slice groups unsupported")
     _read_ue(r), _read_ue(r)            # num_ref_idx defaults
     pps["weighted_pred"] = r.read(1)
-    r.read(2)                           # weighted_bipred_idc
+    pps["weighted_bipred_idc"] = r.read(2)
     pps["pic_init_qp"] = 26 + _read_se(r)
     _read_se(r), _read_se(r)            # qs / chroma offsets
     pps["deblocking_control"] = r.read(1)
@@ -433,14 +446,19 @@ class _H264Layout:
     grouped into pictures (a slice with first_mb_in_slice == 0 starts
     a new picture). Intra pictures decode independently, so sampling
     paths decode ONLY the frames they touch (the Y4M discipline);
-    P pictures decode their GOP prefix through the plane cache."""
+    P pictures decode their GOP prefix through the plane cache; B
+    pictures additionally resolve a (past, future) anchor pair from
+    the sliding two-picture reference window and display in POC
+    order (``frame_at`` takes DISPLAY indices)."""
 
-    __slots__ = ("sps", "pps", "pictures", "fps", "_cache")
+    __slots__ = ("sps", "pps", "pictures", "fps", "_cache", "_mvinfo",
+                 "kinds", "is_ref", "poc", "_display")
 
     def __init__(self, payload: bytes):
         self.sps: dict | None = None
         self.pps: dict | None = None
         self._cache: dict[int, tuple] = {}
+        self._mvinfo: dict[int, tuple] = {}
         self.pictures: list[list[tuple[int, int, bytes]]] = []
         for typ, ref_idc, rbsp in _iter_nals(payload):
             if typ == _NAL_SPS:
@@ -459,9 +477,71 @@ class _H264Layout:
         if not self.pictures:
             raise ValueError("H.264 stream carries no slices")
         self.fps = self.sps["fps"] or (25, 1)
+        self._derive_order()
 
     def _slice_first_mb(self, rbsp: bytes) -> int:
         return _read_ue(_BitReader(rbsp))
+
+    def _peek_poc_lsb(self, typ: int, rbsp: bytes) -> int:
+        """pic_order_cnt_lsb of a slice header (poc_type 0 only)."""
+        r = _BitReader(rbsp)
+        _read_ue(r)                     # first_mb_in_slice
+        _read_ue(r)                     # slice_type
+        _read_ue(r)                     # pic_parameter_set_id
+        r.read(self.sps["log2_max_frame_num"])
+        if typ == _NAL_IDR:
+            _read_ue(r)                 # idr_pic_id
+        return r.read(self.sps["log2_max_poc_lsb"])
+
+    def _derive_order(self) -> None:
+        """Per-picture kind / reference flag / PicOrderCnt (8.2.1.1)
+        and the decode->display permutation.  Pictures are compared
+        by (coded-video-sequence, POC): an IDR starts a new sequence,
+        and the encoder never lets a B group span an IDR (closed
+        segments), so sorting within a sequence is sufficient."""
+        kinds: list[str] = []
+        is_ref: list[bool] = []
+        poc: list[int] = []
+        seg = -1
+        prev_msb = prev_lsb = 0
+        max_lsb = 1 << self.sps.get("log2_max_poc_lsb", 0)
+        segs: list[int] = []
+        for pic in self.pictures:
+            typ, ref_idc, rbsp = pic[0]
+            sts = {self._peek_slice_type(rbsp) % 5
+                   for _, _, rbsp in pic}
+            kind = "B" if 1 in sts else ("P" if 0 in sts else "I")
+            kinds.append(kind)
+            is_ref.append(ref_idc != 0)
+            if kind == "B" and ref_idc:
+                raise ValueError(
+                    "H.264 reference B pictures unsupported "
+                    "(non-reference B is the implemented subset)")
+            if typ == _NAL_IDR:
+                seg += 1
+                prev_msb = prev_lsb = 0
+            elif seg < 0:
+                seg = 0                 # stream starting on a non-IDR
+            segs.append(seg)
+            if self.sps["poc_type"] == 0:
+                lsb = self._peek_poc_lsb(typ, rbsp)
+                if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                    msb = prev_msb + max_lsb
+                elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                    msb = prev_msb - max_lsb
+                else:
+                    msb = prev_msb
+                poc.append(msb + lsb)
+                if ref_idc:
+                    prev_msb, prev_lsb = msb, lsb
+            else:
+                # poc_type 1/2 without B pictures: decode order IS
+                # display order for the implemented subset
+                poc.append(2 * len(poc))
+        self.kinds, self.is_ref, self.poc = kinds, is_ref, poc
+        order = sorted(range(len(poc)),
+                       key=lambda i: (segs[i], poc[i], i))
+        self._display = order
 
     @property
     def n_frames(self) -> int:
@@ -477,16 +557,17 @@ class _H264Layout:
         return _read_ue(r)
 
     def _pic_has_p(self, idx: int) -> bool:
-        return any(self._peek_slice_type(rbsp) % 5 == 0
-                   for _, _, rbsp in self.pictures[idx])
+        return self.kinds[idx] != "I"
 
     def frame_at(self, idx: int) -> np.ndarray:
-        """Decode picture ``idx`` to (h, w, 3) uint8 RGB.  P pictures
-        reference the previous decoded picture, so sampling a P frame
-        decodes its GOP prefix back to the nearest intra picture (the
-        honest random-access cost of temporal compression); decoded
-        planes are cached so sequential access stays O(1)/frame."""
-        y, u, v = self._decode_planes(idx)
+        """Decode DISPLAY frame ``idx`` to (h, w, 3) uint8 RGB.
+        Inter pictures reference earlier decoded pictures, so sampling
+        one decodes its GOP prefix back to the nearest intra picture
+        (the honest random-access cost of temporal compression);
+        decoded planes are cached so sequential access stays
+        O(1)/frame.  For B streams the display permutation (POC
+        order) is applied here; elsewhere display == decode order."""
+        y, u, v = self._decode_planes(self._display[idx])
         sps = self.sps
         mb_w, mb_h = sps["mb_w"], sps["mb_h"]
         cl, cr, ct, cb = sps["crop"]
@@ -496,35 +577,51 @@ class _H264Layout:
         return _yuv420_to_rgb(y, u, v)
 
     def _decode_planes(self, idx: int) -> tuple:
+        """Decode (in DECODE order) up to picture ``idx``, maintaining
+        the sliding window of the last two REFERENCE pictures (the
+        8.2.4 default-list machinery specialized to the one-ref-per-
+        list subset: P takes the most recent reference, B the nearest
+        past/future anchors by POC)."""
         cache = self._cache
-        if idx in cache:
+        if idx in cache and (not self.is_ref[idx] or idx in self._mvinfo):
             return cache[idx]
         start = idx
-        while (start > 0 and self._pic_has_p(start)
-               and (start - 1) not in cache):
+        while start > 0 and self.kinds[start] != "I":
             start -= 1
+        refs: list[int] = []
         for i in range(start, idx + 1):
-            if i in cache:
-                continue
-            ref = cache.get(i - 1)
-            if self._pic_has_p(i) and ref is None:
-                raise ValueError(
-                    "H.264 P picture without a decoded reference")
-            cache[i] = self._decode_picture(i, ref)
-            if len(cache) > 64:             # refs only look one back
-                cache.pop(min(k for k in cache if k not in (i, i - 1)))
+            if i not in cache or (self.is_ref[i]
+                                  and i not in self._mvinfo):
+                cache[i] = self._decode_picture(i, refs)
+            if self.is_ref[i]:
+                refs.append(i)
+                if len(refs) > 2:
+                    refs.pop(0)
+            if len(cache) > 64:
+                keep = set(refs) | {i, idx}
+                victims = sorted(k for k in cache if k not in keep)
+                for k in victims[: len(cache) - 64]:
+                    cache.pop(k)
+                    self._mvinfo.pop(k, None)
         return cache[idx]
 
-    def _decode_picture(self, idx: int, ref: tuple | None) -> tuple:
-        """Decode one picture to uncropped (y, u, v) planes."""
+    def _decode_picture(self, idx: int, refs: list[int]) -> tuple:
+        """Decode one picture to uncropped (y, u, v) planes.  ``refs``
+        holds the decode indices of the (at most two) most recent
+        reference pictures, already decoded and cached."""
         sps, pps = self.sps, self.pps
         mb_w, mb_h = sps["mb_w"], sps["mb_h"]
         y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
         u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
         v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
         covered = np.zeros(mb_w * mb_h, dtype=bool)
+        kind = self.kinds[idx]
         cavlc_pic = None
-        if self._pic_has_p(idx):
+        if kind == "P":
+            if not refs:
+                raise ValueError(
+                    "H.264 P picture without a decoded reference")
+            ref = self._cache[refs[-1]]
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac_p import \
                     CabacInterPicture
@@ -534,6 +631,31 @@ class _H264Layout:
                 from rmlint_spark.operators.h264_inter import InterPicture
 
                 cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
+        elif kind == "B":
+            if pps["entropy_coding_mode"]:
+                raise NotImplementedError(
+                    "H.264 CABAC B slices not implemented "
+                    "(CAVLC B is the implemented subset)")
+            from rmlint_spark.operators.h264_b import BInterPicture
+
+            # surface header-level refusals (temporal direct, weighted
+            # bi-prediction) before demanding references, so a crafted
+            # single-picture stream reports the real reason
+            typ0, ridc0, rbsp0 = self.pictures[idx][0]
+            self._parse_slice_header(_BitReader(rbsp0), typ0, ridc0,
+                                     sps, pps)
+            cur = self.poc[idx]
+            past = [r for r in refs if self.poc[r] < cur]
+            future = [r for r in refs if self.poc[r] > cur]
+            if not past or not future:
+                raise ValueError(
+                    "H.264 B picture lacks a past or future reference")
+            p_idx = max(past, key=lambda r: self.poc[r])
+            f_idx = min(future, key=lambda r: self.poc[r])
+            col = self._mvinfo[f_idx]
+            cavlc_pic = BInterPicture(
+                y, u, v, mb_w, mb_h,
+                self._cache[p_idx], self._cache[f_idx], col)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
             first_mb, qp_delta, slice_type = self._parse_slice_header(
@@ -542,6 +664,10 @@ class _H264Layout:
             if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
                 cavlc_pic.qp = slice_qp
                 cavlc_pic.decode_slice_p(r, first_mb, covered)
+                continue
+            if slice_type % 5 == 1:         # B slice (CAVLC)
+                cavlc_pic.qp = slice_qp
+                cavlc_pic.decode_slice_b(r, first_mb, covered)
                 continue
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac import CabacPicture
@@ -595,6 +721,16 @@ class _H264Layout:
                 addr += 1
         if not covered.all():
             raise ValueError("H.264 picture has uncovered macroblocks")
+        if self.is_ref[idx]:
+            # anchors export their motion grid: B spatial direct reads
+            # the colocated MB of RefPicList1[0] (8.4.1.2.2 colZeroFlag)
+            if cavlc_pic is not None and hasattr(cavlc_pic, "mvs"):
+                self._mvinfo[idx] = (cavlc_pic.mvs.copy(),
+                                     cavlc_pic.mb_state.copy())
+            else:
+                self._mvinfo[idx] = (
+                    np.zeros((mb_h, mb_w, 2), dtype=np.int64),
+                    np.ones((mb_h, mb_w), dtype=np.int64))
         return y, u, v
 
     def _parse_slice_header(self, r: _BitReader, nal_type: int,
@@ -602,10 +738,11 @@ class _H264Layout:
                             pps: dict) -> tuple[int, int, int]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
-        if slice_type % 5 not in (0, 2):
+        if slice_type % 5 not in (0, 1, 2):
             raise NotImplementedError(
-                "H.264 B/SP/SI slice decode not implemented "
-                "(I and P slices are the implemented subset)")
+                "H.264 SP/SI slice decode not implemented "
+                "(I, P and B slices are the implemented subset)")
+        is_p, is_b = slice_type % 5 == 0, slice_type % 5 == 1
         if _read_ue(r) != pps["pps_id"]:
             raise ValueError("slice references an unknown PPS")
         r.read(sps["log2_max_frame_num"])   # frame_num
@@ -621,18 +758,28 @@ class _H264Layout:
                 _read_se(r)
         if pps["redundant_pic_cnt_present"]:
             _read_ue(r)
-        if slice_type % 5 == 0:             # P-only header fields
+        if is_b:
+            if not r.read(1):               # direct_spatial_mv_pred_flag
+                raise ValueError(
+                    "H.264 temporal direct mode unsupported "
+                    "(spatial direct is the implemented subset)")
+        if is_p or is_b:
             if r.read(1):                   # num_ref_idx_active_override
-                if _read_ue(r) != 0:
+                if _read_ue(r) != 0 or (is_b and _read_ue(r) != 0):
                     raise ValueError(
-                        "H.264 multi-reference P slices unsupported "
-                        "(num_ref_idx_l0_active > 1)")
-            if r.read(1):                   # ref_pic_list_modification_l0
+                        "H.264 multi-reference slices unsupported "
+                        "(num_ref_idx_lX_active > 1)")
+            # ref_pic_list_modification: l0, plus l1 for B
+            if r.read(1) or (is_b and r.read(1)):
                 raise ValueError(
                     "H.264 ref_pic_list_modification unsupported")
-            if pps["weighted_pred"]:
+            if is_p and pps["weighted_pred"]:
                 raise ValueError(
                     "H.264 weighted prediction unsupported")
+            if is_b and pps["weighted_bipred_idc"] != 0:
+                raise ValueError(
+                    "H.264 weighted bi-prediction unsupported "
+                    "(weighted_bipred_idc must be 0)")
         # dec_ref_pic_marking is present only when the slice is a
         # reference (nal_ref_idc != 0)
         if ref_idc:
@@ -680,9 +827,12 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     Materializes EVERY frame — tests and short clips; the sampling
     paths use `_H264Layout.frame_at` to decode only touched frames.
     I_PCM, Intra_4x4/Intra_16x16 and P-slice (P_Skip / P_L0_16x16 /
-    intra-in-P) macroblocks decode under BOTH entropy modes; B/SP/SI
-    slices raise ``NotImplementedError`` and sub-16x16 P partitions
-    ``ValueError`` (the documented refusal surface); malformed
+    intra-in-P) macroblocks decode under BOTH entropy modes; CAVLC
+    B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
+    order) decode via operators/h264_b.py.  CABAC B and SP/SI
+    slices raise ``NotImplementedError``; sub-16x16 partitions,
+    reference B pictures, temporal direct and weighted prediction
+    raise ``ValueError`` (the documented refusal surface); malformed
     streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)

@@ -1,0 +1,490 @@
+"""H.264 B-slice (bi-predictive) essence codec — pure numpy + stdlib.
+
+Closes the last slice-type refusal of the video family: B slices with
+B_Skip / B_Direct_16x16 / B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+macroblocks (Table 7-14) now encode and decode FOR REAL in the CAVLC
+lane, on top of the P machinery of h264_inter.py —
+
+- **two reference lists**: L0 = the nearest past anchor, L1 = the
+  nearest future anchor by PicOrderCnt (the 8.2.4.2.3 default
+  initialization specialized to one reference per list); decode order
+  emits each future anchor before its B group, and _H264Layout
+  displays pictures in POC order;
+- **default bi-prediction** (8.4.2.3.2, weighted_bipred_idc == 0):
+  ``(predL0 + predL1 + 1) >> 1`` on luma and chroma, each list's
+  prediction produced by the SAME quarter/eighth-pel interpolators
+  the P lane uses;
+- **per-list median MV prediction** (8.4.1.3): the P rule applied
+  per reference list — a neighbor "matches" only when it predicts
+  from the same list;
+- **spatial direct mode** (8.4.1.2.2, the subset our single-ref
+  lists make exact): refIdxLX = MinPositive over the A/B/C
+  neighbors, directZeroPrediction when both lists come up empty,
+  and the colZeroFlag stationarity test against the COLOCATED
+  macroblock of RefPicList1[0] (the future anchor exports its motion
+  grid for exactly this);
+- **B_Skip** and **B_Direct_16x16**: spatial-direct motion, without /
+  with coded residual, B_Skip carried by the same CAVLC
+  ``mb_skip_run`` runs P uses (7.3.4);
+- **intra-in-B**: mb_type >= 23 renames the whole I-slice table.
+
+The encoder (``encode_h264_b``) emits closed segments
+``IDR B..B P B..B P ... P`` — a B group never spans an IDR, so random
+access starts at the segment IDR — choosing per macroblock among
+direct / L0 / L1 / bi / intra by SAD + mvd-bits cost, converting
+zero-residual direct macroblocks into skips, and reconstructing
+in-loop through the decoder's own prediction path (the family's
+drift-impossible discipline).
+
+Refusal surface after this module: CABAC-coded B slices, reference
+(pyramid) B pictures, temporal direct mode, weighted (bi-)prediction,
+B partitions below 16x16, SP/SI slices, multi-reference lists.
+
+Codec-lane status: per-asset decode inside ``mapInPandas``
+(multimodal.py), NOT a Spark hot path — the same boundary as the
+rest of the codec family.
+
+Reference parity note: rmlint hashes media as opaque bytes
+(lib/checksum.c); this module serves the training-data multimodal
+lane: the same frames stored all-intra, as an IDR+P GOP, or as a
+B-pyramid-free IDR/P/B GOP decode to identical pixels, so
+cross-container frame dedup spans bi-predicted video too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rmlint_spark.operators.flac import _BitReader, _BitWriter
+from rmlint_spark.operators.h264_inter import (
+    InterPicture,
+    _interp_chroma,
+    _interp_luma,
+)
+
+# B-slice mb_type table (7-14): the 16x16 subset plus the intra rename
+_B_DIRECT_16x16 = 0
+_B_L0_16x16 = 1
+_B_L1_16x16 = 2
+_B_BI_16x16 = 3
+_B_INTRA_OFFSET = 23
+
+
+class BInterPicture(InterPicture):
+    """InterPicture with a second reference list and the B macroblock
+    modes.  ``ref0``/``ref1`` are the (y, u, v) planes of the past /
+    future anchors; ``col`` is the future anchor's exported
+    (mvs, mb_state) grid for the spatial-direct colZeroFlag."""
+
+    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 mb_w: int, mb_h: int,
+                 ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 col: tuple[np.ndarray, np.ndarray]) -> None:
+        InterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0)
+        self.ref1_y, self.ref1_u, self.ref1_v = ref1
+        self.col_mvs, self.col_state = col
+        # per-list motion state: lmv[my, mx, lst] = (mvy, mvx),
+        # luse[my, mx, lst] = this MB predicts from list lst
+        self.lmv = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
+        self.luse = np.zeros((mb_h, mb_w, 2), dtype=bool)
+
+    # ---- per-list neighbors and MV prediction (8.4.1.3) ----
+
+    def _neighbor_b(self, my: int, mx: int, lst: int):
+        """(available, uses-this-list, mv) of macroblock (my, mx)."""
+        if not (0 <= my < self.mb_h and 0 <= mx < self.mb_w):
+            return False, False, (0, 0)
+        st = int(self.mb_state[my, mx])
+        if st == 0:
+            return False, False, (0, 0)
+        uses = st == 2 and bool(self.luse[my, mx, lst])
+        return True, uses, (int(self.lmv[my, mx, lst, 0]),
+                            int(self.lmv[my, mx, lst, 1]))
+
+    def _mv_pred_b(self, my: int, mx: int, lst: int) -> tuple[int, int]:
+        a = self._neighbor_b(my, mx - 1, lst)
+        b = self._neighbor_b(my - 1, mx, lst)
+        c = self._neighbor_b(my - 1, mx + 1, lst)
+        if not c[0]:
+            c = self._neighbor_b(my - 1, mx - 1, lst)   # D fallback
+        if a[0] and not b[0] and not c[0]:
+            return a[2]                                 # 8.4.1.3.1 rule 1
+        matches = [n for n in (a, b, c) if n[0] and n[1]]
+        if len(matches) == 1:
+            return matches[0][2]
+        mvy = sorted(n[2][0] if n[1] else 0 for n in (a, b, c))[1]
+        mvx = sorted(n[2][1] if n[1] else 0 for n in (a, b, c))[1]
+        return mvy, mvx
+
+    # ---- spatial direct derivation (8.4.1.2.2) ----
+
+    def _direct_mv(self, my: int, mx: int):
+        """Returns (mv0, mv1, use0, use1) for B_Skip/B_Direct.  With
+        one reference per list, refIdxLX = MinPositive(A, B, C)
+        collapses to "any neighbor predicts from LX"."""
+        use = []
+        for lst in (0, 1):
+            a = self._neighbor_b(my, mx - 1, lst)
+            b = self._neighbor_b(my - 1, mx, lst)
+            c = self._neighbor_b(my - 1, mx + 1, lst)
+            if not c[0]:
+                c = self._neighbor_b(my - 1, mx - 1, lst)
+            use.append(any(n[0] and n[1] for n in (a, b, c)))
+        use0, use1 = use
+        if not use0 and not use1:
+            # directZeroPredictionFlag: both lists, zero motion
+            return (0, 0), (0, 0), True, True
+        # colZeroFlag: the colocated MB of RefPicList1[0] is inter
+        # (refIdxCol == 0 by construction) with |mv| <= 1 quarter-pel
+        col_zero = (int(self.col_state[my, mx]) == 2
+                    and abs(int(self.col_mvs[my, mx, 0])) <= 1
+                    and abs(int(self.col_mvs[my, mx, 1])) <= 1)
+        mv0 = (0, 0)
+        mv1 = (0, 0)
+        if use0 and not col_zero:
+            mv0 = self._mv_pred_b(my, mx, 0)
+        if use1 and not col_zero:
+            mv1 = self._mv_pred_b(my, mx, 1)
+        return mv0, mv1, use0, use1
+
+    # ---- prediction ----
+
+    def _ref_planes(self, lst: int):
+        if lst == 0:
+            return self.ref_y, self.ref_u, self.ref_v
+        return self.ref1_y, self.ref1_u, self.ref1_v
+
+    def _mc_pred_list(self, my: int, mx: int, mv: tuple[int, int],
+                      lst: int):
+        ry, ru, rv = self._ref_planes(lst)
+        mvy, mvx = mv
+        return (_interp_luma(ry, my * 16, mx * 16, 16, 16, mvy, mvx),
+                _interp_chroma(ru, my * 8, mx * 8, 8, 8, mvy, mvx),
+                _interp_chroma(rv, my * 8, mx * 8, 8, 8, mvy, mvx))
+
+    def _pred_b(self, my: int, mx: int, mv0, mv1, use0: bool,
+                use1: bool):
+        """Combined (possibly bi-) prediction: the default rounded
+        average when both lists predict (8.4.2.3.2)."""
+        if use0 and use1:
+            p0 = self._mc_pred_list(my, mx, mv0, 0)
+            p1 = self._mc_pred_list(my, mx, mv1, 1)
+            return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+        if use0:
+            return self._mc_pred_list(my, mx, mv0, 0)
+        return self._mc_pred_list(my, mx, mv1, 1)
+
+    def _commit_b(self, addr: int, mv0, mv1, use0: bool,
+                  use1: bool) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        self.lmv[my, mx, 0] = mv0
+        self.lmv[my, mx, 1] = mv1
+        self.luse[my, mx, 0] = use0
+        self.luse[my, mx, 1] = use1
+        self.mb_state[my, mx] = 2
+        # later intra MBs predict mode DC from inter neighbors (8.3.1)
+        self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+
+    # ---- decode ----
+
+    def _decode_skip_b(self, addr: int) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        mv0, mv1, use0, use1 = self._direct_mv(my, mx)
+        pred_y, pred_u, pred_v = self._pred_b(my, mx, mv0, mv1,
+                                              use0, use1)
+        self.y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+            pred_y.astype(np.uint8)
+        self.u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            pred_u.astype(np.uint8)
+        self.v[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
+            pred_v.astype(np.uint8)
+        self.nc_y[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
+        self.nc_u[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
+        self.nc_v[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
+        self._commit_b(addr, mv0, mv1, use0, use1)
+
+    def _decode_mb_b16(self, r: _BitReader, addr: int,
+                       mb_type: int) -> None:
+        from rmlint_spark.operators.h264 import _read_se
+
+        my, mx = divmod(addr, self.mb_w)
+        if mb_type == _B_DIRECT_16x16:
+            mv0, mv1, use0, use1 = self._direct_mv(my, mx)
+        else:
+            use0 = mb_type in (_B_L0_16x16, _B_BI_16x16)
+            use1 = mb_type in (_B_L1_16x16, _B_BI_16x16)
+            mv0 = mv1 = (0, 0)
+            if use0:
+                mvd_x = _read_se(r)         # compIdx 0 = horizontal
+                mvd_y = _read_se(r)
+                p = self._mv_pred_b(my, mx, 0)
+                mv0 = (p[0] + mvd_y, p[1] + mvd_x)
+            if use1:
+                mvd_x = _read_se(r)
+                mvd_y = _read_se(r)
+                p = self._mv_pred_b(my, mx, 1)
+                mv1 = (p[0] + mvd_y, p[1] + mvd_x)
+        pred_y, pred_u, pred_v = self._pred_b(my, mx, mv0, mv1,
+                                              use0, use1)
+        self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
+        self._commit_b(addr, mv0, mv1, use0, use1)
+
+    def decode_slice_b(self, r: _BitReader, first_mb: int,
+                       covered: np.ndarray) -> None:
+        """slice_data() for a CAVLC B slice (7.3.4): alternating
+        mb_skip_run / macroblock_layer until the rbsp stop bit."""
+        from rmlint_spark.operators.h264 import (_more_rbsp_data,
+                                                 _read_ue)
+
+        total = self.mb_w * self.mb_h
+        addr = first_mb
+        while _more_rbsp_data(r):
+            skip_run = _read_ue(r)
+            for _ in range(skip_run):
+                if addr >= total:
+                    raise ValueError("H.264 mb_skip_run overruns "
+                                     "the picture")
+                self._decode_skip_b(addr)
+                covered[addr] = True
+                addr += 1
+            if not _more_rbsp_data(r):
+                break
+            if addr >= total:
+                raise ValueError("H.264 slice data overruns the picture")
+            mb_type = _read_ue(r)
+            my, mx = divmod(addr, self.mb_w)
+            if mb_type <= _B_BI_16x16:
+                self._decode_mb_b16(r, addr, mb_type)
+            elif mb_type < _B_INTRA_OFFSET:
+                raise ValueError(
+                    f"H.264 B partition mb_type {mb_type} "
+                    "(16x8/8x16/8x8) not in the 16x16 subset")
+            else:
+                it = mb_type - _B_INTRA_OFFSET
+                if it == 25:
+                    self.decode_ipcm(r, addr)
+                elif it == 0:
+                    self.decode_mb(r, addr)
+                elif it <= 24:
+                    self.decode_mb16(r, addr, it)
+                else:
+                    raise ValueError(f"invalid B-slice mb_type {mb_type}")
+                self.mb_state[my, mx] = 1
+            covered[addr] = True
+            addr += 1
+
+    # ---- encode ----
+
+    def encode_mb_b(self, w: _BitWriter, addr: int, y_src: np.ndarray,
+                    u_src: np.ndarray, v_src: np.ndarray,
+                    search: int) -> bool:
+        """Encode one B-slice macroblock; returns True when it became
+        a B_Skip (folded into mb_skip_run by the caller)."""
+        from rmlint_spark.operators.h264 import _write_se, _write_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        py, px = my * 16, mx * 16
+        src = y_src[py:py + 16, px:px + 16].astype(np.int64)
+        d_mv0, d_mv1, d_use0, d_use1 = self._direct_mv(my, mx)
+        d_pred = self._pred_b(my, mx, d_mv0, d_mv1, d_use0, d_use1)
+        cands = [(int(np.abs(src - d_pred[0]).sum()),
+                  _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1)]
+        mvp0 = self._mv_pred_b(my, mx, 0)
+        mv0, cost0 = self._motion_search(src, my, mx, search,
+                                         ref_y=self.ref_y, mvp=mvp0)
+        cands.append((cost0, _B_L0_16x16, mv0, (0, 0), True, False))
+        mvp1 = self._mv_pred_b(my, mx, 1)
+        mv1, cost1 = self._motion_search(src, my, mx, search,
+                                         ref_y=self.ref1_y, mvp=mvp1)
+        cands.append((cost1, _B_L1_16x16, (0, 0), mv1, False, True))
+        bi = self._pred_b(my, mx, mv0, mv1, True, True)
+        bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
+            abs(mv0[0] - mvp0[0]) + abs(mv0[1] - mvp0[1])
+            + abs(mv1[0] - mvp1[0]) + abs(mv1[1] - mvp1[1]))
+        cands.append((bi_cost, _B_BI_16x16, mv0, mv1, True, True))
+        cost, mode, cmv0, cmv1, use0, use1 = min(cands)
+        preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1)
+        (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
+         cbp) = self._quantize_inter(addr, cmv0, y_src, u_src, v_src,
+                                     preds=preds)
+        if mode == _B_DIRECT_16x16 and cbp == 0:
+            self._decode_skip_b(addr)       # recon == decoder's skip
+            return True
+        _write_ue(w, mode)
+        if use0 and mode != _B_DIRECT_16x16:
+            _write_se(w, cmv0[1] - mvp0[1])
+            _write_se(w, cmv0[0] - mvp0[0])
+        if use1 and mode != _B_DIRECT_16x16:
+            _write_se(w, cmv1[1] - mvp1[1])
+            _write_se(w, cmv1[0] - mvp1[0])
+        self._write_inter_residual(w, addr, pred_y, pred_u, pred_v,
+                                   luma_q, dc_q, ac_q, cbp)
+        self._commit_b(addr, cmv0, cmv1, use0, use1)
+        return False
+
+
+# --------------------------------------------------------- top level
+
+def encode_h264_b(frames: list[np.ndarray],
+                  fps: tuple[int, int] = (25, 1),
+                  qp: int = 20,
+                  bgroup: int = 2,
+                  seg: int = 12,
+                  search: int = 4) -> bytes:
+    """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
+    IDR/P/B segments and CAVLC entropy.  Display structure per
+    ``seg``-frame segment: anchors every ``bgroup + 1`` frames (plus
+    the segment's last frame), ``bgroup`` B frames between consecutive
+    anchors; decode order emits each anchor before its B group and no
+    B group spans an IDR.  POC type 0 (pic_order_cnt_lsb) carries the
+    display order.  Lossy at ``qp``; self-consistent with
+    :func:`rmlint_spark.operators.h264.decode_h264`."""
+    from rmlint_spark.operators.h264 import (
+        _START4,
+        _encode_pps,
+        _encode_sps,
+        _escape_rbsp,
+        _pad_to_mb,
+        _rgb_to_yuv420,
+        _trailing_bits,
+        _write_se,
+        _write_ue,
+    )
+    if not frames:
+        raise ValueError("need at least one frame")
+    if not 0 <= qp <= 29:
+        raise ValueError("qp outside the implemented 0..29 subset")
+    if bgroup < 0 or seg < 1:
+        raise ValueError("bgroup must be >= 0 and seg >= 1")
+    h, w = np.asarray(frames[0]).shape[:2]
+    mb_w, mb_h = -(-w // 16), -(-h // 16)
+    planes = []
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        y, u, v = _rgb_to_yuv420(fr)
+        planes.append((_pad_to_mb(y, 16), _pad_to_mb(u, 8),
+                       _pad_to_mb(v, 8)))
+    out = bytearray()
+    out += _START4 + b"\x67" + _escape_rbsp(
+        _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=2,
+                    poc_type=0))
+    out += _START4 + b"\x68" + _escape_rbsp(_encode_pps())
+
+    def header(bw: _BitWriter, slice_type: int, frame_num: int,
+               poc_lsb: int, is_idr: bool, idr_id: int) -> None:
+        _write_ue(bw, 0)                    # first_mb_in_slice
+        _write_ue(bw, slice_type)
+        _write_ue(bw, 0)                    # pic_parameter_set_id
+        bw.write(frame_num & 15, 4)
+        if is_idr:
+            _write_ue(bw, idr_id)
+        bw.write(poc_lsb & 255, 8)          # pic_order_cnt_lsb
+        if slice_type == 6:                 # B
+            bw.write(1, 1)                  # direct_spatial_mv_pred
+            bw.write(0, 1)                  # num_ref_idx_active_override
+            bw.write(0, 1)                  # ref_pic_list_modification_l0
+            bw.write(0, 1)                  # ref_pic_list_modification_l1
+        elif slice_type == 5:               # P
+            bw.write(0, 1)                  # num_ref_idx_active_override
+            bw.write(0, 1)                  # ref_pic_list_modification_l0
+        if is_idr:
+            bw.write(0, 2)                  # no_output / long_term flags
+        elif slice_type == 5:
+            bw.write(0, 1)                  # adaptive_ref_pic_marking
+        _write_se(bw, qp - 26)              # slice_qp_delta
+
+    def inter_slice_body(bw: _BitWriter, pic, encode_one) -> None:
+        skip_run = 0
+        for addr in range(mb_w * mb_h):
+            probe = _BitWriter()
+            if encode_one(probe, addr):
+                skip_run += 1
+                continue
+            _write_ue(bw, skip_run)
+            skip_run = 0
+            if probe.buf:
+                bw.write(int.from_bytes(probe.buf, "big"),
+                         8 * len(probe.buf))
+            if probe.nbits:
+                bw.write(probe.acc, probe.nbits)
+        if skip_run:
+            _write_ue(bw, skip_run)
+
+    n = len(frames)
+    frame_num = 0
+    idr_id = 0
+    for s0 in range(0, n, seg):
+        s1 = min(s0 + seg, n)               # segment [s0, s1)
+        anchors = list(range(s0, s1, bgroup + 1))
+        if anchors[-1] != s1 - 1:
+            anchors.append(s1 - 1)
+        # decode order: IDR anchor, then per gap (next anchor, B...)
+        prev_anchor: tuple | None = None    # (planes, mvinfo)
+        for j, disp in enumerate(anchors):
+            y, u, v = planes[disp]
+            is_idr = j == 0
+            bw = _BitWriter()
+            if is_idr:
+                frame_num = 0
+                pic = None
+                # intra anchor through the CAVLC intra machinery
+                from rmlint_spark.operators.h264_cavlc import \
+                    CavlcPicture
+
+                pic = InterPicture(
+                    np.zeros_like(y), np.zeros_like(u),
+                    np.zeros_like(v), mb_w, mb_h,
+                    (np.zeros_like(y), np.zeros_like(u),
+                     np.zeros_like(v)))
+                pic.qp = qp
+                header(bw, 7, frame_num, 2 * (disp - s0), True, idr_id)
+                idr_id = (idr_id + 1) % 2
+                for addr in range(mb_w * mb_h):
+                    pic.encode_mb(bw, addr, y, u, v)
+                    pic.note_intra(addr)
+                nal = b"\x65"
+            else:
+                pic = InterPicture(
+                    np.zeros_like(y), np.zeros_like(u),
+                    np.zeros_like(v), mb_w, mb_h, prev_anchor[0])
+                pic.qp = qp
+                header(bw, 5, frame_num, 2 * (disp - s0), False, 0)
+                inter_slice_body(
+                    bw, pic,
+                    lambda pb, addr: pic.encode_mb_p(pb, addr, y, u,
+                                                     v, search))
+                nal = b"\x41"
+            _trailing_bits(bw)
+            out += _START4 + nal + _escape_rbsp(bw.bytes())
+            frame_num = (frame_num + 1) % 16
+            cur_anchor = ((pic.y, pic.u, pic.v),
+                          (pic.mvs.copy(), pic.mb_state.copy()))
+            # B frames between the previous and this anchor, display
+            # order, decode-order AFTER this anchor
+            if prev_anchor is not None:
+                prev_disp = anchors[j - 1]
+                for bdisp in range(prev_disp + 1, disp):
+                    by, bu, bv = planes[bdisp]
+                    bpic = BInterPicture(
+                        np.zeros_like(by), np.zeros_like(bu),
+                        np.zeros_like(bv), mb_w, mb_h,
+                        prev_anchor[0], cur_anchor[0], cur_anchor[1])
+                    bpic.qp = qp
+                    bw = _BitWriter()
+                    header(bw, 6, frame_num, 2 * (bdisp - s0),
+                           False, 0)
+                    inter_slice_body(
+                        bw, bpic,
+                        lambda pb, addr: bpic.encode_mb_b(
+                            pb, addr, by, bu, bv, search))
+                    _trailing_bits(bw)
+                    # non-reference NAL: type 1, ref_idc 0
+                    out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())
+            prev_anchor = cur_anchor
+    return bytes(out)
+
+
+__all__ = ["BInterPicture", "encode_h264_b"]

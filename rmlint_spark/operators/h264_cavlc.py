@@ -13,9 +13,10 @@ coding with nC neighbor contexts, trailing-one signs, adaptive level
 suffixes, total_zeros and run_before (9.2), CBP-gated block skipping,
 and in-loop reconstruction shared bit-for-bit between the encoder and
 the decoder (the encoder reconstructs through the same dequant+IDCT
-path the decoder runs, so drift is structurally impossible).  The
-remaining refusals are CABAC entropy (NotImplementedError) and the
-16x16/chroma plane-prediction modes (ValueError subsets).
+path the decoder runs, so drift is structurally impossible).  CABAC
+entropy decodes via h264_cabac.py, inter P/B slices via
+h264_inter.py / h264_b.py; the chroma plane-prediction mode stays a
+ValueError subset.
 
 Documented deviations from bit-compatibility with external decoders
 (self-consistent encoder/decoder pair, the same class as the

@@ -37,11 +37,12 @@ every codec in this family — reconstructs in-loop through the SAME
 dequant/IDCT/MC path the decoder runs, so encoder/decoder drift is
 structurally impossible.
 
-Refusal surface after this module: B/SP/SI slices, P partition
+Refusal surface after this module: SP/SI slices, P partition
 sizes below 16x16 (mb_type 1..4 raise ValueError), and multiple
 reference frames.  CABAC-coded P slices decode too, via
 h264_cabac_p.py composing this module's MotionMixin with the
-arithmetic engine.
+arithmetic engine; CAVLC B slices via h264_b.py composing the
+two-list machinery over this module's InterPicture.
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as
@@ -267,22 +268,29 @@ class MotionMixin:
         self._commit_inter(addr, mv)
 
     def _motion_search(self, src: np.ndarray, my: int, mx: int,
-                       rng: int) -> tuple[tuple[int, int], int]:
+                       rng: int, ref_y: np.ndarray | None = None,
+                       mvp: tuple[int, int] | None = None,
+                       ) -> tuple[tuple[int, int], int]:
         """Center-biased integer full search, then half- and
         quarter-pel refinement through the SAME interpolator the
         decoder runs.  Cost = SAD + a small mvd-bits bias so near-
-        predictor vectors (and therefore skips) win ties."""
-        mvp = self._mv_pred(my, mx)
+        predictor vectors (and therefore skips) win ties.  ``ref_y``
+        and ``mvp`` default to the single-list P state; the B lane
+        passes its per-list plane and predictor."""
+        if ref_y is None:
+            ref_y = self.ref_y
+        if mvp is None:
+            mvp = self._mv_pred(my, mx)
         cy, cx = mvp[0] >> 2, mvp[1] >> 2      # integer-pel center
         py, px = my * 16, mx * 16
-        h, w = self.ref_y.shape
+        h, w = ref_y.shape
         best: tuple[int, tuple[int, int]] | None = None
         for dy in range(-rng, rng + 1):
             for dx in range(-rng, rng + 1):
                 ivy, ivx = cy + dy, cx + dx
                 rows = np.clip(np.arange(py + ivy, py + ivy + 16), 0, h - 1)
                 cols = np.clip(np.arange(px + ivx, px + ivx + 16), 0, w - 1)
-                cand = self.ref_y[np.ix_(rows, cols)].astype(np.int64)
+                cand = ref_y[np.ix_(rows, cols)].astype(np.int64)
                 mv = (ivy * 4, ivx * 4)
                 cost = int(np.abs(src - cand).sum()) + 2 * (
                     abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1]))
@@ -295,7 +303,7 @@ class MotionMixin:
                     if dy == 0 and dx == 0:
                         continue
                     mv = (base[0] + dy, base[1] + dx)
-                    cand = _interp_luma(self.ref_y, py, px, 16, 16,
+                    cand = _interp_luma(ref_y, py, px, 16, 16,
                                         mv[0], mv[1])
                     cost = int(np.abs(src - cand).sum()) + 2 * (
                         abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1]))
@@ -305,11 +313,14 @@ class MotionMixin:
 
     def _quantize_inter(self, addr: int, mv: tuple[int, int],
                         y_src: np.ndarray, u_src: np.ndarray,
-                        v_src: np.ndarray):
+                        v_src: np.ndarray, preds=None):
         """Transform+quantize the MC residual; returns everything the
-        writer and the reconstructor need."""
+        writer and the reconstructor need.  ``preds`` overrides the
+        single-list motion compensation (the B lane passes its
+        combined uni/bi prediction)."""
         my, mx = divmod(addr, self.mb_w)
-        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
+        pred_y, pred_u, pred_v = (preds if preds is not None
+                                  else self._mc_pred(my, mx, mv))
         src = y_src[my * 16:(my + 1) * 16,
                     mx * 16:(mx + 1) * 16].astype(np.int64)
         resid = src - pred_y
@@ -347,6 +358,71 @@ class MotionMixin:
             self._chroma_recon(my, mx, dc_eff, ac_eff)
         finally:
             self._mc_chroma = None
+
+    def _read_inter_residual(self, r: _BitReader, addr: int,
+                             pred_y, pred_u, pred_v) -> None:
+        """coded_block_pattern + residual decode + reconstruction
+        over a motion-compensated prediction — the entropy tail every
+        non-skip inter macroblock shares (P_L0_16x16 and all four
+        B 16x16 modes)."""
+        from rmlint_spark.operators.h264 import _read_se, _read_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        cbp_code = _read_ue(r)
+        if cbp_code > 47:
+            raise ValueError("H.264 coded_block_pattern out of range")
+        cbp = _CBP_FROM_CODE[cbp_code]
+        if cbp:
+            self.qp += _read_se(r)
+            if not 0 <= self.qp <= 51:
+                raise ValueError("H.264 mb_qp_delta drives QP out of range")
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp & (1 << _BLK_GROUP[blk]):
+                nc = _nc_for(self.nc_y, gy, gx)
+                vals = _read_residual(r, nc, 16)
+                self.nc_y[gy, gx] = sum(1 for vv in vals if vv)
+                q = _unscan_coeffs(vals)
+            else:
+                self.nc_y[gy, gx] = 0
+                q = np.zeros((4, 4), dtype=np.int64)
+            self.y[gy * 4:gy * 4 + 4, gx * 4:gx * 4 + 4] = _recon4(
+                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
+        dc_q, ac_q = self._chroma_read(r, cbp >> 4, my, mx)
+        self._mc_chroma = {"u": pred_u, "v": pred_v}
+        try:
+            self._chroma_recon(my, mx, dc_q, ac_q)
+        finally:
+            self._mc_chroma = None
+
+    def _write_inter_residual(self, w: _BitWriter, addr: int,
+                              pred_y, pred_u, pred_v,
+                              luma_q, dc_q, ac_q, cbp) -> None:
+        """The write-side twin of :meth:`_read_inter_residual`:
+        CBP, luma/chroma residual entropy, in-loop reconstruction."""
+        from rmlint_spark.operators.h264 import _write_se, _write_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        _write_ue(w, _CBP_TO_CODE[cbp])
+        if cbp:
+            _write_se(w, 0)                 # mb_qp_delta
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp & (1 << _BLK_GROUP[blk]):
+                nc = _nc_for(self.nc_y, gy, gx)
+                self.nc_y[gy, gx] = _write_residual(
+                    w, _scan_coeffs(luma_q[blk]), nc)
+            else:
+                self.nc_y[gy, gx] = 0
+        self._mc_chroma = {"u": pred_u, "v": pred_v}
+        try:
+            self._chroma_write(w, dc_q, ac_q, cbp >> 4, my, mx)
+        finally:
+            self._mc_chroma = None
+        self._recon_inter(addr, pred_y, pred_u, pred_v,
+                          luma_q, dc_q, ac_q, cbp)
 
 class InterPicture(MotionMixin, CavlcPicture):
     """CavlcPicture plus MotionMixin: the CAVLC-entropy P lane.
@@ -435,33 +511,7 @@ class InterPicture(MotionMixin, CavlcPicture):
         mvp = self._mv_pred(my, mx)
         mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
         pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
-        cbp_code = _read_ue(r)
-        if cbp_code > 47:
-            raise ValueError("H.264 coded_block_pattern out of range")
-        cbp = _CBP_FROM_CODE[cbp_code]
-        if cbp:
-            self.qp += _read_se(r)
-            if not 0 <= self.qp <= 51:
-                raise ValueError("H.264 mb_qp_delta drives QP out of range")
-        for blk in range(16):
-            bx, by = _BLK_XY[blk]
-            gy, gx = my * 4 + by, mx * 4 + bx
-            if cbp & (1 << _BLK_GROUP[blk]):
-                nc = _nc_for(self.nc_y, gy, gx)
-                vals = _read_residual(r, nc, 16)
-                self.nc_y[gy, gx] = sum(1 for vv in vals if vv)
-                q = _unscan_coeffs(vals)
-            else:
-                self.nc_y[gy, gx] = 0
-                q = np.zeros((4, 4), dtype=np.int64)
-            self.y[gy * 4:gy * 4 + 4, gx * 4:gx * 4 + 4] = _recon4(
-                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
-        dc_q, ac_q = self._chroma_read(r, cbp >> 4, my, mx)
-        self._mc_chroma = {"u": pred_u, "v": pred_v}
-        try:
-            self._chroma_recon(my, mx, dc_q, ac_q)
-        finally:
-            self._mc_chroma = None
+        self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._commit_inter(addr, mv)
 
 
@@ -507,25 +557,8 @@ class InterPicture(MotionMixin, CavlcPicture):
         _write_ue(w, _P_L0_16x16)
         _write_se(w, mv[1] - mvp[1])            # mvd horizontal first
         _write_se(w, mv[0] - mvp[0])
-        _write_ue(w, _CBP_TO_CODE[cbp])
-        if cbp:
-            _write_se(w, 0)                     # mb_qp_delta
-        for blk in range(16):
-            bx, by = _BLK_XY[blk]
-            gy, gx = my * 4 + by, mx * 4 + bx
-            if cbp & (1 << _BLK_GROUP[blk]):
-                nc = _nc_for(self.nc_y, gy, gx)
-                self.nc_y[gy, gx] = _write_residual(
-                    w, _scan_coeffs(luma_q[blk]), nc)
-            else:
-                self.nc_y[gy, gx] = 0
-        self._mc_chroma = {"u": pred_u, "v": pred_v}
-        try:
-            self._chroma_write(w, dc_q, ac_q, cbp >> 4, my, mx)
-        finally:
-            self._mc_chroma = None
-        self._recon_inter(addr, pred_y, pred_u, pred_v,
-                          luma_q, dc_q, ac_q, cbp)
+        self._write_inter_residual(w, addr, pred_y, pred_u, pred_v,
+                                   luma_q, dc_q, ac_q, cbp)
         self._commit_inter(addr, mv)
         return False
 

@@ -1,0 +1,207 @@
+"""H.264 B-slice codec (operators/h264_b): bi-predictive GOP
+round-trips, POC display reordering, spatial-direct/B_Skip behavior,
+random access, compression sanity, and the refusal boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rmlint_spark.operators.h264 import (
+    _encode_pps,
+    _encode_sps,
+    _escape_rbsp,
+    _H264Layout,
+    _trailing_bits,
+    _write_ue,
+    decode_h264,
+    parse_h264,
+)
+from rmlint_spark.operators.h264_b import encode_h264_b
+from rmlint_spark.operators.flac import _BitWriter
+
+
+def _luma(fr: np.ndarray) -> np.ndarray:
+    return (0.299 * fr[..., 0] + 0.587 * fr[..., 1]
+            + 0.114 * fr[..., 2])
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((_luma(a) - _luma(b)) ** 2))
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _gradient_frames(n: int, h: int = 32, w: int = 48) -> list:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.stack([(yy * 3 + xx * 2 + i * 7) % 256,
+                      (yy * 2 + xx * 5 + i * 3) % 256,
+                      (yy + xx + i * 11) % 256],
+                     axis=-1).astype(np.uint8) for i in range(n)]
+
+
+def test_b_gop_roundtrip_and_display_order():
+    frames = _gradient_frames(8)
+    enc = encode_h264_b(frames, qp=8, bgroup=2, seg=8)
+    info = parse_h264(enc)
+    assert info["n_frames"] == 8 and info["width"] == 48
+    _, dec = decode_h264(enc)
+    assert len(dec) == 8
+    # per-display-index PSNR: a reorder bug would pair moving frames
+    # with the wrong source and crater the match
+    for src, out in zip(frames, dec):
+        assert _psnr(src, out) > 40.0
+
+
+def test_decode_display_permutation_is_poc_order():
+    frames = _gradient_frames(8)
+    enc = encode_h264_b(frames, qp=8, bgroup=2, seg=8)
+    lay = _H264Layout(enc)
+    # anchors at display 0,3,6,7; decode order [0,3,1,2,6,4,5,7];
+    # _display maps display index -> decode index
+    assert lay.kinds == ["I", "P", "B", "B", "P", "B", "B", "P"]
+    assert lay.is_ref == [True, True, False, False, True, False,
+                          False, True]
+    assert lay._display == [0, 2, 3, 1, 5, 6, 4, 7]
+
+
+def test_static_scene_codes_as_skips():
+    fr = _gradient_frames(1)[0]
+    frames = [fr.copy() for _ in range(7)]
+    enc_b = encode_h264_b(frames, qp=16, bgroup=2, seg=7)
+    enc_one = encode_h264_b(frames[:1], qp=16)
+    # six identical inter frames ride almost entirely on B_Skip /
+    # P_Skip runs: the whole tail costs a tiny fraction of the IDR
+    assert len(enc_b) - len(enc_one) < len(enc_one) // 4
+    _, dec = decode_h264(enc_b)
+    for out in dec:
+        assert _psnr(fr, out) > 40.0
+
+
+def test_crossfade_prefers_bi_prediction():
+    """A crossfade frame is the average of its anchors — exactly what
+    default bi-prediction reconstructs — so a B-coded crossfade must
+    beat coding the same frames as a P-only chain."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    mid = ((a.astype(np.int64) + b.astype(np.int64) + 1) // 2).astype(
+        np.uint8)
+    frames = [a, mid, b]
+    enc_bi = encode_h264_b(frames, qp=12, bgroup=1, seg=3)
+    enc_p = encode_h264_b(frames, qp=12, bgroup=0, seg=3)
+    assert len(enc_bi) < len(enc_p)
+    _, dec = decode_h264(enc_bi)
+    assert _psnr(mid, dec[1]) > 35.0
+
+
+def test_multi_segment_closed_gops_random_access():
+    frames = _gradient_frames(10)
+    enc = encode_h264_b(frames, qp=8, bgroup=2, seg=5)
+    lay = _H264Layout(enc)
+    # two segments, each opening with an IDR; B never spans the IDR
+    assert lay.kinds.count("I") == 2
+    # random access into the middle of segment 2 must decode without
+    # touching segment 1 and match the full sequential decode
+    _, full = decode_h264(enc)
+    lay2 = _H264Layout(enc)
+    got = lay2.frame_at(8)
+    assert np.array_equal(got, full[8])
+    # the prefix walk stopped at the segment-2 IDR (decode index 5)
+    assert min(lay2._cache) >= 5
+    for i, src in enumerate(frames):
+        assert _psnr(src, full[i]) > 40.0
+
+
+def test_bgroup_zero_is_plain_p_gop():
+    frames = _gradient_frames(5)
+    enc = encode_h264_b(frames, qp=8, bgroup=0, seg=5)
+    lay = _H264Layout(enc)
+    assert lay.kinds == ["I", "P", "P", "P", "P"]
+    _, dec = decode_h264(enc)
+    for src, out in zip(frames, dec):
+        assert _psnr(src, out) > 40.0
+
+
+def _craft_b_slice_stream(pps_rbsp: bytes, direct_flag: int = 1,
+                          sps_rbsp: bytes | None = None) -> bytes:
+    w = _BitWriter()
+    _write_ue(w, 0)                 # first_mb
+    _write_ue(w, 6)                 # slice_type B
+    _write_ue(w, 0)                 # pps id
+    w.write(0, 4)                   # frame_num
+    w.write(0, 8)                   # poc lsb
+    w.write(direct_flag, 1)
+    w.write(0, 1)                   # override
+    w.write(0, 1)                   # list mod l0
+    w.write(0, 1)                   # list mod l1
+    _trailing_bits(w)
+    sps = sps_rbsp if sps_rbsp is not None else _encode_sps(
+        2, 2, 32, 32, (25, 1), num_ref_frames=2, poc_type=0)
+    return (b"\x00\x00\x00\x01\x67" + _escape_rbsp(sps)
+            + b"\x00\x00\x00\x01\x68" + _escape_rbsp(pps_rbsp)
+            + b"\x00\x00\x00\x01\x01" + _escape_rbsp(w.bytes()))
+
+
+def test_temporal_direct_refused():
+    payload = _craft_b_slice_stream(_encode_pps(), direct_flag=0)
+    with pytest.raises(ValueError, match="temporal direct"):
+        decode_h264(payload)
+
+
+def test_cabac_b_slice_refused():
+    payload = _craft_b_slice_stream(_encode_pps(entropy_coding=1))
+    with pytest.raises(NotImplementedError, match="CABAC B"):
+        decode_h264(payload)
+
+
+def test_b_picture_without_future_reference_refused():
+    # a lone IDR followed by a B picture whose POC is PAST both
+    # anchors: only one reference exists, no future anchor
+    payload = _craft_b_slice_stream(_encode_pps())
+    with pytest.raises(ValueError, match="past or future"):
+        decode_h264(payload)
+
+
+def test_b_subpartition_mb_type_refused():
+    frames = _gradient_frames(3)
+    enc = encode_h264_b(frames, qp=8, bgroup=1, seg=3)
+    # decode with a corrupted B slice body is exercised by the fuzz
+    # test; here pin the explicit mb_type gate via the decoder class
+    from rmlint_spark.operators.h264_b import BInterPicture
+    from rmlint_spark.operators.flac import _BitReader
+
+    y = np.zeros((32, 32), dtype=np.uint8)
+    u = np.zeros((16, 16), dtype=np.uint8)
+    v = np.zeros((16, 16), dtype=np.uint8)
+    zero = (np.zeros_like(y), np.zeros_like(u), np.zeros_like(v))
+    col = (np.zeros((2, 2, 2), dtype=np.int64),
+           np.ones((2, 2), dtype=np.int64))
+    pic = BInterPicture(y, u, v, 2, 2, zero, zero, col)
+    pic.qp = 16
+    w = _BitWriter()
+    _write_ue(w, 0)                 # mb_skip_run
+    _write_ue(w, 8)                 # B_L0_L0_16x8 — refused partition
+    w.write(0, 8)
+    covered = np.zeros(4, dtype=bool)
+    with pytest.raises(ValueError, match="16x16 subset"):
+        pic.decode_slice_b(_BitReader(w.bytes()), 0, covered)
+
+
+def test_b_stream_bitflip_fuzz_bounded():
+    """Seeded bit flips over a B stream must raise only the documented
+    error types (or decode) — never crash outside the contract."""
+    frames = _gradient_frames(6)
+    enc = bytearray(encode_h264_b(frames, qp=10, bgroup=2, seg=6))
+    rng = np.random.default_rng(42)
+    allowed = (ValueError, NotImplementedError)
+    bad = 0
+    for _ in range(120):
+        mut = bytearray(enc)
+        pos = int(rng.integers(5, len(mut)))
+        mut[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_h264(bytes(mut))
+        except allowed:
+            bad += 1
+        # IndexError/struct errors etc. would propagate and fail
+    assert bad > 0                  # the corpus does exercise refusals

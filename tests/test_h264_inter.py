@@ -314,11 +314,10 @@ def test_p_picture_without_reference_refused():
         decode_h264(stripped)
 
 
-def test_b_slice_header_refused():
-    frames = [_smooth()]
-    enc = bytearray(encode_h264_cavlc(frames, qp=16))
-    # rewrite slice_type I(7) -> B(6) in the slice header: ue(0)=1,
-    # ue(7)='0001000' vs ue(6)='0000111' — craft a fresh header instead
+def test_reference_b_slice_refused():
+    # B slices decode since r5 s8 (h264_b.py), but only NON-reference
+    # B pictures are in the subset: a B slice arriving in a reference
+    # NAL (ref_idc != 0, i.e. a pyramid-B stream) must refuse cleanly
     from rmlint_spark.operators.h264 import (_encode_pps, _encode_sps,
                                              _escape_rbsp)
     w = _BitWriter()
@@ -331,7 +330,7 @@ def test_b_slice_header_refused():
                + _escape_rbsp(_encode_sps(4, 4, 64, 64, (25, 1)))
                + b"\x00\x00\x00\x01\x68" + _escape_rbsp(_encode_pps())
                + b"\x00\x00\x00\x01\x41" + _escape_rbsp(w.bytes()))
-    with pytest.raises(NotImplementedError, match="B/SP/SI"):
+    with pytest.raises(ValueError, match="reference B"):
         decode_h264(payload)
 
 
