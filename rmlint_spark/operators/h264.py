@@ -30,8 +30,9 @@ entropy — mb_skip_flag contexts, P mb_type binarization, UEG3 mvd),
 so IDR+P GOPs round-trip in all four encoder lanes, and CAVLC B
 slices (operators/h264_b.py: two reference lists, default
 bi-prediction, spatial direct, B_Skip, POC display reordering)
-complete the slice-type family; the refusal surface is down to
-CABAC B slices, reference (pyramid) B pictures, temporal direct,
+complete the slice-type family under BOTH entropy modes
+(h264_cabac_b.py mirrors the CABAC-P composition); the refusal
+surface is down to reference (pyramid) B pictures, temporal direct,
 weighted prediction, SP/SI slices, sub-16x16 partitions and
 multi-reference prediction.
 
@@ -632,12 +633,6 @@ class _H264Layout:
 
                 cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
         elif kind == "B":
-            if pps["entropy_coding_mode"]:
-                raise NotImplementedError(
-                    "H.264 CABAC B slices not implemented "
-                    "(CAVLC B is the implemented subset)")
-            from rmlint_spark.operators.h264_b import BInterPicture
-
             # surface header-level refusals (temporal direct, weighted
             # bi-prediction) before demanding references, so a crafted
             # single-picture stream reports the real reason
@@ -653,9 +648,19 @@ class _H264Layout:
             p_idx = max(past, key=lambda r: self.poc[r])
             f_idx = min(future, key=lambda r: self.poc[r])
             col = self._mvinfo[f_idx]
-            cavlc_pic = BInterPicture(
-                y, u, v, mb_w, mb_h,
-                self._cache[p_idx], self._cache[f_idx], col)
+            if pps["entropy_coding_mode"]:
+                from rmlint_spark.operators.h264_cabac_b import \
+                    CabacBInterPicture
+
+                cavlc_pic = CabacBInterPicture(
+                    y, u, v, mb_w, mb_h,
+                    self._cache[p_idx], self._cache[f_idx], col)
+            else:
+                from rmlint_spark.operators.h264_b import BInterPicture
+
+                cavlc_pic = BInterPicture(
+                    y, u, v, mb_w, mb_h,
+                    self._cache[p_idx], self._cache[f_idx], col)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
             first_mb, qp_delta, slice_type = self._parse_slice_header(
@@ -827,12 +832,12 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     Materializes EVERY frame — tests and short clips; the sampling
     paths use `_H264Layout.frame_at` to decode only touched frames.
     I_PCM, Intra_4x4/Intra_16x16 and P-slice (P_Skip / P_L0_16x16 /
-    intra-in-P) macroblocks decode under BOTH entropy modes; CAVLC
-    B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
-    order) decode via operators/h264_b.py.  CABAC B and SP/SI
-    slices raise ``NotImplementedError``; sub-16x16 partitions,
-    reference B pictures, temporal direct and weighted prediction
-    raise ``ValueError`` (the documented refusal surface); malformed
+    intra-in-P) macroblocks decode under BOTH entropy modes, and so
+    do B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
+    order — operators/h264_b.py and h264_cabac_b.py).  SP/SI slices
+    raise ``NotImplementedError``; sub-16x16 partitions, reference B
+    pictures, temporal direct and weighted prediction raise
+    ``ValueError`` (the documented refusal surface); malformed
     streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)

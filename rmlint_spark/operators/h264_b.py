@@ -36,9 +36,11 @@ zero-residual direct macroblocks into skips, and reconstructing
 in-loop through the decoder's own prediction path (the family's
 drift-impossible discipline).
 
-Refusal surface after this module: CABAC-coded B slices, reference
-(pyramid) B pictures, temporal direct mode, weighted (bi-)prediction,
-B partitions below 16x16, SP/SI slices, multi-reference lists.
+Refusal surface after this module: reference (pyramid) B pictures,
+temporal direct mode, weighted (bi-)prediction, B partitions below
+16x16, SP/SI slices, multi-reference lists.  CABAC-coded B slices
+decode too, via h264_cabac_b.py composing this module's
+BiMotionMixin with the arithmetic engine.
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -70,20 +72,22 @@ _B_BI_16x16 = 3
 _B_INTRA_OFFSET = 23
 
 
-class BInterPicture(InterPicture):
-    """InterPicture with a second reference list and the B macroblock
-    modes.  ``ref0``/``ref1`` are the (y, u, v) planes of the past /
-    future anchors; ``col`` is the future anchor's exported
-    (mvs, mb_state) grid for the spatial-direct colZeroFlag."""
+class BiMotionMixin:
+    """The entropy-independent two-list machinery a B picture needs:
+    the second reference, per-list motion state, per-list median MV
+    prediction, spatial direct derivation, combined (bi-)prediction
+    and the B skip reconstruction.  The CAVLC lane (BInterPicture
+    below) and the CABAC lane (h264_cabac_b.CabacBInterPicture) both
+    mix this in over their entropy-layer inter picture class —
+    the same composition pattern as h264_inter.MotionMixin."""
 
-    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                 mb_w: int, mb_h: int,
-                 ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
-                 ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
-                 col: tuple[np.ndarray, np.ndarray]) -> None:
-        InterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0)
+    def _init_bimotion(
+            self,
+            ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+            col: tuple[np.ndarray, np.ndarray]) -> None:
         self.ref1_y, self.ref1_u, self.ref1_v = ref1
         self.col_mvs, self.col_state = col
+        mb_h, mb_w = self.mb_h, self.mb_w
         # per-list motion state: lmv[my, mx, lst] = (mvy, mvx),
         # luse[my, mx, lst] = this MB predicts from list lst
         self.lmv = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
@@ -203,6 +207,18 @@ class BInterPicture(InterPicture):
         self.nc_u[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
         self.nc_v[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
         self._commit_b(addr, mv0, mv1, use0, use1)
+
+
+class BInterPicture(BiMotionMixin, InterPicture):
+    """InterPicture plus BiMotionMixin: the CAVLC-entropy B lane."""
+
+    def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                 mb_w: int, mb_h: int,
+                 ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 col: tuple[np.ndarray, np.ndarray]) -> None:
+        InterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0)
+        self._init_bimotion(ref1, col)
 
     def _decode_mb_b16(self, r: _BitReader, addr: int,
                        mb_type: int) -> None:

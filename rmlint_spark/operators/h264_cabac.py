@@ -265,6 +265,14 @@ class CabacContexts:
         self.mb_skip = _zeros(3)
         self.p_pre = _zeros(4)
         self.mvd = [_zeros(7), _zeros(7)]
+        # B-slice contexts (h264_cabac_b): mb_skip_flag gets its own
+        # 3-slot set (spec offsets 24..26 vs P's 11..13), and the
+        # Table 9-37 B mb_type tree codes bin0 with neighbor inc 0..2
+        # (slots 0-2), bin1 in slot 3, bin2 in slot 4, bins >= 3 in
+        # slot 5 (deviation #2's slot discipline); mvd contexts are
+        # shared between the lists, as in the spec
+        self.b_skip = _zeros(3)
+        self.b_pre = _zeros(6)
 
 
 # ------------------------------------------------ residual block IO

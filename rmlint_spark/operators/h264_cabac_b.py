@@ -1,0 +1,568 @@
+"""H.264 CABAC B-slice essence codec — pure numpy + stdlib.
+
+Closes the CABAC half of the B refusal: B slices decode and encode
+under arithmetic entropy too, composing the clause-9.3 engine
+(h264_cabac.py) with the two-list machinery (h264_b.BiMotionMixin)
+exactly the way h264_cabac_p.py composed it with MotionMixin:
+
+- **mb_skip_flag** for B (9.3.3.1.1.1): its own 3-context set (spec
+  offsets 24..26), neighbor increment from non-skipped coded
+  neighbors; a skipped B macroblock reconstructs through spatial
+  direct, like the CAVLC lane;
+- **B mb_type** (Table 9-37): '0' = B_Direct_16x16, '100' / '101' =
+  B_L0_16x16 / B_L1_16x16, '110000' = B_Bi_16x16, '111101' + I
+  suffix = intra-in-B; bin0's context increment counts neighbors
+  that are coded and NOT direct/skipped (9.3.3.1.1.3).  Any other
+  path through the tree is a sub-16x16 partition and raises the
+  documented ValueError without needing the full partition table;
+- **mvd_l0 / mvd_l1 UEG3** (9.3.2.3): the same truncated-unary +
+  k=3 Exp-Golomb machinery as the P lane, context increments from
+  PER-LIST neighbor |mvd| grids, context variables shared between
+  the lists (as in the spec);
+- **inter residuals / CBP / qp_delta / end_of_slice_flag**: the
+  exact P-lane code paths, inherited from CabacInterPicture.
+
+Context numbering note: deviation #2 of this engine (equiprobable
+init, documented slot renumbering — see h264_cabac.py) extends here:
+b_pre slots are bin0-inc 0..2 / bin1 / bin2 / bins>=3, and the
+intra-in-B suffix reuses the I-slice context set.  Binarization
+shapes, grammar, neighbor-increment rules and the arithmetic engine
+follow clause 9.3; encoder and decoder share every table, so the
+pair is self-consistent by construction.
+
+The refusal surface for video after this module: reference (pyramid)
+B pictures, temporal direct, weighted prediction, SP/SI slices,
+sub-16x16 partitions, multi-reference prediction.
+
+Codec-lane status: per-asset decode inside ``mapInPandas``
+(multimodal.py), NOT a Spark hot path — the same boundary as the
+rest of this codec family.
+
+Reference parity note: rmlint hashes media as opaque bytes
+(lib/checksum.c); this module serves the training-data multimodal
+lane (cross-container / cross-entropy-mode frame dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rmlint_spark.operators.flac import _BitReader, _BitWriter
+from rmlint_spark.operators.h264_b import BiMotionMixin
+from rmlint_spark.operators.h264_cabac import (
+    CabacDecoder,
+    CabacEncoder,
+)
+from rmlint_spark.operators.h264_cabac_p import (
+    CabacInterPicture,
+    _dec_egk,
+    _enc_egk,
+)
+from rmlint_spark.operators.h264_cavlc import _pred16x16
+
+_UCOFF_MVD = 9                         # UEG3 prefix cutoff (9.3.2.3)
+
+_B_DIRECT_16x16 = 0
+_B_L0_16x16 = 1
+_B_L1_16x16 = 2
+_B_BI_16x16 = 3
+
+
+def _enc_mvd_ueg3(enc: CabacEncoder, cx, inc: int, v: int) -> None:
+    """UEG3 mvd binarization with the caller-supplied bin-0 context
+    increment (the B lane derives it from per-list neighbor grids)."""
+    a = abs(v)
+    prefix = min(a, _UCOFF_MVD)
+    if prefix == 0:
+        enc.decision(cx[inc], 0)
+    else:
+        enc.decision(cx[inc], 1)
+        for k in range(1, prefix):
+            enc.decision(cx[3 + min(k - 1, 3)], 1)
+        if prefix < _UCOFF_MVD:
+            enc.decision(cx[3 + min(prefix - 1, 3)], 0)
+    if a >= _UCOFF_MVD:
+        _enc_egk(enc, a - _UCOFF_MVD, 3)
+    if a:
+        enc.bypass(1 if v < 0 else 0)
+
+
+def _dec_mvd_ueg3(dec: CabacDecoder, cx, inc: int) -> int:
+    if not dec.decision(cx[inc]):
+        return 0
+    a = 1
+    while a < _UCOFF_MVD and dec.decision(cx[3 + min(a - 1, 3)]):
+        a += 1
+    if a == _UCOFF_MVD:
+        a += _dec_egk(dec, 3)
+    return -a if dec.bypass() else a
+
+
+class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
+    """CabacInterPicture plus BiMotionMixin: the CABAC-entropy B
+    lane.  Intra macroblocks inside a B slice reuse the inherited
+    I-slice CABAC paths; per-list grids back the mvd context
+    increments and the direct-flag neighbor rule."""
+
+    def __init__(self, y, u, v, mb_w: int, mb_h: int,
+                 ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 col: tuple[np.ndarray, np.ndarray]) -> None:
+        CabacInterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0)
+        self._init_bimotion(ref1, col)
+        # per-list per-component |mvd| for the context increments
+        self.bmvd = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
+        # 1 = this coded MB is B_Skip or B_Direct (9.3.3.1.1.3)
+        self.bdirect = np.zeros((mb_h, mb_w), dtype=np.int64)
+
+    # ---- context increments ----
+
+    def _btype_inc(self, my: int, mx: int) -> int:
+        """bin-0 ctxIdxInc for B mb_type: an available neighbor that
+        is coded and NOT skip/direct adds 1."""
+        def term(ny: int, nx: int) -> int:
+            if not (0 <= ny < self.mb_h and 0 <= nx < self.mb_w):
+                return 0
+            if int(self.skipped[ny, nx]) == -1:     # undecoded
+                return 0
+            if int(self.skipped[ny, nx]) == 1:      # B_Skip
+                return 0
+            return 0 if int(self.bdirect[ny, nx]) else 1
+        return term(my, mx - 1) + term(my - 1, mx)
+
+    def _bmvd_inc(self, my: int, mx: int, lst: int, comp: int) -> int:
+        a = abs(int(self.bmvd[my, mx - 1, lst, comp])) if mx > 0 else 0
+        b = abs(int(self.bmvd[my - 1, mx, lst, comp])) if my > 0 else 0
+        s = a + b
+        return 0 if s < 3 else (1 if s <= 32 else 2)
+
+    def _note_skip_b(self, addr: int) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        self.skipped[my, mx] = 1
+        self.bdirect[my, mx] = 1
+        self.bmvd[my, mx] = 0
+        self.mbt[my, mx] = 3
+        self.dc_cbf[my, mx] = 0
+        self.cdc_u[my, mx] = 0
+        self.cdc_v[my, mx] = 0
+        self.cbp8[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        self.cbp_c[my, mx] = 0
+
+    def _note_inter_b(self, addr: int, mvds, direct: bool) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        self.skipped[my, mx] = 0
+        self.bdirect[my, mx] = 1 if direct else 0
+        self.bmvd[my, mx] = mvds
+        self.mbt[my, mx] = 3
+        self.dc_cbf[my, mx] = 0
+
+    def note_intra(self, addr: int) -> None:
+        super().note_intra(addr)
+        my, mx = divmod(addr, self.mb_w)
+        self.bdirect[my, mx] = 0
+        self.bmvd[my, mx] = 0
+
+    # ---- mb_type tree (Table 9-37, emitted subset) ----
+
+    def _dec_b_mb_type(self, dec: CabacDecoder, my: int,
+                       mx: int) -> int:
+        """Returns 0..3 for the 16x16 modes or -1 for the intra
+        escape ('111101'); any other path is a sub-16x16 partition."""
+        cx = self.cab.b_pre
+        if not dec.decision(cx[self._btype_inc(my, mx)]):
+            return _B_DIRECT_16x16
+        if not dec.decision(cx[3]):                 # '10x'
+            return (_B_L1_16x16 if dec.decision(cx[4])
+                    else _B_L0_16x16)
+        if not dec.decision(cx[4]):                 # '110' + 3 bins
+            bits = 0
+            for _ in range(3):
+                bits = (bits << 1) | dec.decision(cx[5])
+            if bits == 0:
+                return _B_BI_16x16
+            raise ValueError(
+                "H.264 CABAC B partition (16x8/8x16) not in the "
+                "16x16 subset")
+        # '111' prefix: '101' tail = intra escape, rest = partitions
+        bits = 0
+        for _ in range(3):
+            bits = (bits << 1) | dec.decision(cx[5])
+        if bits == 0b101:
+            return -1
+        raise ValueError(
+            "H.264 CABAC B partition (8x8/16x8/8x16) not in the "
+            "16x16 subset")
+
+    def _enc_b_mb_type(self, enc: CabacEncoder, my: int, mx: int,
+                       mode: int) -> None:
+        cx = self.cab.b_pre
+        inc = self._btype_inc(my, mx)
+        if mode == _B_DIRECT_16x16:
+            enc.decision(cx[inc], 0)
+            return
+        enc.decision(cx[inc], 1)
+        if mode in (_B_L0_16x16, _B_L1_16x16):
+            enc.decision(cx[3], 0)
+            enc.decision(cx[4], 1 if mode == _B_L1_16x16 else 0)
+            return
+        if mode == _B_BI_16x16:
+            enc.decision(cx[3], 1)
+            enc.decision(cx[4], 0)
+            for _ in range(3):
+                enc.decision(cx[5], 0)
+            return
+        # intra escape '111101'; caller then runs the I-slice path
+        enc.decision(cx[3], 1)
+        enc.decision(cx[4], 1)
+        enc.decision(cx[5], 1)
+        enc.decision(cx[5], 0)
+        enc.decision(cx[5], 1)
+
+    # ---- decode side ----
+
+    def _decode_b_mb(self, dec: CabacDecoder, addr: int) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        mode = self._dec_b_mb_type(dec, my, mx)
+        if mode == -1:                              # intra-in-B
+            self.decode_mb_cabac(dec, addr)
+            self.note_intra(addr)
+            return
+        mvds = np.zeros((2, 2), dtype=np.int64)
+        if mode == _B_DIRECT_16x16:
+            mv0, mv1, use0, use1 = self._direct_mv(my, mx)
+        else:
+            use0 = mode in (_B_L0_16x16, _B_BI_16x16)
+            use1 = mode in (_B_L1_16x16, _B_BI_16x16)
+            mv0 = mv1 = (0, 0)
+            cx = self.cab.mvd
+            if use0:
+                dx = _dec_mvd_ueg3(dec, cx[0], self._bmvd_inc(my, mx, 0, 0))
+                dy = _dec_mvd_ueg3(dec, cx[1], self._bmvd_inc(my, mx, 0, 1))
+                p = self._mv_pred_b(my, mx, 0)
+                mv0 = (p[0] + dy, p[1] + dx)
+                mvds[0] = (dx, dy)
+            if use1:
+                dx = _dec_mvd_ueg3(dec, cx[0], self._bmvd_inc(my, mx, 1, 0))
+                dy = _dec_mvd_ueg3(dec, cx[1], self._bmvd_inc(my, mx, 1, 1))
+                p = self._mv_pred_b(my, mx, 1)
+                mv1 = (p[0] + dy, p[1] + dx)
+                mvds[1] = (dx, dy)
+        pred_y, pred_u, pred_v = self._pred_b(my, mx, mv0, mv1,
+                                              use0, use1)
+        self._read_inter_residual_cabac(dec, addr, pred_y, pred_u,
+                                        pred_v)
+        self._note_inter_b(addr, mvds, mode == _B_DIRECT_16x16)
+        self._commit_b(addr, mv0, mv1, use0, use1)
+
+    def _read_inter_residual_cabac(self, dec: CabacDecoder, addr: int,
+                                   pred_y, pred_u, pred_v) -> None:
+        """CBP + CABAC residual + reconstruction over an inter
+        prediction — the shared tail of the P and B arithmetic
+        lanes (mirrors MotionMixin._read_inter_residual)."""
+        from rmlint_spark.operators.h264_cabac import _dec_residual
+        from rmlint_spark.operators.h264_cavlc import (
+            _BLK_GROUP,
+            _BLK_XY,
+            _recon4,
+            _unscan_coeffs,
+        )
+
+        my, mx = divmod(addr, self.mb_w)
+        cx = self.cab
+        cbp = self._dec_cbp(dec, my, mx)
+        if cbp:
+            self.qp += self._dec_qp_delta(dec)
+            if not 0 <= self.qp <= 51:
+                raise ValueError("CABAC mb_qp_delta drives QP out of range")
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp & (1 << _BLK_GROUP[blk]):
+                inc = self._nc_inc(self.nc_y, gy, gx)
+                vals = _dec_residual(dec, cx, 2, 16, inc)
+                self.nc_y[gy, gx] = sum(1 for v in vals if v)
+                q = _unscan_coeffs(vals)
+            else:
+                self.nc_y[gy, gx] = 0
+                q = np.zeros((4, 4), dtype=np.int64)
+            self.y[gy * 4:gy * 4 + 4, gx * 4:gx * 4 + 4] = _recon4(
+                pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4], q, self.qp)
+        dc_q, ac_q = self._chroma_read_cabac(dec, cbp >> 4, my, mx)
+        self._mc_chroma = {"u": pred_u, "v": pred_v}
+        try:
+            self._chroma_recon(my, mx, dc_q, ac_q)
+        finally:
+            self._mc_chroma = None
+
+    def decode_slice_b(self, r: _BitReader, first_mb: int,
+                       covered: np.ndarray) -> None:
+        """slice_data() for a CABAC B slice (7.3.4): alignment, engine
+        init, then mb_skip_flag + macroblock_layer + end_of_slice_flag
+        per macroblock."""
+        while r.bitpos:
+            if not r.read(1):
+                raise ValueError("cabac_alignment_one_bit must be 1")
+        self.new_slice()
+        dec = CabacDecoder(r)
+        addr = first_mb
+        total = self.mb_w * self.mb_h
+        while True:
+            if addr >= total:
+                raise ValueError("H.264 CABAC B slice overruns the picture")
+            my, mx = divmod(addr, self.mb_w)
+            if dec.decision(self.cab.b_skip[self._skip_inc(my, mx)]):
+                self._decode_skip_b(addr)
+                self._note_skip_b(addr)
+            else:
+                self._decode_b_mb(dec, addr)
+            covered[addr] = True
+            addr += 1
+            if dec.terminate():              # end_of_slice_flag
+                break
+
+    # ---- encode side ----
+
+    def encode_mb_b(self, enc: CabacEncoder, addr: int,
+                    y_src: np.ndarray, u_src: np.ndarray,
+                    v_src: np.ndarray, search: int) -> None:
+        cx = self.cab
+        my, mx = divmod(addr, self.mb_w)
+        py, px = my * 16, mx * 16
+        src = y_src[py:py + 16, px:px + 16].astype(np.int64)
+        d_mv0, d_mv1, d_use0, d_use1 = self._direct_mv(my, mx)
+        d_pred = self._pred_b(my, mx, d_mv0, d_mv1, d_use0, d_use1)
+        cands = [(int(np.abs(src - d_pred[0]).sum()),
+                  _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1)]
+        mvp0 = self._mv_pred_b(my, mx, 0)
+        mv0, cost0 = self._motion_search(src, my, mx, search,
+                                         ref_y=self.ref_y, mvp=mvp0)
+        cands.append((cost0, _B_L0_16x16, mv0, (0, 0), True, False))
+        mvp1 = self._mv_pred_b(my, mx, 1)
+        mv1, cost1 = self._motion_search(src, my, mx, search,
+                                         ref_y=self.ref1_y, mvp=mvp1)
+        cands.append((cost1, _B_L1_16x16, (0, 0), mv1, False, True))
+        bi = self._pred_b(my, mx, mv0, mv1, True, True)
+        bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
+            abs(mv0[0] - mvp0[0]) + abs(mv0[1] - mvp0[1])
+            + abs(mv1[0] - mvp1[0]) + abs(mv1[1] - mvp1[1]))
+        cands.append((bi_cost, _B_BI_16x16, mv0, mv1, True, True))
+        cost, mode, cmv0, cmv1, use0, use1 = min(cands)
+        # intra fallback (scene cut inside a B slice)
+        intra_best = None
+        for pm in (0, 1, 2, 3):
+            if (pm == 0 and my == 0) or (pm == 1 and mx == 0):
+                continue
+            if pm == 3 and (my == 0 or mx == 0):
+                continue
+            pred = _pred16x16(self.y, py, px, pm,
+                              has_top=my > 0, has_left=mx > 0)
+            sad = int(np.abs(src - pred).sum())
+            if intra_best is None or sad < intra_best:
+                intra_best = sad
+        if intra_best is not None and cost > 2 * intra_best + 512:
+            enc.decision(cx.b_skip[self._skip_inc(my, mx)], 0)
+            self._enc_b_mb_type(enc, my, mx, -1)
+            self.encode_mb(enc, addr, y_src, u_src, v_src)
+            self.note_intra(addr)
+            return
+        preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1)
+        (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
+         cbp) = self._quantize_inter(addr, cmv0, y_src, u_src, v_src,
+                                     preds=preds)
+        if mode == _B_DIRECT_16x16 and cbp == 0:
+            enc.decision(cx.b_skip[self._skip_inc(my, mx)], 1)
+            self._decode_skip_b(addr)       # recon == decoder's skip
+            self._note_skip_b(addr)
+            return
+        enc.decision(cx.b_skip[self._skip_inc(my, mx)], 0)
+        self._enc_b_mb_type(enc, my, mx, mode)
+        mvds = np.zeros((2, 2), dtype=np.int64)
+        if mode != _B_DIRECT_16x16:
+            if use0:
+                dx, dy = cmv0[1] - mvp0[1], cmv0[0] - mvp0[0]
+                _enc_mvd_ueg3(enc, cx.mvd[0],
+                              self._bmvd_inc(my, mx, 0, 0), dx)
+                _enc_mvd_ueg3(enc, cx.mvd[1],
+                              self._bmvd_inc(my, mx, 0, 1), dy)
+                mvds[0] = (dx, dy)
+            if use1:
+                dx, dy = cmv1[1] - mvp1[1], cmv1[0] - mvp1[0]
+                _enc_mvd_ueg3(enc, cx.mvd[0],
+                              self._bmvd_inc(my, mx, 1, 0), dx)
+                _enc_mvd_ueg3(enc, cx.mvd[1],
+                              self._bmvd_inc(my, mx, 1, 1), dy)
+                mvds[1] = (dx, dy)
+        self._write_inter_residual_cabac(enc, addr, pred_y, pred_u,
+                                         pred_v, luma_q, dc_q, ac_q,
+                                         cbp)
+        self._note_inter_b(addr, mvds, mode == _B_DIRECT_16x16)
+        self._commit_b(addr, cmv0, cmv1, use0, use1)
+
+    def _write_inter_residual_cabac(self, enc: CabacEncoder, addr: int,
+                                    pred_y, pred_u, pred_v,
+                                    luma_q, dc_q, ac_q, cbp) -> None:
+        from rmlint_spark.operators.h264_cabac import _enc_residual
+        from rmlint_spark.operators.h264_cavlc import (
+            _BLK_GROUP,
+            _BLK_XY,
+            _scan_coeffs,
+        )
+
+        my, mx = divmod(addr, self.mb_w)
+        cx = self.cab
+        self._enc_cbp(enc, my, mx, cbp)
+        if cbp:
+            self._enc_qp_delta(enc, 0)
+        for blk in range(16):
+            bx, by = _BLK_XY[blk]
+            gy, gx = my * 4 + by, mx * 4 + bx
+            if cbp & (1 << _BLK_GROUP[blk]):
+                inc = self._nc_inc(self.nc_y, gy, gx)
+                self.nc_y[gy, gx] = _enc_residual(
+                    enc, cx, 2, _scan_coeffs(luma_q[blk]), inc)
+            else:
+                self.nc_y[gy, gx] = 0
+        self._chroma_write_cabac(enc, dc_q, ac_q, cbp >> 4, my, mx)
+        self._recon_inter(addr, pred_y, pred_u, pred_v,
+                          luma_q, dc_q, ac_q, cbp)
+
+
+# --------------------------------------------------------- top level
+
+def encode_h264_cabac_b(frames: list[np.ndarray],
+                        fps: tuple[int, int] = (25, 1),
+                        qp: int = 20,
+                        bgroup: int = 2,
+                        seg: int = 12,
+                        search: int = 4) -> bytes:
+    """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
+    IDR/P/B segments under CABAC entropy (the B twin of
+    h264_b.encode_h264_b; same segment/POC structure)."""
+    from rmlint_spark.operators.h264 import (
+        _START4,
+        _encode_pps,
+        _encode_sps,
+        _escape_rbsp,
+        _pad_to_mb,
+        _rgb_to_yuv420,
+        _write_se,
+        _write_ue,
+    )
+    if not frames:
+        raise ValueError("need at least one frame")
+    if not 0 <= qp <= 29:
+        raise ValueError("qp outside the implemented 0..29 subset")
+    if bgroup < 0 or seg < 1:
+        raise ValueError("bgroup must be >= 0 and seg >= 1")
+    h, w_px = np.asarray(frames[0]).shape[:2]
+    mb_w, mb_h = -(-w_px // 16), -(-h // 16)
+    planes = []
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape[:2] != (h, w_px):
+            raise ValueError("all frames must share dimensions")
+        y, u, v = _rgb_to_yuv420(fr)
+        planes.append((_pad_to_mb(y, 16), _pad_to_mb(u, 8),
+                       _pad_to_mb(v, 8)))
+    out = bytearray()
+    out += _START4 + b"\x67" + _escape_rbsp(
+        _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=2,
+                    poc_type=0))
+    out += _START4 + b"\x68" + _escape_rbsp(_encode_pps(entropy_coding=1))
+
+    def header(bw: _BitWriter, slice_type: int, frame_num: int,
+               poc_lsb: int, is_idr: bool, idr_id: int) -> None:
+        _write_ue(bw, 0)                    # first_mb_in_slice
+        _write_ue(bw, slice_type)
+        _write_ue(bw, 0)                    # pic_parameter_set_id
+        bw.write(frame_num & 15, 4)
+        if is_idr:
+            _write_ue(bw, idr_id)
+        bw.write(poc_lsb & 255, 8)          # pic_order_cnt_lsb
+        if slice_type == 6:                 # B
+            bw.write(1, 1)                  # direct_spatial_mv_pred
+            bw.write(0, 1)                  # num_ref_idx_active_override
+            bw.write(0, 1)                  # ref_pic_list_modification_l0
+            bw.write(0, 1)                  # ref_pic_list_modification_l1
+        elif slice_type == 5:               # P
+            bw.write(0, 1)                  # num_ref_idx_active_override
+            bw.write(0, 1)                  # ref_pic_list_modification_l0
+        if is_idr:
+            bw.write(0, 2)                  # no_output / long_term flags
+        elif slice_type == 5:
+            bw.write(0, 1)                  # adaptive_ref_pic_marking
+        if slice_type != 7:
+            _write_ue(bw, 0)                # cabac_init_idc
+        _write_se(bw, qp - 26)              # slice_qp_delta
+        while bw.nbits % 8:                 # cabac_alignment_one_bit
+            bw.write(1, 1)
+
+    n = len(frames)
+    frame_num = 0
+    idr_id = 0
+    n_mbs = mb_w * mb_h
+    for s0 in range(0, n, seg):
+        s1 = min(s0 + seg, n)
+        anchors = list(range(s0, s1, bgroup + 1))
+        if anchors[-1] != s1 - 1:
+            anchors.append(s1 - 1)
+        prev_anchor: tuple | None = None
+        for j, disp in enumerate(anchors):
+            y, u, v = planes[disp]
+            is_idr = j == 0
+            bw = _BitWriter()
+            if is_idr:
+                frame_num = 0
+                pic = CabacInterPicture(
+                    np.zeros_like(y), np.zeros_like(u),
+                    np.zeros_like(v), mb_w, mb_h,
+                    (np.zeros_like(y), np.zeros_like(u),
+                     np.zeros_like(v)))
+                pic.qp = qp
+                header(bw, 7, frame_num, 2 * (disp - s0), True, idr_id)
+                idr_id = (idr_id + 1) % 2
+                enc = CabacEncoder(bw)
+                for addr in range(n_mbs):
+                    pic.encode_mb(enc, addr, y, u, v)
+                    pic.note_intra(addr)
+                    enc.terminate(1 if addr == n_mbs - 1 else 0)
+                nal = b"\x65"
+            else:
+                pic = CabacInterPicture(
+                    np.zeros_like(y), np.zeros_like(u),
+                    np.zeros_like(v), mb_w, mb_h, prev_anchor[0])
+                pic.qp = qp
+                header(bw, 5, frame_num, 2 * (disp - s0), False, 0)
+                enc = CabacEncoder(bw)
+                for addr in range(n_mbs):
+                    pic.encode_mb_p(enc, addr, y, u, v, search)
+                    enc.terminate(1 if addr == n_mbs - 1 else 0)
+                nal = b"\x41"
+            bw.pad_to_byte()
+            out += _START4 + nal + _escape_rbsp(bw.bytes())
+            frame_num = (frame_num + 1) % 16
+            cur_anchor = ((pic.y, pic.u, pic.v),
+                          (pic.mvs.copy(), pic.mb_state.copy()))
+            if prev_anchor is not None:
+                prev_disp = anchors[j - 1]
+                for bdisp in range(prev_disp + 1, disp):
+                    by, bu, bv = planes[bdisp]
+                    bpic = CabacBInterPicture(
+                        np.zeros_like(by), np.zeros_like(bu),
+                        np.zeros_like(bv), mb_w, mb_h,
+                        prev_anchor[0], cur_anchor[0], cur_anchor[1])
+                    bpic.qp = qp
+                    bw = _BitWriter()
+                    header(bw, 6, frame_num, 2 * (bdisp - s0),
+                           False, 0)
+                    enc = CabacEncoder(bw)
+                    for addr in range(n_mbs):
+                        bpic.encode_mb_b(enc, addr, by, bu, bv, search)
+                        enc.terminate(1 if addr == n_mbs - 1 else 0)
+                    bw.pad_to_byte()
+                    out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())
+            prev_anchor = cur_anchor
+    return bytes(out)
+
+
+__all__ = ["CabacBInterPicture", "encode_h264_cabac_b"]

@@ -32,9 +32,9 @@ neighbor-increment rules and the arithmetic engine follow clause 9.3;
 encoder and decoder share every context table, so the pair is
 self-consistent by construction.
 
-The refusal surface for video after this module: CABAC B slices
-(CAVLC B decodes via h264_b.py), SP/SI slices, sub-16x16
-partitions, and multi-reference prediction.
+The refusal surface for video after this module: SP/SI slices,
+sub-16x16 partitions, and multi-reference prediction (B slices
+decode via h264_b.py / h264_cabac_b.py).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the

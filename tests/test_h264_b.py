@@ -123,7 +123,8 @@ def test_bgroup_zero_is_plain_p_gop():
 
 
 def _craft_b_slice_stream(pps_rbsp: bytes, direct_flag: int = 1,
-                          sps_rbsp: bytes | None = None) -> bytes:
+                          sps_rbsp: bytes | None = None,
+                          cabac: bool = False) -> bytes:
     w = _BitWriter()
     _write_ue(w, 0)                 # first_mb
     _write_ue(w, 6)                 # slice_type B
@@ -134,6 +135,8 @@ def _craft_b_slice_stream(pps_rbsp: bytes, direct_flag: int = 1,
     w.write(0, 1)                   # override
     w.write(0, 1)                   # list mod l0
     w.write(0, 1)                   # list mod l1
+    if cabac:
+        _write_ue(w, 0)             # cabac_init_idc
     _trailing_bits(w)
     sps = sps_rbsp if sps_rbsp is not None else _encode_sps(
         2, 2, 32, 32, (25, 1), num_ref_frames=2, poc_type=0)
@@ -148,9 +151,13 @@ def test_temporal_direct_refused():
         decode_h264(payload)
 
 
-def test_cabac_b_slice_refused():
-    payload = _craft_b_slice_stream(_encode_pps(entropy_coding=1))
-    with pytest.raises(NotImplementedError, match="CABAC B"):
+def test_cabac_b_slice_accepted_at_entropy_level():
+    # CABAC B decodes since r5 s8 (h264_cabac_b.py): the crafted
+    # ref-less stream must now fail on the MISSING REFERENCES, not on
+    # the entropy mode
+    payload = _craft_b_slice_stream(_encode_pps(entropy_coding=1),
+                                    cabac=True)
+    with pytest.raises(ValueError, match="past or future"):
         decode_h264(payload)
 
 
