@@ -212,3 +212,39 @@ def test_b_stream_bitflip_fuzz_bounded():
             bad += 1
         # IndexError/struct errors etc. would propagate and fail
     assert bad > 0                  # the corpus does exercise refusals
+
+
+def test_mp4_b_bridge_ctts_roundtrip():
+    """codec='b'/'cabac_b' MP4s: samples in decode order, ctts carries
+    the display reordering, and the extracted Annex-B decodes to the
+    source frames in display order."""
+    from rmlint_spark.operators.mp4 import (encode_mp4_avc,
+                                            mp4_extract_avc,
+                                            parse_mp4,
+                                            sample_timestamps)
+
+    frames = _gradient_frames(8)
+    for codec in ("b", "cabac_b"):
+        mp4 = encode_mp4_avc(frames, codec=codec, qp=8)
+        # composition timestamps = display position (+1 frame shift,
+        # unsigned v0 offsets) over decode order [0,3,1,2,6,4,5,7]
+        ts = sample_timestamps(parse_mp4(mp4))
+        assert ts == [40, 160, 80, 120, 280, 200, 240, 320]
+        _, dec = decode_h264(mp4_extract_avc(mp4))
+        for src, out in zip(frames, dec):
+            assert _psnr(src, out) > 40.0
+
+
+def test_mp4_b_bridge_sync_samples_are_idr_only():
+    from rmlint_spark.operators.mp4 import encode_mp4_avc
+
+    frames = _gradient_frames(10)
+    mp4 = encode_mp4_avc(frames, codec="b", qp=8)
+    # stss box: two segments (seg default 12 > 10 -> one IDR) — find
+    # the box and check it lists exactly the IDR sample
+    i = mp4.find(b"stss")
+    assert i > 0
+    import struct
+    n = struct.unpack(">I", mp4[i + 8:i + 12])[0]
+    sync = struct.unpack(f">{n}I", mp4[i + 12:i + 12 + 4 * n])
+    assert sync == (1,)
