@@ -10,12 +10,16 @@ clones; this module adds the normalization pass that folds away
 exactly the type-2 edit classes, then reuses the same winnow +
 width-cap + shared-fp machinery on the normalized text.
 
-The normalization is a fixed chain of SEVEN plain regular-expression
+The normalization is a fixed chain of plain regular-expression
 rewrites, deliberately restricted to syntax that Java's regex engine
 (Spark's `regexp_replace`) and RE2 (DuckDB's) interpret identically —
-no lookaround, no lazy quantifiers, ASCII `\\b`/`\\w`/`\\s` only — so
-the whole lane stays pure JVM expression code AND is replayable
-verbatim by the SQL oracle:
+no lookaround, no lazy quantifiers, no `\\s` (explicit whitespace
+classes instead: Java's `\\s` includes `\\x0b`, RE2's does not), and
+non-ASCII folded to an inert DEL before any `\\b` runs (Java's `\\b`
+is Unicode-aware, RE2's is ASCII-only; both divergences were caught
+by the seeded cross-engine fuzz in tests/test_clone2.py) — so the
+whole lane stays pure JVM expression code AND is replayable verbatim
+by the SQL oracle:
 
 1. block comments  ``/* ... */``            -> one space
 2. line comments   ``// ...`` and ``# ...`` -> one space
@@ -31,7 +35,8 @@ verbatim by the SQL oracle:
    leading-digit token to ``0``, so the marker is unambiguous.
 6. blind renaming: every remaining identifier
    ``\\b[A-Za-z_][A-Za-z0-9_]*\\b`` -> ``id``
-7. keyword restore ``\\b0kw\\b`` -> ``kw``, then whitespace collapse.
+7. keyword restore ``\\b0kw\\b`` -> ``kw``, then whitespace collapse
+   (non-ASCII chars were folded to DEL between steps 3 and 4).
 
 What survives is precisely the structural skeleton — keywords,
 punctuation, operators, arity, statement order — so two fragments are
@@ -90,11 +95,21 @@ _STEPS: tuple[tuple[str, str, str], ...] = (
     (r"#[^\n]*", " ", " "),
     (r'"([^"\\\n]|\\.)*"', '"0"', '"0"'),
     (r"'([^'\\\n]|\\.)*'", "'0'", "'0'"),
+    # non-ASCII folds to an inert DEL byte: Java's \b is
+    # Unicode-aware while RE2's is ASCII-only, so any non-ASCII char
+    # adjacent to a token would make the engines disagree about the
+    # boundary (found by the seeded cross-engine fuzz).  String
+    # literals and comments — where corpus unicode actually lives —
+    # were already folded above, so this only touches non-ASCII
+    # identifiers/garbage, deterministically on both engines.
+    (r"[^\x00-\x7f]", "\x7f", "\x7f"),
     (r"\b\d[\w.]*", "0", "0"),
     (rf"\b({_KW_ALT})\b", "0$1", r"0\1"),
     (r"\b[A-Za-z_][A-Za-z0-9_]*\b", "id", "id"),
     (rf"\b0({_KW_ALT})\b", "$1", r"\1"),
-    (r"\s+", " ", " "),
+    # explicit class, not \s: Java's \s includes \x0b, RE2's does
+    # not — the explicit list behaves identically in both engines
+    (r"[ \t\n\x0b\f\r]+", " ", " "),
 )
 
 

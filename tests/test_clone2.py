@@ -163,3 +163,43 @@ def test_normalization_is_single_stage_jvm(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_spark_duckdb_normalization_parity_fuzz(spark):
+    """Seeded random battery over a hostile alphabet (quotes,
+    backslashes, comment openers, keywords, digits, newlines,
+    unicode, vertical tab, DEL): Java regex and RE2 must agree
+    byte-for-byte on the whole chain, not just the curated cases.
+    This battery CAUGHT two real divergences during development
+    (Java's Unicode-aware \\b; Java's \\s including \\x0b) — both now
+    neutralized inside the chain itself (non-ASCII -> DEL fold,
+    explicit whitespace class)."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260818)
+    atoms = (
+        list("abcdefghijklmnopqrstuvwxyzABCXYZ0123456789")
+        + list(" \t\n\r\x0b\x0c\x7f_+-*/%&|^<>=(){}[];:,.#'\"\\!?~@$`")
+        + ["if", "else", "for", "while", "return", "def", "0if",
+           "if0", "/*", "*/", "//", "\\\"", "\\'", '"lit"', "'c'",
+           "0x1F", "1.5e3", "id", "é", "中", "\U0001f600"]
+    )
+    cases = []
+    for _ in range(1500):
+        n = int(rng.integers(0, 40))
+        cases.append("".join(str(atoms[i]) for i in
+                             rng.integers(0, len(atoms), n)))
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, t string"
+    )
+    got_spark = {
+        r["i"]: r["n"]
+        for r in sdf.select("i", normalize_code("t").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    expr = normalize_code_sql("t")
+    con.execute("CREATE TABLE c(i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)",
+                    list(enumerate(cases)))
+    for i, n in con.execute(f"SELECT i, {expr} FROM c").fetchall():
+        assert got_spark[i] == n, f"case {i}: {cases[i]!r}"
