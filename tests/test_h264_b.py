@@ -248,3 +248,22 @@ def test_mp4_b_bridge_sync_samples_are_idr_only():
     n = struct.unpack(">I", mp4[i + 8:i + 12])[0]
     sync = struct.unpack(f">{n}I", mp4[i + 12:i + 12 + 4 * n])
     assert sync == (1,)
+
+
+def test_poc_lsb_wrap_long_segment():
+    """A single 140-frame segment drives pic_order_cnt_lsb (8 bits,
+    poc = 2*display) past its 256 wrap: the 8.2.1.1 msb/lsb walk must
+    keep the derived POC monotone in display order, so frames past
+    display 128 still land at the right positions."""
+    frames = [np.full((16, 16, 3), (i * 13) % 256, dtype=np.uint8)
+              for i in range(140)]
+    enc = encode_h264_b(frames, qp=8, bgroup=2, seg=140)
+    lay = _H264Layout(enc)
+    assert lay.kinds.count("I") == 1
+    assert max(lay.poc) == 278          # 2*139: msb accumulated past 256
+    # display order recovered exactly: flat-color frames differ by 13
+    # gray levels, far beyond the qp=8 reconstruction error
+    _, dec = decode_h264(enc)
+    assert len(dec) == 140
+    for f, d in zip(frames, dec):
+        assert abs(float(d[0, 0, 0]) - float(f[0, 0, 0])) < 8
