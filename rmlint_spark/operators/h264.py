@@ -31,10 +31,12 @@ so IDR+P GOPs round-trip in all four encoder lanes, and CAVLC B
 slices (operators/h264_b.py: two reference lists, default
 bi-prediction, spatial direct, B_Skip, POC display reordering)
 complete the slice-type family under BOTH entropy modes
-(h264_cabac_b.py mirrors the CABAC-P composition); the refusal
+(h264_cabac_b.py mirrors the CABAC-P composition), and the 16x8 /
+8x16 P partitions code for real in both entropy lanes (r5 s9,
+block-grid motion state + directional predictors); the refusal
 surface is down to reference (pyramid) B pictures, temporal direct,
-weighted prediction, SP/SI slices, sub-16x16 partitions and
-multi-reference prediction.
+weighted prediction, SP/SI slices, P_8x8 / sub-16x16 B partitions
+and multi-reference prediction.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -727,14 +729,15 @@ class _H264Layout:
         if not covered.all():
             raise ValueError("H.264 picture has uncovered macroblocks")
         if self.is_ref[idx]:
-            # anchors export their motion grid: B spatial direct reads
-            # the colocated MB of RefPicList1[0] (8.4.1.2.2 colZeroFlag)
-            if cavlc_pic is not None and hasattr(cavlc_pic, "mvs"):
-                self._mvinfo[idx] = (cavlc_pic.mvs.copy(),
+            # anchors export their motion grid (4x4-block granularity
+            # since the partition lanes): B spatial direct reads the
+            # colocated MB of RefPicList1[0] (8.4.1.2.2 colZeroFlag)
+            if cavlc_pic is not None and hasattr(cavlc_pic, "mv4"):
+                self._mvinfo[idx] = (cavlc_pic.mv4.copy(),
                                      cavlc_pic.mb_state.copy())
             else:
                 self._mvinfo[idx] = (
-                    np.zeros((mb_h, mb_w, 2), dtype=np.int64),
+                    np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64),
                     np.ones((mb_h, mb_w), dtype=np.int64))
         return y, u, v
 
@@ -834,10 +837,11 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     I_PCM, Intra_4x4/Intra_16x16 and P-slice (P_Skip / P_L0_16x16 /
     intra-in-P) macroblocks decode under BOTH entropy modes, and so
     do B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
-    order — operators/h264_b.py and h264_cabac_b.py).  SP/SI slices
-    raise ``NotImplementedError``; sub-16x16 partitions, reference B
-    pictures, temporal direct and weighted prediction raise
-    ``ValueError`` (the documented refusal surface); malformed
+    order — operators/h264_b.py and h264_cabac_b.py); 16x8/8x16 P
+    partitions decode in both entropy lanes.  SP/SI slices raise
+    ``NotImplementedError``; P_8x8 and sub-16x16 B partitions,
+    reference B pictures, temporal direct and weighted prediction
+    raise ``ValueError`` (the documented refusal surface); malformed
     streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)

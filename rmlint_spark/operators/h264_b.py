@@ -140,10 +140,22 @@ class BiMotionMixin:
             # directZeroPredictionFlag: both lists, zero motion
             return (0, 0), (0, 0), True, True
         # colZeroFlag: the colocated MB of RefPicList1[0] is inter
-        # (refIdxCol == 0 by construction) with |mv| <= 1 quarter-pel
+        # (refIdxCol == 0 by construction) with |mv| <= 1 quarter-pel.
+        # col_mvs is the anchor's 4x4-block grid; a PARTITIONED
+        # colocated MB (mixed MVs) would make the per-8x8
+        # direct_8x8_inference corners diverge from this whole-MB
+        # derivation, so it refuses instead of silently deviating —
+        # our own encoder keeps B-stream anchors unpartitioned.
+        col_blk = self.col_mvs[my * 4:(my + 1) * 4,
+                               mx * 4:(mx + 1) * 4]
+        if int(self.col_state[my, mx]) == 2 and not (
+                col_blk == col_blk[0, 0]).all():
+            raise ValueError(
+                "H.264 spatial direct over a partitioned colocated "
+                "macroblock is not in the implemented subset")
         col_zero = (int(self.col_state[my, mx]) == 2
-                    and abs(int(self.col_mvs[my, mx, 0])) <= 1
-                    and abs(int(self.col_mvs[my, mx, 1])) <= 1)
+                    and abs(int(col_blk[0, 0, 0])) <= 1
+                    and abs(int(col_blk[0, 0, 1])) <= 1)
         mv0 = (0, 0)
         mv1 = (0, 0)
         if use0 and not col_zero:
@@ -477,7 +489,7 @@ def encode_h264_b(frames: list[np.ndarray],
             out += _START4 + nal + _escape_rbsp(bw.bytes())
             frame_num = (frame_num + 1) % 16
             cur_anchor = ((pic.y, pic.u, pic.v),
-                          (pic.mvs.copy(), pic.mb_state.copy()))
+                          (pic.mv4.copy(), pic.mb_state.copy()))
             # B frames between the previous and this anchor, display
             # order, decode-order AFTER this anchor
             if prev_anchor is not None:

@@ -542,7 +542,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
             out += _START4 + nal + _escape_rbsp(bw.bytes())
             frame_num = (frame_num + 1) % 16
             cur_anchor = ((pic.y, pic.u, pic.v),
-                          (pic.mvs.copy(), pic.mb_state.copy()))
+                          (pic.mv4.copy(), pic.mb_state.copy()))
             if prev_anchor is not None:
                 prev_disp = anchors[j - 1]
                 for bdisp in range(prev_disp + 1, disp):

@@ -8,11 +8,13 @@ encode under arithmetic entropy too, composing the clause-9.3 engine
   macroblocks' skip flags (unavailable or skipped neighbors
   contribute 0), coded per macroblock — CABAC has no mb_skip_run;
 - **P mb_type binarization** (Table 9-34): prefix bin 0 splits
-  inter/intra; '000' = P_L0_16x16; '001'/'010'/'011' (P_8x8 and the
-  16x8/8x16 partitions) parse their bins then raise the documented
-  sub-16x16 refusal; prefix '1' hands the macroblock to the existing
-  I-slice CABAC dispatcher (intra-in-P, including I_PCM through the
-  pcm_flag terminate/flush/reinit lane);
+  inter/intra; '000' = P_L0_16x16; '011' / '010' = the 16x8 / 8x16
+  partitions (REAL since r5 s9 — per-partition mvd with block-grid
+  context increments, directional predictors, assembled prediction);
+  '001' (P_8x8) raises the documented sub-partition refusal; prefix
+  '1' hands the macroblock to the existing I-slice CABAC dispatcher
+  (intra-in-P, including I_PCM through the pcm_flag
+  terminate/flush/reinit lane);
 - **mvd_l0 UEG3** (9.3.2.3, Table 9-34): truncated-unary prefix with
   cMax 9 whose bin-0 context derives from the neighbor |mvd| sum
   (<3 / 3..32 / >32) and whose later bins walk the spec's 3/4/5/6
@@ -33,8 +35,8 @@ encoder and decoder share every context table, so the pair is
 self-consistent by construction.
 
 The refusal surface for video after this module: SP/SI slices,
-sub-16x16 partitions, and multi-reference prediction (B slices
-decode via h264_b.py / h264_cabac_b.py).
+P_8x8 sub-partitions, B partitions below 16x16, and multi-reference
+prediction (B slices decode via h264_b.py / h264_cabac_b.py).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -109,13 +111,15 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         self._init_motion(ref)
         # -1 undecoded, 0 coded, 1 skipped
         self.skipped = np.full((mb_h, mb_w), -1, dtype=np.int64)
-        self.mvds = np.zeros((mb_h, mb_w, 2), dtype=np.int64)  # (dx, dy)
+        # |mvd| per 4x4 block and component (dx, dy) — partition
+        # granularity since the 16x8/8x16 lanes (r5 s9)
+        self.mvd4 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
 
     def note_intra(self, addr: int) -> None:
         super().note_intra(addr)
         my, mx = divmod(addr, self.mb_w)
         self.skipped[my, mx] = 0
-        self.mvds[my, mx] = 0
+        self.mvd4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
 
     # ---- context increments ----
 
@@ -125,25 +129,26 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         b = int(self.skipped[my - 1, mx]) if my > 0 else -1
         return (1 if a == 0 else 0) + (1 if b == 0 else 0)
 
-    def _mvd_inc(self, my: int, mx: int, comp: int) -> int:
-        """bin-0 ctxIdxInc from the neighbor |mvd| sum (9.3.3.1.1.7):
-        unavailable / intra / skipped neighbors contribute 0."""
-        a = abs(int(self.mvds[my, mx - 1, comp])) if mx > 0 else 0
-        b = abs(int(self.mvds[my - 1, mx, comp])) if my > 0 else 0
+    def _mvd_inc(self, by: int, bx: int, comp: int) -> int:
+        """bin-0 ctxIdxInc from the neighbor |mvd| sum (9.3.3.1.1.7)
+        at 4x4-block (partition) granularity: unavailable / intra /
+        skipped neighbors contribute 0."""
+        a = abs(int(self.mvd4[by, bx - 1, comp])) if bx > 0 else 0
+        b = abs(int(self.mvd4[by - 1, bx, comp])) if by > 0 else 0
         s = a + b
         return 0 if s < 3 else (1 if s <= 32 else 2)
 
     # ---- mvd UEG3 ----
 
-    def _enc_mvd(self, enc: CabacEncoder, comp: int, my: int, mx: int,
+    def _enc_mvd(self, enc: CabacEncoder, comp: int, by: int, bx: int,
                  v: int) -> None:
         cx = self.cab.mvd[comp]
         a = abs(v)
         prefix = min(a, _UCOFF_MVD)
         if prefix == 0:
-            enc.decision(cx[self._mvd_inc(my, mx, comp)], 0)
+            enc.decision(cx[self._mvd_inc(by, bx, comp)], 0)
         else:
-            enc.decision(cx[self._mvd_inc(my, mx, comp)], 1)
+            enc.decision(cx[self._mvd_inc(by, bx, comp)], 1)
             for k in range(1, prefix):
                 enc.decision(cx[3 + min(k - 1, 3)], 1)
             if prefix < _UCOFF_MVD:
@@ -153,10 +158,10 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         if a:
             enc.bypass(1 if v < 0 else 0)
 
-    def _dec_mvd(self, dec: CabacDecoder, comp: int, my: int,
-                 mx: int) -> int:
+    def _dec_mvd(self, dec: CabacDecoder, comp: int, by: int,
+                 bx: int) -> int:
         cx = self.cab.mvd[comp]
-        if not dec.decision(cx[self._mvd_inc(my, mx, comp)]):
+        if not dec.decision(cx[self._mvd_inc(by, bx, comp)]):
             return 0
         a = 1
         while a < _UCOFF_MVD and dec.decision(cx[3 + min(a - 1, 3)]):
@@ -170,7 +175,7 @@ class CabacInterPicture(MotionMixin, CabacPicture):
     def _note_skip(self, addr: int) -> None:
         my, mx = divmod(addr, self.mb_w)
         self.skipped[my, mx] = 1
-        self.mvds[my, mx] = 0
+        self.mvd4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
         self.mbt[my, mx] = 3                 # non-I_NxN for mb_type inc
         self.dc_cbf[my, mx] = 0
         self.cdc_u[my, mx] = 0
@@ -178,11 +183,16 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         self.cbp8[my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         self.cbp_c[my, mx] = 0
 
-    def _note_inter(self, addr: int, mvd: tuple[int, int],
+    def _note_mvd(self, by: int, bx: int, w4: int, h4: int,
+                  mvd: tuple[int, int]) -> None:
+        self.mvd4[by:by + h4, bx:bx + w4] = mvd
+
+    def _note_inter(self, addr: int, mvd: tuple[int, int] | None,
                     cbp: int) -> None:
         my, mx = divmod(addr, self.mb_w)
         self.skipped[my, mx] = 0
-        self.mvds[my, mx] = mvd
+        if mvd is not None:                  # 16x16: one mvd for the MB
+            self._note_mvd(my * 4, mx * 4, 4, 4, mvd)
         self.mbt[my, mx] = 3
         self.dc_cbf[my, mx] = 0              # no luma-DC block in P_16x16
 
@@ -225,24 +235,14 @@ class CabacInterPicture(MotionMixin, CabacPicture):
 
     # ---- decode side ----
 
-    def _decode_p_mb(self, dec: CabacDecoder, addr: int) -> None:
+    def _read_inter_residual_cabac2(self, dec: CabacDecoder,
+                                    addr: int, pred_y, pred_u,
+                                    pred_v) -> None:
+        """CBP + CABAC residual + reconstruction over an inter
+        prediction — the shared tail of the 16x16 and partition
+        paths."""
         cx = self.cab
         my, mx = divmod(addr, self.mb_w)
-        if dec.decision(cx.p_pre[0]):        # intra-in-P suffix
-            self.decode_mb_cabac(dec, addr)
-            self.note_intra(addr)
-            return
-        b1 = dec.decision(cx.p_pre[1])
-        b2 = dec.decision(cx.p_pre[3 if b1 else 2])
-        if b1 or b2:
-            raise ValueError(
-                "H.264 CABAC P partition (16x8/8x16/8x8) not in the "
-                "16x16 subset")
-        mvd_x = self._dec_mvd(dec, 0, my, mx)
-        mvd_y = self._dec_mvd(dec, 1, my, mx)
-        mvp = self._mv_pred(my, mx)
-        mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
-        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
         cbp = self._dec_cbp(dec, my, mx)
         if cbp:
             self.qp += self._dec_qp_delta(dec)
@@ -267,7 +267,54 @@ class CabacInterPicture(MotionMixin, CabacPicture):
             self._chroma_recon(my, mx, dc_q, ac_q)
         finally:
             self._mc_chroma = None
-        self._note_inter(addr, (mvd_x, mvd_y), cbp)
+
+    def _decode_p_mb(self, dec: CabacDecoder, addr: int) -> None:
+        cx = self.cab
+        my, mx = divmod(addr, self.mb_w)
+        if dec.decision(cx.p_pre[0]):        # intra-in-P suffix
+            self.decode_mb_cabac(dec, addr)
+            self.note_intra(addr)
+            return
+        b1 = dec.decision(cx.p_pre[1])
+        b2 = dec.decision(cx.p_pre[3 if b1 else 2])
+        # Table 9-34 P prefix: '000' 16x16, '011' 16x8, '010' 8x16,
+        # '001' P_8x8 (refused)
+        if not b1 and b2:
+            raise ValueError(
+                "H.264 CABAC P mb_type P_8x8 (sub-partitions) not in "
+                "the implemented partition subset")
+        if b1:
+            from rmlint_spark.operators.h264_inter import (
+                _P_L0_L0_8x16,
+                _P_L0_L0_16x8,
+                _p_parts,
+            )
+
+            t = _P_L0_L0_16x8 if b2 else _P_L0_L0_8x16
+            mvs = []
+            for by, bx, w4, h4, shape, _, _ in _p_parts(t, my, mx):
+                mvd_x = self._dec_mvd(dec, 0, by, bx)
+                mvd_y = self._dec_mvd(dec, 1, by, bx)
+                p = self._mv_pred_part(by, bx, w4, h4, shape)
+                pmv = (p[0] + mvd_y, p[1] + mvd_x)
+                self._commit_part(by, bx, w4, h4, pmv)
+                self._note_mvd(by, bx, w4, h4, (mvd_x, mvd_y))
+                mvs.append(pmv)
+            pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, t,
+                                                         mvs)
+            self._read_inter_residual_cabac2(dec, addr, pred_y,
+                                             pred_u, pred_v)
+            self._note_inter(addr, None, 0)
+            self._finish_inter_mb(addr)
+            return
+        mvd_x = self._dec_mvd(dec, 0, my * 4, mx * 4)
+        mvd_y = self._dec_mvd(dec, 1, my * 4, mx * 4)
+        mvp = self._mv_pred(my, mx)
+        mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
+        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
+        self._read_inter_residual_cabac2(dec, addr, pred_y, pred_u,
+                                         pred_v)
+        self._note_inter(addr, (mvd_x, mvd_y), 0)
         self._commit_inter(addr, mv)
 
     def decode_slice_p(self, r: _BitReader, first_mb: int,
@@ -300,12 +347,51 @@ class CabacInterPicture(MotionMixin, CabacPicture):
 
     def encode_mb_p(self, enc: CabacEncoder, addr: int,
                     y_src: np.ndarray, u_src: np.ndarray,
-                    v_src: np.ndarray, search: int) -> None:
+                    v_src: np.ndarray, search: int,
+                    partitions: bool = False) -> None:
         cx = self.cab
         my, mx = divmod(addr, self.mb_w)
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         mv, inter_cost = self._motion_search(src, my, mx, search)
+        split_best = None
+        if partitions:
+            from rmlint_spark.operators.h264_inter import (
+                _P_L0_L0_8x16,
+                _P_L0_L0_16x8,
+                _p_parts,
+            )
+
+            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
+                mvs, mvps, cost = self._search_split(y_src, my, mx,
+                                                     t, search)
+                cost += 96      # second mvd pair's bit cost bias
+                if split_best is None or cost < split_best[0]:
+                    split_best = (cost, t, mvs, mvps)
+        if split_best is not None and split_best[0] < inter_cost:
+            cost, t, mvs, mvps = split_best
+            enc.decision(cx.mb_skip[self._skip_inc(my, mx)], 0)
+            enc.decision(cx.p_pre[0], 0)
+            enc.decision(cx.p_pre[1], 1)
+            # '011' = 16x8, '010' = 8x16 (Table 9-34)
+            enc.decision(cx.p_pre[3], 1 if t == _P_L0_L0_16x8 else 0)
+            for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
+                    _p_parts(t, my, mx), mvs, mvps):
+                mvd = (pmv[1] - pmvp[1], pmv[0] - pmvp[0])
+                self._enc_mvd(enc, 0, by, bx, mvd[0])
+                self._enc_mvd(enc, 1, by, bx, mvd[1])
+                self._commit_part(by, bx, w4, h4, pmv)
+                self._note_mvd(by, bx, w4, h4, mvd)
+            preds = self._mc_pred_split(my, mx, t, mvs)
+            (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
+             cbp) = self._quantize_inter(addr, mvs[0], y_src, u_src,
+                                         v_src, preds=preds)
+            self._write_inter_residual_cabac2(
+                enc, addr, pred_y, pred_u, pred_v, luma_q, dc_q,
+                ac_q, cbp)
+            self._note_inter(addr, None, cbp)
+            self._finish_inter_mb(addr)
+            return
         intra_best = None
         for mode in (0, 1, 2, 3):
             if (mode == 0 and my == 0) or (mode == 1 and mx == 0):
@@ -336,8 +422,22 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         enc.decision(cx.p_pre[2], 0)         # '000' = P_L0_16x16
         mvp = self._mv_pred(my, mx)
         mvd = (mv[1] - mvp[1], mv[0] - mvp[0])
-        self._enc_mvd(enc, 0, my, mx, mvd[0])
-        self._enc_mvd(enc, 1, my, mx, mvd[1])
+        self._enc_mvd(enc, 0, my * 4, mx * 4, mvd[0])
+        self._enc_mvd(enc, 1, my * 4, mx * 4, mvd[1])
+        self._write_inter_residual_cabac2(enc, addr, pred_y, pred_u,
+                                          pred_v, luma_q, dc_q, ac_q,
+                                          cbp)
+        self._note_inter(addr, mvd, cbp)
+        self._commit_inter(addr, mv)
+
+    def _write_inter_residual_cabac2(self, enc: CabacEncoder,
+                                     addr: int, pred_y, pred_u,
+                                     pred_v, luma_q, dc_q, ac_q,
+                                     cbp) -> None:
+        """CBP + CABAC residual entropy + in-loop reconstruction —
+        the write-side twin of _read_inter_residual_cabac2."""
+        cx = self.cab
+        my, mx = divmod(addr, self.mb_w)
         self._enc_cbp(enc, my, mx, cbp)
         if cbp:
             self._enc_qp_delta(enc, 0)
@@ -353,8 +453,6 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         self._chroma_write_cabac(enc, dc_q, ac_q, cbp >> 4, my, mx)
         self._recon_inter(addr, pred_y, pred_u, pred_v,
                           luma_q, dc_q, ac_q, cbp)
-        self._note_inter(addr, mvd, cbp)
-        self._commit_inter(addr, mv)
 
 
 # --------------------------------------------------------- top level
@@ -363,7 +461,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
                         fps: tuple[int, int] = (25, 1),
                         qp: int = 20,
                         gop: int = 8,
-                        search: int = 4) -> bytes:
+                        search: int = 4,
+                        partitions: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with IDR+P GOPs
     under CABAC entropy.  Lossy at ``qp``; self-consistent with
     :func:`rmlint_spark.operators.h264.decode_h264` (the CABAC
@@ -429,7 +528,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
                 pic.encode_mb(enc, addr, y, u, v)
                 pic.note_intra(addr)
             else:
-                pic.encode_mb_p(enc, addr, y, u, v, search)
+                pic.encode_mb_p(enc, addr, y, u, v, search,
+                                partitions=partitions)
             enc.terminate(1 if addr == n_mbs - 1 else 0)
         bw.pad_to_byte()
         out += _START4 + (b"\x65" if is_idr else b"\x41") + \

@@ -37,9 +37,15 @@ every codec in this family — reconstructs in-loop through the SAME
 dequant/IDCT/MC path the decoder runs, so encoder/decoder drift is
 structurally impossible.
 
-Refusal surface after this module: SP/SI slices, P partition
-sizes below 16x16 (mb_type 1..4 raise ValueError), and multiple
-reference frames.  CABAC-coded P slices decode too, via
+Since r5 s9 the 16x8 / 8x16 P partitions (mb_type 1/2) encode and
+decode too: motion state lives on the spec's 4x4-block grid, each
+partition gets the 8.4.1.3.2 directional predictor (top->B,
+bottom->A, left->A, right->C) with the median fallback, the second
+partition predicts from the first's committed motion, and the
+encoder lets both splits compete with the whole-MB mode by SAD +
+mvd-bits cost (opt-in ``partitions=`` flag).  Refusal surface after
+this module: SP/SI slices, P_8x8 sub-partitions (mb_type 3/4), and
+multiple reference frames.  CABAC-coded P slices decode too, via
 h264_cabac_p.py composing this module's MotionMixin with the
 arithmetic engine; CAVLC B slices via h264_b.py composing the
 two-list machinery over this module's InterPicture.
@@ -81,7 +87,31 @@ from rmlint_spark.operators.h264_cavlc import (
 # P-slice mb_type table (7-13): 0 = P_L0_16x16; 1..4 are the smaller
 # partitions (refused subset); >= 5 renames the intra table.
 _P_L0_16x16 = 0
+_P_L0_L0_16x8 = 1
+_P_L0_L0_8x16 = 2
 _P_INTRA_OFFSET = 5
+
+
+def _p_parts(mb_type: int, my: int, mx: int):
+    """Partition geometry for the two-partition P macroblock types:
+    (block-grid top-left by/bx, w4, h4, the 8.4.1.3.2 directional
+    shape, luma rect (py, px, bh, bw), chroma rect (cy, cx, ch, cw))
+    per partition, in coding order."""
+    by, bx = my * 4, mx * 4
+    py, px, cy, cx = my * 16, mx * 16, my * 8, mx * 8
+    if mb_type == _P_L0_L0_16x8:
+        return [
+            (by, bx, 4, 2, "16x8_top",
+             (py, px, 8, 16), (cy, cx, 4, 8)),
+            (by + 2, bx, 4, 2, "16x8_bottom",
+             (py + 8, px, 8, 16), (cy + 4, cx, 4, 8)),
+        ]
+    return [
+        (by, bx, 2, 4, "8x16_left",
+         (py, px, 16, 8), (cy, cx, 8, 4)),
+        (by, bx + 2, 2, 4, "8x16_right",
+         (py, px + 8, 16, 8), (cy, cx + 4, 8, 4)),
+    ]
 # motion vectors are bounded so a crafted stream cannot demand an
 # absurd interpolation window (level limits bound real streams too)
 _MV_LIMIT = 1 << 14
@@ -177,8 +207,13 @@ class MotionMixin:
             ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
         self.ref_y, self.ref_u, self.ref_v = ref
         mb_h, mb_w = self.mb_h, self.mb_w
-        self.mvs = np.zeros((mb_h, mb_w, 2), dtype=np.int64)  # (mvy, mvx)
-        # 0 = not yet decoded, 1 = intra / I_PCM, 2 = inter
+        # motion state lives at the spec's 4x4-block granularity since
+        # the 16x8/8x16 partition lanes (r5 s9): mv4 holds (mvy, mvx)
+        # per block, dec4 is 0 = not yet decoded, 1 = intra / I_PCM,
+        # 2 = inter; mb_state keeps the per-MB view the B lanes and
+        # the colocated export need
+        self.mv4 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
+        self.dec4 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
         self.mb_state = np.zeros((mb_h, mb_w), dtype=np.int64)
         self._mc_chroma: dict[str, np.ndarray] | None = None
 
@@ -193,25 +228,38 @@ class MotionMixin:
     def note_intra(self, addr: int) -> None:
         my, mx = divmod(addr, self.mb_w)
         self.mb_state[my, mx] = 1
+        self.dec4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 1
+        self.mv4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
 
     # ---- motion-vector prediction (8.4.1.3) ----
 
-    def _neighbor(self, my: int, mx: int):
-        """(available, is_inter, mv) of macroblock (my, mx)."""
-        if not (0 <= my < self.mb_h and 0 <= mx < self.mb_w):
+    def _nb4(self, by: int, bx: int):
+        """(available, is_inter, mv) of 4x4 block (by, bx)."""
+        if not (0 <= by < self.mb_h * 4 and 0 <= bx < self.mb_w * 4):
             return False, False, (0, 0)
-        st = int(self.mb_state[my, mx])
+        st = int(self.dec4[by, bx])
         if st == 0:
             return False, False, (0, 0)
-        return True, st == 2, (int(self.mvs[my, mx, 0]),
-                               int(self.mvs[my, mx, 1]))
+        return True, st == 2, (int(self.mv4[by, bx, 0]),
+                               int(self.mv4[by, bx, 1]))
 
-    def _mv_pred(self, my: int, mx: int) -> tuple[int, int]:
-        a = self._neighbor(my, mx - 1)
-        b = self._neighbor(my - 1, mx)
-        c = self._neighbor(my - 1, mx + 1)
+    def _mv_pred_part(self, by: int, bx: int, w4: int, h4: int,
+                      shape: str | None = None) -> tuple[int, int]:
+        """Median MV predictor (8.4.1.3) for the partition whose
+        top-left 4x4 block is (by, bx) spanning w4 x h4 blocks.
+        ``shape`` selects the 8.4.1.3.2 directional shortcuts:
+        '16x8_top' -> B, '16x8_bottom' -> A, '8x16_left' -> A,
+        '8x16_right' -> C — applied when that neighbor predicts from
+        the same (single) reference, else the median rule runs."""
+        a = self._nb4(by, bx - 1)
+        b = self._nb4(by - 1, bx)
+        c = self._nb4(by - 1, bx + w4)
         if not c[0]:
-            c = self._neighbor(my - 1, mx - 1)      # D fallback
+            c = self._nb4(by - 1, bx - 1)            # D fallback
+        directional = {"16x8_top": b, "16x8_bottom": a,
+                       "8x16_left": a, "8x16_right": c}.get(shape)
+        if directional is not None and directional[0] and directional[1]:
+            return directional[2]
         if a[0] and not b[0] and not c[0]:
             return a[2]                              # 8.4.1.3.1 rule 1
         matches = [n for n in (a, b, c) if n[0] and n[1]]
@@ -221,12 +269,15 @@ class MotionMixin:
         mvx = sorted(n[2][1] if n[1] else 0 for n in (a, b, c))[1]
         return mvy, mvx
 
+    def _mv_pred(self, my: int, mx: int) -> tuple[int, int]:
+        return self._mv_pred_part(my * 4, mx * 4, 4, 4)
+
     def _skip_mv(self, my: int, mx: int) -> tuple[int, int]:
         """P_Skip motion (8.4.1.1): zero when a slice/picture boundary
         or a stationary ref-0 neighbor says so, else the median
         predictor."""
-        a = self._neighbor(my, mx - 1)
-        b = self._neighbor(my - 1, mx)
+        a = self._nb4(my * 4, mx * 4 - 1)
+        b = self._nb4(my * 4 - 1, mx * 4)
         if not a[0] or not b[0]:
             return 0, 0
         if (a[1] and a[2] == (0, 0)) or (b[1] and b[2] == (0, 0)):
@@ -243,12 +294,41 @@ class MotionMixin:
                                 mvy, mvx)
         return pred_y, pred_u, pred_v
 
-    def _commit_inter(self, addr: int, mv: tuple[int, int]) -> None:
+    def _commit_part(self, by: int, bx: int, w4: int, h4: int,
+                     mv: tuple[int, int]) -> None:
+        """Record one partition's motion at block granularity (the
+        second partition of an MB predicts from the first, so this
+        runs per partition, before the MB-level commit)."""
+        self.mv4[by:by + h4, bx:bx + w4] = mv
+        self.dec4[by:by + h4, bx:bx + w4] = 2
+
+    def _finish_inter_mb(self, addr: int) -> None:
         my, mx = divmod(addr, self.mb_w)
-        self.mvs[my, mx] = mv
         self.mb_state[my, mx] = 2
         # later intra MBs predict mode DC from inter neighbors (8.3.1)
         self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+
+    def _commit_inter(self, addr: int, mv: tuple[int, int]) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        self._commit_part(my * 4, mx * 4, 4, 4, mv)
+        self._finish_inter_mb(addr)
+
+    def _mc_pred_split(self, my: int, mx: int, mb_type: int, mvs):
+        """Assembled MB prediction from two partition MVs."""
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+        for part, mv in zip(_p_parts(mb_type, my, mx), mvs):
+            _, _, _, _, _, (py, px, bh, bw), (cy, cx, ch, cw) = part
+            oy, ox = py - my * 16, px - mx * 16
+            pred_y[oy:oy + bh, ox:ox + bw] = _interp_luma(
+                self.ref_y, py, px, bh, bw, mv[0], mv[1])
+            ou, ov = cy - my * 8, cx - mx * 8
+            pred_u[ou:ou + ch, ov:ov + cw] = _interp_chroma(
+                self.ref_u, cy, cx, ch, cw, mv[0], mv[1])
+            pred_v[ou:ou + ch, ov:ov + cw] = _interp_chroma(
+                self.ref_v, cy, cx, ch, cw, mv[0], mv[1])
+        return pred_y, pred_u, pred_v
 
     # ---- decode side ----
 
@@ -267,29 +347,23 @@ class MotionMixin:
         self.nc_v[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
         self._commit_inter(addr, mv)
 
-    def _motion_search(self, src: np.ndarray, my: int, mx: int,
-                       rng: int, ref_y: np.ndarray | None = None,
-                       mvp: tuple[int, int] | None = None,
-                       ) -> tuple[tuple[int, int], int]:
-        """Center-biased integer full search, then half- and
-        quarter-pel refinement through the SAME interpolator the
-        decoder runs.  Cost = SAD + a small mvd-bits bias so near-
-        predictor vectors (and therefore skips) win ties.  ``ref_y``
-        and ``mvp`` default to the single-list P state; the B lane
-        passes its per-list plane and predictor."""
-        if ref_y is None:
-            ref_y = self.ref_y
-        if mvp is None:
-            mvp = self._mv_pred(my, mx)
+    def _search_rect(self, src: np.ndarray, py: int, px: int,
+                     bh: int, bw: int, rng: int,
+                     ref_y: np.ndarray, mvp: tuple[int, int],
+                     ) -> tuple[tuple[int, int], int]:
+        """Center-biased integer full search over an arbitrary
+        partition rectangle, then half- and quarter-pel refinement
+        through the SAME interpolator the decoder runs.  Cost = SAD +
+        a small mvd-bits bias so near-predictor vectors (and
+        therefore skips) win ties."""
         cy, cx = mvp[0] >> 2, mvp[1] >> 2      # integer-pel center
-        py, px = my * 16, mx * 16
         h, w = ref_y.shape
         best: tuple[int, tuple[int, int]] | None = None
         for dy in range(-rng, rng + 1):
             for dx in range(-rng, rng + 1):
                 ivy, ivx = cy + dy, cx + dx
-                rows = np.clip(np.arange(py + ivy, py + ivy + 16), 0, h - 1)
-                cols = np.clip(np.arange(px + ivx, px + ivx + 16), 0, w - 1)
+                rows = np.clip(np.arange(py + ivy, py + ivy + bh), 0, h - 1)
+                cols = np.clip(np.arange(px + ivx, px + ivx + bw), 0, w - 1)
                 cand = ref_y[np.ix_(rows, cols)].astype(np.int64)
                 mv = (ivy * 4, ivx * 4)
                 cost = int(np.abs(src - cand).sum()) + 2 * (
@@ -303,13 +377,55 @@ class MotionMixin:
                     if dy == 0 and dx == 0:
                         continue
                     mv = (base[0] + dy, base[1] + dx)
-                    cand = _interp_luma(ref_y, py, px, 16, 16,
+                    cand = _interp_luma(ref_y, py, px, bh, bw,
                                         mv[0], mv[1])
                     cost = int(np.abs(src - cand).sum()) + 2 * (
                         abs(mv[0] - mvp[0]) + abs(mv[1] - mvp[1]))
                     if cost < best[0]:
                         best = (cost, mv)
         return best[1], best[0]
+
+    def _motion_search(self, src: np.ndarray, my: int, mx: int,
+                       rng: int, ref_y: np.ndarray | None = None,
+                       mvp: tuple[int, int] | None = None,
+                       ) -> tuple[tuple[int, int], int]:
+        """Whole-MB (16x16) search; ``ref_y`` and ``mvp`` default to
+        the single-list P state — the B lane passes its per-list
+        plane and predictor."""
+        if ref_y is None:
+            ref_y = self.ref_y
+        if mvp is None:
+            mvp = self._mv_pred(my, mx)
+        return self._search_rect(src, my * 16, mx * 16, 16, 16, rng,
+                                 ref_y, mvp)
+
+    def _search_split(self, y_src: np.ndarray, my: int, mx: int,
+                      mb_type: int, rng: int):
+        """Search both partitions of a 16x8/8x16 split.  The second
+        partition's predictor depends on the first's committed motion,
+        so the first partition is committed tentatively to the block
+        grids and rolled back.  Returns (mvs, mvps, total_cost)."""
+        parts = _p_parts(mb_type, my, mx)
+        saved = []
+        mvs, mvps, total = [], [], 0
+        try:
+            for by, bx, w4, h4, shape, (py, px, bh, bw), _ in parts:
+                src = y_src[py:py + bh, px:px + bw].astype(np.int64)
+                mvp = self._mv_pred_part(by, bx, w4, h4, shape)
+                mv, cost = self._search_rect(src, py, px, bh, bw,
+                                             rng, self.ref_y, mvp)
+                saved.append((by, bx, w4, h4,
+                              self.mv4[by:by + h4, bx:bx + w4].copy(),
+                              self.dec4[by:by + h4, bx:bx + w4].copy()))
+                self._commit_part(by, bx, w4, h4, mv)
+                mvs.append(mv)
+                mvps.append(mvp)
+                total += cost
+        finally:
+            for by, bx, w4, h4, mv4s, dec4s in reversed(saved):
+                self.mv4[by:by + h4, bx:bx + w4] = mv4s
+                self.dec4[by:by + h4, bx:bx + w4] = dec4s
+        return mvs, mvps, total
 
     def _quantize_inter(self, addr: int, mv: tuple[int, int],
                         y_src: np.ndarray, u_src: np.ndarray,
@@ -481,10 +597,12 @@ class InterPicture(MotionMixin, CavlcPicture):
             my, mx = divmod(addr, self.mb_w)
             if mb_type == _P_L0_16x16:
                 self.decode_mb_p16(r, addr)
+            elif mb_type in (_P_L0_L0_16x8, _P_L0_L0_8x16):
+                self.decode_mb_p2(r, addr, mb_type)
             elif mb_type < _P_INTRA_OFFSET:
                 raise ValueError(
-                    f"H.264 P partition mb_type {mb_type} "
-                    "(16x8/8x16/8x8) not in the 16x16 subset")
+                    f"H.264 P mb_type {mb_type} (P_8x8 sub-partitions)"
+                    " not in the implemented partition subset")
             else:
                 it = mb_type - _P_INTRA_OFFSET
                 if it == 25:
@@ -514,19 +632,68 @@ class InterPicture(MotionMixin, CavlcPicture):
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._commit_inter(addr, mv)
 
+    def decode_mb_p2(self, r: _BitReader, addr: int,
+                     mb_type: int) -> None:
+        """P_L0_L0_16x8 / P_L0_L0_8x16: two mvd pairs in partition
+        order (the second partition's predictor sees the first's
+        committed motion), then one CBP + residual over the assembled
+        prediction."""
+        from rmlint_spark.operators.h264 import _read_se
+
+        my, mx = divmod(addr, self.mb_w)
+        mvs = []
+        for by, bx, w4, h4, shape, _, _ in _p_parts(mb_type, my, mx):
+            mvd_x = _read_se(r)             # compIdx 0 = horizontal
+            mvd_y = _read_se(r)
+            p = self._mv_pred_part(by, bx, w4, h4, shape)
+            mv = (p[0] + mvd_y, p[1] + mvd_x)
+            self._commit_part(by, bx, w4, h4, mv)
+            mvs.append(mv)
+        pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, mb_type,
+                                                     mvs)
+        self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
+        self._finish_inter_mb(addr)
+
 
     def encode_mb_p(self, w: _BitWriter, addr: int, y_src: np.ndarray,
                     u_src: np.ndarray, v_src: np.ndarray,
-                    search: int) -> bool:
+                    search: int, partitions: bool = False) -> bool:
         """Encode one P-slice macroblock; returns True when the MB
         became a P_Skip (the caller then folds it into mb_skip_run
-        instead of emitting a layer)."""
+        instead of emitting a layer).  With ``partitions`` the
+        16x8/8x16 splits compete with the whole-MB mode by SAD +
+        mvd-bits cost."""
         from rmlint_spark.operators.h264 import _write_se, _write_ue
 
         my, mx = divmod(addr, self.mb_w)
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         mv, inter_cost = self._motion_search(src, my, mx, search)
+        split_best = None
+        if partitions:
+            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
+                mvs, mvps, cost = self._search_split(y_src, my, mx,
+                                                     t, search)
+                cost += 96          # second mvd pair's bit cost bias
+                if split_best is None or cost < split_best[0]:
+                    split_best = (cost, t, mvs, mvps)
+        if split_best is not None and split_best[0] < inter_cost:
+            cost, t, mvs, mvps = split_best
+            _write_ue(w, t)
+            for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
+                    _p_parts(t, my, mx), mvs, mvps):
+                _write_se(w, pmv[1] - pmvp[1])
+                _write_se(w, pmv[0] - pmvp[0])
+                self._commit_part(by, bx, w4, h4, pmv)
+            preds = self._mc_pred_split(my, mx, t, mvs)
+            (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
+             cbp) = self._quantize_inter(addr, mvs[0], y_src, u_src,
+                                         v_src, preds=preds)
+            self._write_inter_residual(w, addr, pred_y, pred_u,
+                                       pred_v, luma_q, dc_q, ac_q,
+                                       cbp)
+            self._finish_inter_mb(addr)
+            return False
         # intra fallback when motion search fails badly (scene cut):
         # estimate via the best whole-MB intra prediction
         intra_best = None
@@ -569,7 +736,8 @@ def encode_h264_p(frames: list[np.ndarray],
                   fps: tuple[int, int] = (25, 1),
                   qp: int = 20,
                   gop: int = 8,
-                  search: int = 4) -> bytes:
+                  search: int = 4,
+                  partitions: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with IDR+P GOPs
     (IPPP..., a new IDR every ``gop`` frames) and CAVLC entropy.
     Lossy at ``qp``; self-consistent with
@@ -635,7 +803,8 @@ def encode_h264_p(frames: list[np.ndarray],
             skip_run = 0
             for addr in range(mb_w * mb_h):
                 probe = _BitWriter()
-                if pic.encode_mb_p(probe, addr, y, u, v, search):
+                if pic.encode_mb_p(probe, addr, y, u, v, search,
+                                   partitions=partitions):
                     skip_run += 1
                     continue
                 _write_ue(bw, skip_run)

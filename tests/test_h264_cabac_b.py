@@ -84,7 +84,8 @@ def test_cabac_b_subpartition_refused():
     u = np.zeros((16, 16), dtype=np.uint8)
     v = np.zeros((16, 16), dtype=np.uint8)
     zero = (np.zeros_like(y), np.zeros_like(u), np.zeros_like(v))
-    col = (np.zeros((2, 2, 2), dtype=np.int64),
+    # colocated grid at 4x4-block granularity (2x2 MBs = 8x8 blocks)
+    col = (np.zeros((8, 8, 2), dtype=np.int64),
            np.ones((2, 2), dtype=np.int64))
 
     def craft(bits: list[int]) -> bytes:

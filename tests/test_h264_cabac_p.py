@@ -99,12 +99,14 @@ def test_mvd_ueg3_roundtrip_all_ranges():
 
 
 def test_mvd_context_tracks_neighbor_magnitudes():
+    # |mvd| context state lives on the 4x4 block grid since the
+    # partition lanes; plant neighbors of block (1, 1)
     pic = _pic()
     assert pic._mvd_inc(1, 1, 0) == 0
-    pic.mvds[1, 0] = (2, 0)
-    pic.mvds[0, 1] = (4, 0)
+    pic.mvd4[1, 0] = (2, 0)
+    pic.mvd4[0, 1] = (4, 0)
     assert pic._mvd_inc(1, 1, 0) == 1    # 2 + 4 in [3, 32]
-    pic.mvds[0, 1] = (40, 0)
+    pic.mvd4[0, 1] = (40, 0)
     assert pic._mvd_inc(1, 1, 0) == 2    # > 32
 
 
@@ -132,7 +134,7 @@ def test_sub16_partition_refused():
     w.pad_to_byte()
     pic2 = _pic(mb_w=1, mb_h=1)
     covered = np.zeros(1, dtype=bool)
-    with pytest.raises(ValueError, match="16x8/8x16/8x8"):
+    with pytest.raises(ValueError, match="P_8x8"):
         pic2.decode_slice_p(_BitReader(w.bytes()), 0, covered)
 
 

@@ -149,29 +149,32 @@ def _pic(mb_w=4, mb_h=4):
                          z((mb_h * 8, mb_w * 8), np.uint8)))
 
 
+def _set_mb(pic, my, mx, state, mv=(0, 0)):
+    """Plant motion state at MB granularity over the 4x4 grids."""
+    pic.mb_state[my, mx] = state
+    pic.dec4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = state
+    pic.mv4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = mv
+
+
 def test_mv_pred_median_and_single_match():
     pic = _pic()
     # decode order: rows 0 fully, then (1,0) — predicting (1,1)
     for mx in range(4):
-        pic.mb_state[0, mx] = 2
-        pic.mvs[0, mx] = (4 * mx, 8)
-    pic.mb_state[1, 0] = 2
-    pic.mvs[1, 0] = (100, -4)
+        _set_mb(pic, 0, mx, 2, (4 * mx, 8))
+    _set_mb(pic, 1, 0, 2, (100, -4))
     # A=(1,0) mv(100,-4); B=(0,1) mv(4,8); C=(0,2) mv(8,8) -> median
     assert pic._mv_pred(1, 1) == (8, 8)
     # only one inter neighbor -> copy it exactly
     pic2 = _pic()
-    pic2.mb_state[0, 1] = 2
-    pic2.mvs[0, 1] = (12, -16)
-    pic2.mb_state[0, 2] = 1          # intra: available, not matching
-    pic2.mb_state[1, 0] = 1
+    _set_mb(pic2, 0, 1, 2, (12, -16))
+    _set_mb(pic2, 0, 2, 1)           # intra: available, not matching
+    _set_mb(pic2, 1, 0, 1)
     assert pic2._mv_pred(1, 1) == (12, -16)
 
 
 def test_mv_pred_row0_copies_left():
     pic = _pic()
-    pic.mb_state[0, 0] = 2
-    pic.mvs[0, 0] = (-8, 20)
+    _set_mb(pic, 0, 0, 2, (-8, 20))
     # B and C unavailable (picture edge), A available -> mvA verbatim
     assert pic._mv_pred(0, 1) == (-8, 20)
 
@@ -182,13 +185,11 @@ def test_skip_mv_zero_rules():
     assert pic._skip_mv(0, 0) == (0, 0)
     # stationary left neighbor forces zero even with a moving top
     for mx in range(4):
-        pic.mb_state[0, mx] = 2
-        pic.mvs[0, mx] = (8, 8)
-    pic.mb_state[1, 0] = 2
-    pic.mvs[1, 0] = (0, 0)
+        _set_mb(pic, 0, mx, 2, (8, 8))
+    _set_mb(pic, 1, 0, 2, (0, 0))
     assert pic._skip_mv(1, 1) == (0, 0)
     # both neighbors moving -> falls through to the median predictor
-    pic.mvs[1, 0] = (8, 8)
+    _set_mb(pic, 1, 0, 2, (8, 8))
     assert pic._skip_mv(1, 1) == pic._mv_pred(1, 1)
 
 
@@ -279,14 +280,16 @@ def test_mp4_p_lane_roundtrips_with_sync_table():
 # ------------------------------------------------------ refusals
 
 def test_p_partition_mb_types_refused():
+    # 16x8/8x16 decode since r5 s9 (decode_mb_p2); the refusal
+    # boundary narrowed to P_8x8 sub-partitions (mb_type 3/4)
     pic = _pic(mb_w=1, mb_h=1)
     w = _BitWriter()
     from rmlint_spark.operators.h264 import _trailing_bits, _write_ue
     _write_ue(w, 0)          # mb_skip_run
-    _write_ue(w, 2)          # P_L0_L0_16x8 -> refused subset
+    _write_ue(w, 3)          # P_8x8 -> refused subset
     _trailing_bits(w)
     covered = np.zeros(1, dtype=bool)
-    with pytest.raises(ValueError, match="16x8/8x16/8x8"):
+    with pytest.raises(ValueError, match="P_8x8"):
         pic.decode_slice_p(_BitReader(w.bytes()), 0, covered)
 
 
