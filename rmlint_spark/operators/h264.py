@@ -32,11 +32,12 @@ slices (operators/h264_b.py: two reference lists, default
 bi-prediction, spatial direct, B_Skip, POC display reordering)
 complete the slice-type family under BOTH entropy modes
 (h264_cabac_b.py mirrors the CABAC-P composition), and the 16x8 /
-8x16 P partitions code for real in both entropy lanes (r5 s9,
-block-grid motion state + directional predictors); the refusal
-surface is down to reference (pyramid) B pictures, temporal direct,
-weighted prediction, SP/SI slices, P_8x8 / sub-16x16 B partitions
-and multi-reference prediction.
+8x16 / P_8x8(P_L0_8x8) P partitions code for real in both entropy
+lanes (r5 s9, block-grid motion state + directional predictors);
+the refusal surface is down to reference (pyramid) B pictures,
+temporal direct, weighted prediction, SP/SI slices, sub-8x8
+sub_mb_types / sub-16x16 B partitions and multi-reference
+prediction.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -837,12 +838,12 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     I_PCM, Intra_4x4/Intra_16x16 and P-slice (P_Skip / P_L0_16x16 /
     intra-in-P) macroblocks decode under BOTH entropy modes, and so
     do B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
-    order — operators/h264_b.py and h264_cabac_b.py); 16x8/8x16 P
-    partitions decode in both entropy lanes.  SP/SI slices raise
-    ``NotImplementedError``; P_8x8 and sub-16x16 B partitions,
-    reference B pictures, temporal direct and weighted prediction
-    raise ``ValueError`` (the documented refusal surface); malformed
-    streams raise ``ValueError``.
+    order — operators/h264_b.py and h264_cabac_b.py); 16x8 / 8x16 /
+    P_8x8 P partitions decode in both entropy lanes.  SP/SI slices
+    raise ``NotImplementedError``; sub-8x8 sub_mb_types, sub-16x16 B
+    partitions, reference B pictures, temporal direct and weighted
+    prediction raise ``ValueError`` (the documented refusal
+    surface); malformed streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -273,6 +273,9 @@ class CabacContexts:
         # shared between the lists, as in the spec
         self.b_skip = _zeros(3)
         self.b_pre = _zeros(6)
+        # P sub_mb_type bin 0 ('1' = P_L0_8x8, Table 9-38) — the only
+        # coded bin in the implemented sub-partition subset
+        self.p_sub = _zeros(1)
 
 
 # ------------------------------------------------ residual block IO

@@ -35,7 +35,7 @@ encoder and decoder share every context table, so the pair is
 self-consistent by construction.
 
 The refusal surface for video after this module: SP/SI slices,
-P_8x8 sub-partitions, B partitions below 16x16, and multi-reference
+sub-8x8 sub_mb_types, B partitions below 16x16, and multi-reference
 prediction (B slices decode via h264_b.py / h264_cabac_b.py).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
@@ -278,19 +278,27 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         b1 = dec.decision(cx.p_pre[1])
         b2 = dec.decision(cx.p_pre[3 if b1 else 2])
         # Table 9-34 P prefix: '000' 16x16, '011' 16x8, '010' 8x16,
-        # '001' P_8x8 (refused)
-        if not b1 and b2:
-            raise ValueError(
-                "H.264 CABAC P mb_type P_8x8 (sub-partitions) not in "
-                "the implemented partition subset")
-        if b1:
+        # '001' P_8x8
+        if b1 or b2:
             from rmlint_spark.operators.h264_inter import (
+                _P_8x8,
                 _P_L0_L0_8x16,
                 _P_L0_L0_16x8,
                 _p_parts,
             )
 
-            t = _P_L0_L0_16x8 if b2 else _P_L0_L0_8x16
+            if b1:
+                t = _P_L0_L0_16x8 if b2 else _P_L0_L0_8x16
+            else:
+                t = _P_8x8
+                # four sub_mb_type codes: '1' = P_L0_8x8 (Table 9-38);
+                # a 0 bin opens the sub-8x8 family, which refuses
+                for _ in range(4):
+                    if not dec.decision(cx.p_sub[0]):
+                        raise ValueError(
+                            "H.264 CABAC sub_mb_type below 8x8 "
+                            "(8x4/4x8/4x4) not in the implemented "
+                            "partition subset")
             mvs = []
             for by, bx, w4, h4, shape, _, _ in _p_parts(t, my, mx):
                 mvd_x = self._dec_mvd(dec, 0, by, bx)
@@ -357,24 +365,32 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         split_best = None
         if partitions:
             from rmlint_spark.operators.h264_inter import (
+                _P_8x8,
                 _P_L0_L0_8x16,
                 _P_L0_L0_16x8,
                 _p_parts,
             )
 
-            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
+            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16, _P_8x8):
                 mvs, mvps, cost = self._search_split(y_src, my, mx,
                                                      t, search)
-                cost += 96      # second mvd pair's bit cost bias
+                cost += 96 if t != _P_8x8 else 320
                 if split_best is None or cost < split_best[0]:
                     split_best = (cost, t, mvs, mvps)
         if split_best is not None and split_best[0] < inter_cost:
             cost, t, mvs, mvps = split_best
             enc.decision(cx.mb_skip[self._skip_inc(my, mx)], 0)
             enc.decision(cx.p_pre[0], 0)
-            enc.decision(cx.p_pre[1], 1)
-            # '011' = 16x8, '010' = 8x16 (Table 9-34)
-            enc.decision(cx.p_pre[3], 1 if t == _P_L0_L0_16x8 else 0)
+            if t == _P_8x8:
+                enc.decision(cx.p_pre[1], 0)
+                enc.decision(cx.p_pre[2], 1)    # '001' (Table 9-34)
+                for _ in range(4):
+                    enc.decision(cx.p_sub[0], 1)    # P_L0_8x8
+            else:
+                enc.decision(cx.p_pre[1], 1)
+                # '011' = 16x8, '010' = 8x16 (Table 9-34)
+                enc.decision(cx.p_pre[3],
+                             1 if t == _P_L0_L0_16x8 else 0)
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
                     _p_parts(t, my, mx), mvs, mvps):
                 mvd = (pmv[1] - pmvp[1], pmv[0] - pmvp[0])

@@ -37,15 +37,16 @@ every codec in this family — reconstructs in-loop through the SAME
 dequant/IDCT/MC path the decoder runs, so encoder/decoder drift is
 structurally impossible.
 
-Since r5 s9 the 16x8 / 8x16 P partitions (mb_type 1/2) encode and
-decode too: motion state lives on the spec's 4x4-block grid, each
-partition gets the 8.4.1.3.2 directional predictor (top->B,
-bottom->A, left->A, right->C) with the median fallback, the second
-partition predicts from the first's committed motion, and the
-encoder lets both splits compete with the whole-MB mode by SAD +
-mvd-bits cost (opt-in ``partitions=`` flag).  Refusal surface after
-this module: SP/SI slices, P_8x8 sub-partitions (mb_type 3/4), and
-multiple reference frames.  CABAC-coded P slices decode too, via
+Since r5 s9 the 16x8 / 8x16 P partitions (mb_type 1/2) AND P_8x8
+with the P_L0_8x8 sub-macroblock type (mb_type 3/4, four 8x8
+partitions) encode and decode too: motion state lives on the spec's
+4x4-block grid, the two-partition shapes get the 8.4.1.3.2
+directional predictor (top->B, bottom->A, left->A, right->C) with
+the median fallback, each partition predicts from the previously
+committed ones, and the encoder lets all three splits compete with
+the whole-MB mode by SAD + mvd-bits cost (opt-in ``partitions=``
+flag).  Refusal surface after this module: SP/SI slices, sub-8x8
+sub_mb_types (8x4/4x8/4x4), and multiple reference frames.  CABAC-coded P slices decode too, via
 h264_cabac_p.py composing this module's MotionMixin with the
 arithmetic engine; CAVLC B slices via h264_b.py composing the
 two-list machinery over this module's InterPicture.
@@ -89,6 +90,9 @@ from rmlint_spark.operators.h264_cavlc import (
 _P_L0_16x16 = 0
 _P_L0_L0_16x8 = 1
 _P_L0_L0_8x16 = 2
+_P_8x8 = 3
+_P_8x8REF0 = 4          # identical with one reference (7.4.5)
+_P_SUB_L0_8x8 = 0       # sub_mb_type (Table 7-17); 1..3 sub-8x8 refuse
 _P_INTRA_OFFSET = 5
 
 
@@ -105,6 +109,15 @@ def _p_parts(mb_type: int, my: int, mx: int):
              (py, px, 8, 16), (cy, cx, 4, 8)),
             (by + 2, bx, 4, 2, "16x8_bottom",
              (py + 8, px, 8, 16), (cy + 4, cx, 4, 8)),
+        ]
+    if mb_type in (_P_8x8, _P_8x8REF0):
+        # four 8x8 sub-macroblocks, raster order; the plain median
+        # predictor applies (no 8.4.1.3.2 directional shortcut)
+        return [
+            (by + 2 * (i // 2), bx + 2 * (i % 2), 2, 2, None,
+             (py + 8 * (i // 2), px + 8 * (i % 2), 8, 8),
+             (cy + 4 * (i // 2), cx + 4 * (i % 2), 4, 4))
+            for i in range(4)
         ]
     return [
         (by, bx, 2, 4, "8x16_left",
@@ -599,10 +612,8 @@ class InterPicture(MotionMixin, CavlcPicture):
                 self.decode_mb_p16(r, addr)
             elif mb_type in (_P_L0_L0_16x8, _P_L0_L0_8x16):
                 self.decode_mb_p2(r, addr, mb_type)
-            elif mb_type < _P_INTRA_OFFSET:
-                raise ValueError(
-                    f"H.264 P mb_type {mb_type} (P_8x8 sub-partitions)"
-                    " not in the implemented partition subset")
+            elif mb_type in (_P_8x8, _P_8x8REF0):
+                self.decode_mb_p8x8(r, addr, mb_type)
             else:
                 it = mb_type - _P_INTRA_OFFSET
                 if it == 25:
@@ -654,6 +665,34 @@ class InterPicture(MotionMixin, CavlcPicture):
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._finish_inter_mb(addr)
 
+    def decode_mb_p8x8(self, r: _BitReader, addr: int,
+                       mb_type: int) -> None:
+        """P_8x8 / P_8x8ref0 with the P_L0_8x8 sub-macroblock type:
+        four sub_mb_type codes (7.3.5.2), then four mvd pairs in
+        raster order (each sub-partition predicting from the already
+        committed ones), then one CBP + residual.  Sub-8x8 splits
+        (P_L0_8x4 / P_L0_4x8 / P_L0_4x4) refuse."""
+        from rmlint_spark.operators.h264 import _read_se, _read_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        for _ in range(4):
+            if _read_ue(r) != _P_SUB_L0_8x8:
+                raise ValueError(
+                    "H.264 sub_mb_type below 8x8 (8x4/4x8/4x4) not in "
+                    "the implemented partition subset")
+        mvs = []
+        for by, bx, w4, h4, shape, _, _ in _p_parts(mb_type, my, mx):
+            mvd_x = _read_se(r)
+            mvd_y = _read_se(r)
+            p = self._mv_pred_part(by, bx, w4, h4, shape)
+            mv = (p[0] + mvd_y, p[1] + mvd_x)
+            self._commit_part(by, bx, w4, h4, mv)
+            mvs.append(mv)
+        pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, mb_type,
+                                                     mvs)
+        self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
+        self._finish_inter_mb(addr)
+
 
     def encode_mb_p(self, w: _BitWriter, addr: int, y_src: np.ndarray,
                     u_src: np.ndarray, v_src: np.ndarray,
@@ -671,15 +710,20 @@ class InterPicture(MotionMixin, CavlcPicture):
         mv, inter_cost = self._motion_search(src, my, mx, search)
         split_best = None
         if partitions:
-            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
+            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16, _P_8x8):
                 mvs, mvps, cost = self._search_split(y_src, my, mx,
                                                      t, search)
-                cost += 96          # second mvd pair's bit cost bias
+                # bit-cost bias: extra mvd pairs (and the four
+                # sub_mb_type codes for the 8x8 split)
+                cost += 96 if t != _P_8x8 else 320
                 if split_best is None or cost < split_best[0]:
                     split_best = (cost, t, mvs, mvps)
         if split_best is not None and split_best[0] < inter_cost:
             cost, t, mvs, mvps = split_best
             _write_ue(w, t)
+            if t == _P_8x8:
+                for _ in range(4):
+                    _write_ue(w, _P_SUB_L0_8x8)
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
                     _p_parts(t, my, mx), mvs, mvps):
                 _write_se(w, pmv[1] - pmvp[1])

@@ -120,8 +120,9 @@ def test_skip_context_counts_non_skipped_neighbors():
 
 
 def test_sub16_partition_refused():
-    """A P mb_type of '010'/'001'/'011' (sub-16x16) raises the
-    documented ValueError through a crafted slice payload."""
+    """P_8x8 decodes since r5 s9, so the refusal moved to the
+    sub-8x8 sub_mb_type family: a '0' sub_mb_type bin (P_L0_8x4 and
+    below) raises through a crafted slice payload."""
     pic = _pic(mb_w=1, mb_h=1)
     w = _BitWriter()
     enc = CabacEncoder(w)
@@ -130,11 +131,12 @@ def test_sub16_partition_refused():
     enc.decision(cx.p_pre[0], 0)         # inter
     enc.decision(cx.p_pre[1], 0)         # bin1 = 0
     enc.decision(cx.p_pre[2], 1)         # bin2 = 1 -> P_8x8
+    enc.decision(cx.p_sub[0], 0)         # sub_mb_type: not P_L0_8x8
     enc.terminate(1)
     w.pad_to_byte()
     pic2 = _pic(mb_w=1, mb_h=1)
     covered = np.zeros(1, dtype=bool)
-    with pytest.raises(ValueError, match="P_8x8"):
+    with pytest.raises(ValueError, match="sub_mb_type below 8x8"):
         pic2.decode_slice_p(_BitReader(w.bytes()), 0, covered)
 
 

@@ -280,16 +280,17 @@ def test_mp4_p_lane_roundtrips_with_sync_table():
 # ------------------------------------------------------ refusals
 
 def test_p_partition_mb_types_refused():
-    # 16x8/8x16 decode since r5 s9 (decode_mb_p2); the refusal
-    # boundary narrowed to P_8x8 sub-partitions (mb_type 3/4)
+    # 16x8/8x16 and P_8x8 (P_L0_8x8) decode since r5 s9; the refusal
+    # boundary narrowed to the sub-8x8 sub_mb_types
     pic = _pic(mb_w=1, mb_h=1)
     w = _BitWriter()
     from rmlint_spark.operators.h264 import _trailing_bits, _write_ue
     _write_ue(w, 0)          # mb_skip_run
-    _write_ue(w, 3)          # P_8x8 -> refused subset
+    _write_ue(w, 3)          # P_8x8
+    _write_ue(w, 1)          # sub_mb_type P_L0_8x4 -> refused subset
     _trailing_bits(w)
     covered = np.zeros(1, dtype=bool)
-    with pytest.raises(ValueError, match="P_8x8"):
+    with pytest.raises(ValueError, match="sub_mb_type below 8x8"):
         pic.decode_slice_p(_BitReader(w.bytes()), 0, covered)
 
 

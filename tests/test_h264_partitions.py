@@ -161,3 +161,37 @@ def test_b_direct_refuses_partitioned_colocated():
     pic.lmv[0, 0, 0] = (4, 4)
     with pytest.raises(ValueError, match="partitioned colocated"):
         pic._direct_mv(0, 1)
+
+
+def test_p8x8_quadrant_motion_roundtrip_both_lanes():
+    """Four-quadrant motion (each 8x8 region of a 16x16 MB moving
+    differently) is P_8x8's use case: with partitions on, both
+    entropy lanes must encode it smaller than whole-MB mode, decode
+    it back above 40 dB, and stay pixel-identical to each other."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = np.stack([(yy * 5 + xx * 3) % 256, (yy + xx * 7) % 256,
+                     (yy * 2 + xx) % 256], -1).astype(np.uint8)
+    frames = [base]
+    for i in range(1, 4):
+        fr = base.copy()
+        # alternate the motion per 8x8 TILE so every 16x16 MB holds
+        # four different motions — the P_8x8 shape, unreachable by
+        # 16x16/16x8/8x16 modes
+        for r in range(0, 32, 8):
+            for c in range(0, 32, 8):
+                s = i * 2 if ((r + c) // 8) % 2 == 0 else -i * 2
+                ax = 1 if (r // 8) % 2 == 0 else 0
+                fr[r:r + 8, c:c + 8] = np.roll(
+                    base[r:r + 8, c:c + 8], s, axis=ax)
+        frames.append(fr)
+    plain = encode_h264_p(frames, qp=14, gop=8, search=6)
+    parts = encode_h264_p(frames, qp=14, gop=8, search=6,
+                          partitions=True)
+    assert len(parts) < len(plain)
+    _, dec = decode_h264(parts)
+    for src, out in zip(frames, dec):
+        assert _psnr(src, out) > 38.0
+    _, dec_cab = decode_h264(encode_h264_cabac_p(
+        frames, qp=14, gop=8, search=6, partitions=True))
+    for a, b in zip(dec, dec_cab):
+        assert np.array_equal(a, b)
