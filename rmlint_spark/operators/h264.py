@@ -33,9 +33,13 @@ bi-prediction, spatial direct, B_Skip, POC display reordering)
 complete the slice-type family under BOTH entropy modes
 (h264_cabac_b.py mirrors the CABAC-P composition), and the 16x8 /
 8x16 / P_8x8(P_L0_8x8) P partitions code for real in both entropy
-lanes (r5 s9, block-grid motion state + directional predictors);
-the refusal surface is down to reference (pyramid) B pictures,
-temporal direct, weighted prediction, SP/SI slices, sub-8x8
+lanes (r5 s9, block-grid motion state + directional predictors), and
+weighted prediction decodes for real under both entropy modes —
+explicit per-slice pred_weight_table (7.3.3.2 / 8.4.2.3.3, P and B)
+and implicit POC-distance weights (weighted_bipred_idc == 2,
+8.4.2.3.1) — with encoder support (least-squares fade / joint-bi
+crossfade weight fitting); the refusal surface is down to reference
+(pyramid) B pictures, temporal direct, SP/SI slices, sub-8x8
 sub_mb_types / sub-16x16 B partitions and multi-reference
 prediction.
 
@@ -257,7 +261,8 @@ def _encode_sps(mb_w: int, mb_h: int, width: int, height: int,
     return w.bytes()
 
 
-def _encode_pps(entropy_coding: int = 0) -> bytes:
+def _encode_pps(entropy_coding: int = 0, weighted_pred: int = 0,
+                weighted_bipred_idc: int = 0) -> bytes:
     w = _BitWriter()
     _write_ue(w, 0)                     # pic_parameter_set_id
     _write_ue(w, 0)                     # seq_parameter_set_id
@@ -266,8 +271,8 @@ def _encode_pps(entropy_coding: int = 0) -> bytes:
     _write_ue(w, 0)                     # num_slice_groups_minus1
     _write_ue(w, 0)                     # num_ref_idx_l0_default_active_minus1
     _write_ue(w, 0)                     # num_ref_idx_l1_default_active_minus1
-    w.write(0, 1)                       # weighted_pred_flag
-    w.write(0, 2)                       # weighted_bipred_idc
+    w.write(weighted_pred, 1)           # weighted_pred_flag
+    w.write(weighted_bipred_idc, 2)     # weighted_bipred_idc
     _write_se(w, 0)                     # pic_init_qp_minus26
     _write_se(w, 0)                     # pic_init_qs_minus26
     _write_se(w, 0)                     # chroma_qp_index_offset
@@ -276,6 +281,112 @@ def _encode_pps(entropy_coding: int = 0) -> bytes:
     w.write(0, 1)                       # redundant_pic_cnt_present
     _trailing_bits(w)
     return w.bytes()
+
+
+# ------------------------------------------- weighted prediction (WP)
+#
+# Explicit WP carries per-list (weight, offset) pairs in the slice
+# header (7.3.3.2 pred_weight_table); implicit WP (B only,
+# weighted_bipred_idc == 2) derives the pair of weights from POC
+# distances (8.4.2.3.1).  The table below is the subset for one
+# reference per list (this family's list discipline).
+#
+# wp dict shape (shared by every inter lane):
+#   {"logwd_y", "logwd_c": log2 denominators,
+#    "l0"/"l1": (w_y, o_y, w_u, o_u, w_v, o_v),
+#    "implicit": True when the weights came from 8.4.2.3.1 — implicit
+#                weights apply ONLY to bi-predicted blocks; mono
+#                blocks fall back to default prediction (8.4.2.3)}
+
+
+def _check_wp_range(*vals: int) -> None:
+    for v in vals:
+        if not -128 <= v <= 127:
+            raise ValueError("H.264 pred_weight_table value out of "
+                             "the spec's se(v) range [-128, 127]")
+
+
+def _parse_pred_weight_table(r: "_BitReader", is_b: bool) -> dict:
+    """pred_weight_table() (7.3.3.2) for one reference per list."""
+    logwd_y = _read_ue(r)
+    logwd_c = _read_ue(r)
+    if logwd_y > 7 or logwd_c > 7:
+        raise ValueError("H.264 luma/chroma_log2_weight_denom > 7")
+
+    def one_list() -> tuple[int, int, int, int, int, int]:
+        if r.read(1):                   # luma_weight_lX_flag
+            w_y, o_y = _read_se(r), _read_se(r)
+            _check_wp_range(w_y, o_y)
+        else:
+            w_y, o_y = 1 << logwd_y, 0
+        if r.read(1):                   # chroma_weight_lX_flag
+            w_u, o_u = _read_se(r), _read_se(r)
+            w_v, o_v = _read_se(r), _read_se(r)
+            _check_wp_range(w_u, o_u, w_v, o_v)
+        else:
+            w_u, o_u, w_v, o_v = 1 << logwd_c, 0, 1 << logwd_c, 0
+        return w_y, o_y, w_u, o_u, w_v, o_v
+
+    wp = {"logwd_y": logwd_y, "logwd_c": logwd_c, "l0": one_list()}
+    if is_b:
+        wp["l1"] = one_list()
+    return wp
+
+
+def _write_pred_weight_table(w: "_BitWriter", wp: dict,
+                             is_b: bool) -> None:
+    """Write-side twin of :func:`_parse_pred_weight_table`; weight
+    flags are emitted only when a list deviates from its defaults."""
+    logwd_y, logwd_c = wp["logwd_y"], wp["logwd_c"]
+    _write_ue(w, logwd_y)
+    _write_ue(w, logwd_c)
+
+    def one_list(vals: tuple[int, int, int, int, int, int]) -> None:
+        w_y, o_y, w_u, o_u, w_v, o_v = vals
+        if (w_y, o_y) != (1 << logwd_y, 0):
+            w.write(1, 1)
+            _write_se(w, w_y)
+            _write_se(w, o_y)
+        else:
+            w.write(0, 1)
+        if (w_u, o_u, w_v, o_v) != (1 << logwd_c, 0, 1 << logwd_c, 0):
+            w.write(1, 1)
+            _write_se(w, w_u)
+            _write_se(w, o_u)
+            _write_se(w, w_v)
+            _write_se(w, o_v)
+        else:
+            w.write(0, 1)
+
+    one_list(wp["l0"])
+    if is_b:
+        one_list(wp["l1"])
+
+
+def _implicit_wp(poc_cur: int, poc_past: int, poc_future: int) -> dict:
+    """Implicit B weights from POC distances (8.4.2.3.1): logWD = 5,
+    zero offsets, w1 = DistScaleFactor >> 2, w0 = 64 - w1, falling
+    back to 32/32 when the scale factor leaves [-64, 128] or the
+    anchors share a POC.  The same pair applies to luma and chroma."""
+    def clip3(lo: int, hi: int, v: int) -> int:
+        return max(lo, min(hi, v))
+
+    tb = clip3(-128, 127, poc_cur - poc_past)
+    td = clip3(-128, 127, poc_future - poc_past)
+    if td == 0:
+        w0 = w1 = 32
+    else:
+        # future anchor POC > past anchor POC in this family's closed
+        # segments, so the spec's truncating division is plain //
+        tx = (16384 + abs(td) // 2) // td
+        dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+        if dsf >> 2 < -64 or dsf >> 2 > 128:
+            w0 = w1 = 32
+        else:
+            w1 = dsf >> 2
+            w0 = 64 - w1
+    return {"logwd_y": 5, "logwd_c": 5, "implicit": True,
+            "l0": (w0, 0, w0, 0, w0, 0), "l1": (w1, 0, w1, 0, w1, 0)}
 
 
 def _pad_to_mb(plane: np.ndarray, mb: int) -> np.ndarray:
@@ -621,6 +732,7 @@ class _H264Layout:
         covered = np.zeros(mb_w * mb_h, dtype=bool)
         kind = self.kinds[idx]
         cavlc_pic = None
+        implicit_wp: dict | None = None
         if kind == "P":
             if not refs:
                 raise ValueError(
@@ -636,9 +748,9 @@ class _H264Layout:
 
                 cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
         elif kind == "B":
-            # surface header-level refusals (temporal direct, weighted
-            # bi-prediction) before demanding references, so a crafted
-            # single-picture stream reports the real reason
+            # surface header-level refusals (temporal direct) before
+            # demanding references, so a crafted single-picture
+            # stream reports the real reason
             typ0, ridc0, rbsp0 = self.pictures[idx][0]
             self._parse_slice_header(_BitReader(rbsp0), typ0, ridc0,
                                      sps, pps)
@@ -650,6 +762,9 @@ class _H264Layout:
                     "H.264 B picture lacks a past or future reference")
             p_idx = max(past, key=lambda r: self.poc[r])
             f_idx = min(future, key=lambda r: self.poc[r])
+            if pps["weighted_bipred_idc"] == 2:
+                implicit_wp = _implicit_wp(cur, self.poc[p_idx],
+                                           self.poc[f_idx])
             col = self._mvinfo[f_idx]
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac_b import \
@@ -666,15 +781,17 @@ class _H264Layout:
                     self._cache[p_idx], self._cache[f_idx], col)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
-            first_mb, qp_delta, slice_type = self._parse_slice_header(
+            first_mb, qp_delta, slice_type, wp = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
             slice_qp = pps["pic_init_qp"] + qp_delta
             if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
                 cavlc_pic.qp = slice_qp
+                cavlc_pic.wp = wp
                 cavlc_pic.decode_slice_p(r, first_mb, covered)
                 continue
             if slice_type % 5 == 1:         # B slice (CAVLC)
                 cavlc_pic.qp = slice_qp
+                cavlc_pic.wp = implicit_wp if wp == "implicit" else wp
                 cavlc_pic.decode_slice_b(r, first_mb, covered)
                 continue
             if pps["entropy_coding_mode"]:
@@ -744,9 +861,10 @@ class _H264Layout:
 
     def _parse_slice_header(self, r: _BitReader, nal_type: int,
                             ref_idc: int, sps: dict,
-                            pps: dict) -> tuple[int, int, int]:
+                            pps: dict) -> tuple[int, int, int, dict | str | None]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
+        wp: dict | str | None = None
         if slice_type % 5 not in (0, 1, 2):
             raise NotImplementedError(
                 "H.264 SP/SI slice decode not implemented "
@@ -783,12 +901,11 @@ class _H264Layout:
                 raise ValueError(
                     "H.264 ref_pic_list_modification unsupported")
             if is_p and pps["weighted_pred"]:
-                raise ValueError(
-                    "H.264 weighted prediction unsupported")
-            if is_b and pps["weighted_bipred_idc"] != 0:
-                raise ValueError(
-                    "H.264 weighted bi-prediction unsupported "
-                    "(weighted_bipred_idc must be 0)")
+                wp = _parse_pred_weight_table(r, is_b=False)
+            elif is_b and pps["weighted_bipred_idc"] == 1:
+                wp = _parse_pred_weight_table(r, is_b=True)
+            elif is_b and pps["weighted_bipred_idc"] == 2:
+                wp = "implicit"         # resolved from POCs per picture
         # dec_ref_pic_marking is present only when the slice is a
         # reference (nal_ref_idc != 0)
         if ref_idc:
@@ -814,7 +931,7 @@ class _H264Layout:
         if pps["deblocking_control"]:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
                 _read_se(r), _read_se(r)
-        return first_mb, qp_delta, slice_type
+        return first_mb, qp_delta, slice_type, wp
 
 
 def parse_h264(payload: bytes) -> dict:
@@ -839,11 +956,13 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     intra-in-P) macroblocks decode under BOTH entropy modes, and so
     do B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
     order — operators/h264_b.py and h264_cabac_b.py); 16x8 / 8x16 /
-    P_8x8 P partitions decode in both entropy lanes.  SP/SI slices
+    P_8x8 P partitions decode in both entropy lanes, and weighted
+    prediction (explicit pred_weight_table on P and B, implicit
+    POC-distance B weights) applies in both too.  SP/SI slices
     raise ``NotImplementedError``; sub-8x8 sub_mb_types, sub-16x16 B
-    partitions, reference B pictures, temporal direct and weighted
-    prediction raise ``ValueError`` (the documented refusal
-    surface); malformed streams raise ``ValueError``.
+    partitions, reference B pictures and temporal direct raise
+    ``ValueError`` (the documented refusal surface); malformed
+    streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

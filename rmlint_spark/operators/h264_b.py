@@ -36,11 +36,15 @@ zero-residual direct macroblocks into skips, and reconstructing
 in-loop through the decoder's own prediction path (the family's
 drift-impossible discipline).
 
-Refusal surface after this module: reference (pyramid) B pictures,
-temporal direct mode, weighted (bi-)prediction, B partitions below
-16x16, SP/SI slices, multi-reference lists.  CABAC-coded B slices
-decode too, via h264_cabac_b.py composing this module's
-BiMotionMixin with the arithmetic engine.
+Weighted (bi-)prediction is supported since r5 s10: explicit
+per-slice pred_weight_tables (wp="explicit", joint two-reference
+least-squares fitting against the 8.4.2.3.3 bi formula) and implicit
+POC-distance weights (wp="implicit", 8.4.2.3.1 — the crossfade
+mode).  Refusal surface after this module: reference (pyramid) B
+pictures, temporal direct mode, B partitions below 16x16, SP/SI
+slices, multi-reference lists.  CABAC-coded B slices decode too, via
+h264_cabac_b.py composing this module's BiMotionMixin with the
+arithmetic engine.
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -171,6 +175,24 @@ class BiMotionMixin:
             return self.ref_y, self.ref_u, self.ref_v
         return self.ref1_y, self.ref1_u, self.ref1_v
 
+    def _search_ref_list(self, lst: int) -> np.ndarray:
+        """Luma search plane for list ``lst``: weighted under explicit
+        WP (so candidate ranking matches the decoder's weighted
+        prediction), raw otherwise — implicit weights never apply to
+        mono predictions, and the bi candidate is scored through
+        :meth:`_pred_b` which weights for real."""
+        wp = self.wp
+        ry = self.ref_y if lst == 0 else self.ref1_y
+        if wp is None or wp.get("implicit"):
+            return ry
+        key = "_wp_bref0" if lst == 0 else "_wp_bref1"
+        if getattr(self, key, None) is None:
+            vals = wp["l0" if lst == 0 else "l1"]
+            setattr(self, key, self._wp_plane(
+                ry.astype(np.int64), vals[0], vals[1],
+                wp["logwd_y"]).astype(np.uint8))
+        return getattr(self, key)
+
     def _mc_pred_list(self, my: int, mx: int, mv: tuple[int, int],
                       lst: int):
         ry, ru, rv = self._ref_planes(lst)
@@ -182,14 +204,30 @@ class BiMotionMixin:
     def _pred_b(self, my: int, mx: int, mv0, mv1, use0: bool,
                 use1: bool):
         """Combined (possibly bi-) prediction: the default rounded
-        average when both lists predict (8.4.2.3.2)."""
+        average when both lists predict (8.4.2.3.2), or the weighted
+        combination (8.4.2.3.3) when the slice carries explicit
+        weights / the PPS selects implicit mode.  Implicit weights
+        apply only to bi-predicted blocks; explicit weights apply to
+        mono predictions too (via :meth:`_wp_mono`)."""
+        wp = self.wp
         if use0 and use1:
             p0 = self._mc_pred_list(my, mx, mv0, 0)
             p1 = self._mc_pred_list(my, mx, mv1, 1)
-            return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+            if wp is None:
+                return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+            lg = (wp["logwd_y"], wp["logwd_c"], wp["logwd_c"])
+            out = []
+            for i, (a, b) in enumerate(zip(p0, p1)):
+                w0, o0 = wp["l0"][2 * i], wp["l0"][2 * i + 1]
+                w1, o1 = wp["l1"][2 * i], wp["l1"][2 * i + 1]
+                out.append(np.clip(
+                    ((a * w0 + b * w1 + (1 << lg[i])) >> (lg[i] + 1))
+                    + ((o0 + o1 + 1) >> 1), 0, 255))
+            return tuple(out)
         if use0:
-            return self._mc_pred_list(my, mx, mv0, 0)
-        return self._mc_pred_list(my, mx, mv1, 1)
+            return self._wp_mono(self._mc_pred_list(my, mx, mv0, 0),
+                                 "l0")
+        return self._wp_mono(self._mc_pred_list(my, mx, mv1, 1), "l1")
 
     def _commit_b(self, addr: int, mv0, mv1, use0: bool,
                   use1: bool) -> None:
@@ -320,11 +358,13 @@ class BInterPicture(BiMotionMixin, InterPicture):
                   _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1)]
         mvp0 = self._mv_pred_b(my, mx, 0)
         mv0, cost0 = self._motion_search(src, my, mx, search,
-                                         ref_y=self.ref_y, mvp=mvp0)
+                                         ref_y=self._search_ref_list(0),
+                                         mvp=mvp0)
         cands.append((cost0, _B_L0_16x16, mv0, (0, 0), True, False))
         mvp1 = self._mv_pred_b(my, mx, 1)
         mv1, cost1 = self._motion_search(src, my, mx, search,
-                                         ref_y=self.ref1_y, mvp=mvp1)
+                                         ref_y=self._search_ref_list(1),
+                                         mvp=mvp1)
         cands.append((cost1, _B_L1_16x16, (0, 0), mv1, False, True))
         bi = self._pred_b(my, mx, mv0, mv1, True, True)
         bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
@@ -359,7 +399,8 @@ def encode_h264_b(frames: list[np.ndarray],
                   qp: int = 20,
                   bgroup: int = 2,
                   seg: int = 12,
-                  search: int = 4) -> bytes:
+                  search: int = 4,
+                  wp: str | None = None) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments and CAVLC entropy.  Display structure per
     ``seg``-frame segment: anchors every ``bgroup + 1`` frames (plus
@@ -367,18 +408,30 @@ def encode_h264_b(frames: list[np.ndarray],
     anchors; decode order emits each anchor before its B group and no
     B group spans an IDR.  POC type 0 (pic_order_cnt_lsb) carries the
     display order.  Lossy at ``qp``; self-consistent with
-    :func:`rmlint_spark.operators.h264.decode_h264`."""
+    :func:`rmlint_spark.operators.h264.decode_h264`.
+
+    ``wp`` selects weighted bi-prediction: ``"implicit"`` sets
+    weighted_bipred_idc = 2 (POC-distance weights, 8.4.2.3.1 — the
+    crossfade mode, no header bits); ``"explicit"`` sets idc = 1 and
+    fits per-list least-squares pred_weight_tables per B slice."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
         _encode_sps,
         _escape_rbsp,
+        _implicit_wp,
         _pad_to_mb,
         _rgb_to_yuv420,
         _trailing_bits,
+        _write_pred_weight_table,
         _write_se,
         _write_ue,
     )
+    from rmlint_spark.operators.h264_inter import _estimate_wp_bi
+
+    if wp not in (None, "implicit", "explicit"):
+        raise ValueError("wp must be None, 'implicit' or 'explicit'")
+    bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
     if not frames:
         raise ValueError("need at least one frame")
     if not 0 <= qp <= 29:
@@ -399,10 +452,12 @@ def encode_h264_b(frames: list[np.ndarray],
     out += _START4 + b"\x67" + _escape_rbsp(
         _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=2,
                     poc_type=0))
-    out += _START4 + b"\x68" + _escape_rbsp(_encode_pps())
+    out += _START4 + b"\x68" + _escape_rbsp(
+        _encode_pps(weighted_bipred_idc=bipred_idc))
 
     def header(bw: _BitWriter, slice_type: int, frame_num: int,
-               poc_lsb: int, is_idr: bool, idr_id: int) -> None:
+               poc_lsb: int, is_idr: bool, idr_id: int,
+               slice_wp: dict | None = None) -> None:
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, slice_type)
         _write_ue(bw, 0)                    # pic_parameter_set_id
@@ -415,6 +470,8 @@ def encode_h264_b(frames: list[np.ndarray],
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             bw.write(0, 1)                  # ref_pic_list_modification_l1
+            if bipred_idc == 1:             # pred_weight_table (7.3.3)
+                _write_pred_weight_table(bw, slice_wp, is_b=True)
         elif slice_type == 5:               # P
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
@@ -501,9 +558,17 @@ def encode_h264_b(frames: list[np.ndarray],
                         np.zeros_like(bv), mb_w, mb_h,
                         prev_anchor[0], cur_anchor[0], cur_anchor[1])
                     bpic.qp = qp
+                    if wp == "implicit":
+                        bpic.wp = _implicit_wp(2 * (bdisp - s0),
+                                               2 * (prev_disp - s0),
+                                               2 * (disp - s0))
+                    elif wp == "explicit":
+                        bpic.wp = _estimate_wp_bi(
+                            (by, bu, bv), prev_anchor[0],
+                            cur_anchor[0])
                     bw = _BitWriter()
                     header(bw, 6, frame_num, 2 * (bdisp - s0),
-                           False, 0)
+                           False, 0, slice_wp=bpic.wp)
                     inter_slice_body(
                         bw, bpic,
                         lambda pb, addr: bpic.encode_mb_b(

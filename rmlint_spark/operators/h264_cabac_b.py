@@ -31,8 +31,10 @@ follow clause 9.3; encoder and decoder share every table, so the
 pair is self-consistent by construction.
 
 The refusal surface for video after this module: reference (pyramid)
-B pictures, temporal direct, weighted prediction, SP/SI slices,
-sub-16x16 partitions, multi-reference prediction.
+B pictures, temporal direct, SP/SI slices, sub-16x16 partitions,
+multi-reference prediction (weighted prediction — explicit and
+implicit — decodes since r5 s10; the header, pred_weight_table
+included, stays Exp-Golomb under CABAC).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -335,11 +337,13 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
                   _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1)]
         mvp0 = self._mv_pred_b(my, mx, 0)
         mv0, cost0 = self._motion_search(src, my, mx, search,
-                                         ref_y=self.ref_y, mvp=mvp0)
+                                         ref_y=self._search_ref_list(0),
+                                         mvp=mvp0)
         cands.append((cost0, _B_L0_16x16, mv0, (0, 0), True, False))
         mvp1 = self._mv_pred_b(my, mx, 1)
         mv1, cost1 = self._motion_search(src, my, mx, search,
-                                         ref_y=self.ref1_y, mvp=mvp1)
+                                         ref_y=self._search_ref_list(1),
+                                         mvp=mvp1)
         cands.append((cost1, _B_L1_16x16, (0, 0), mv1, False, True))
         bi = self._pred_b(my, mx, mv0, mv1, True, True)
         bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
@@ -434,26 +438,36 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         qp: int = 20,
                         bgroup: int = 2,
                         seg: int = 12,
-                        search: int = 4) -> bytes:
+                        search: int = 4,
+                        wp: str | None = None) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments under CABAC entropy (the B twin of
-    h264_b.encode_h264_b; same segment/POC structure)."""
+    h264_b.encode_h264_b; same segment/POC structure and the same
+    ``wp`` modes — the slice header, pred_weight_table included,
+    stays Exp-Golomb under CABAC)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
         _encode_sps,
         _escape_rbsp,
+        _implicit_wp,
         _pad_to_mb,
         _rgb_to_yuv420,
+        _write_pred_weight_table,
         _write_se,
         _write_ue,
     )
+    from rmlint_spark.operators.h264_inter import _estimate_wp_bi
+
     if not frames:
         raise ValueError("need at least one frame")
     if not 0 <= qp <= 29:
         raise ValueError("qp outside the implemented 0..29 subset")
     if bgroup < 0 or seg < 1:
         raise ValueError("bgroup must be >= 0 and seg >= 1")
+    if wp not in (None, "implicit", "explicit"):
+        raise ValueError("wp must be None, 'implicit' or 'explicit'")
+    bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
     h, w_px = np.asarray(frames[0]).shape[:2]
     mb_w, mb_h = -(-w_px // 16), -(-h // 16)
     planes = []
@@ -468,10 +482,12 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
     out += _START4 + b"\x67" + _escape_rbsp(
         _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=2,
                     poc_type=0))
-    out += _START4 + b"\x68" + _escape_rbsp(_encode_pps(entropy_coding=1))
+    out += _START4 + b"\x68" + _escape_rbsp(
+        _encode_pps(entropy_coding=1, weighted_bipred_idc=bipred_idc))
 
     def header(bw: _BitWriter, slice_type: int, frame_num: int,
-               poc_lsb: int, is_idr: bool, idr_id: int) -> None:
+               poc_lsb: int, is_idr: bool, idr_id: int,
+               slice_wp: dict | None = None) -> None:
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, slice_type)
         _write_ue(bw, 0)                    # pic_parameter_set_id
@@ -484,6 +500,8 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             bw.write(0, 1)                  # ref_pic_list_modification_l1
+            if bipred_idc == 1:             # pred_weight_table (7.3.3)
+                _write_pred_weight_table(bw, slice_wp, is_b=True)
         elif slice_type == 5:               # P
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
@@ -552,9 +570,17 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         np.zeros_like(bv), mb_w, mb_h,
                         prev_anchor[0], cur_anchor[0], cur_anchor[1])
                     bpic.qp = qp
+                    if wp == "implicit":
+                        bpic.wp = _implicit_wp(2 * (bdisp - s0),
+                                               2 * (prev_disp - s0),
+                                               2 * (disp - s0))
+                    elif wp == "explicit":
+                        bpic.wp = _estimate_wp_bi(
+                            (by, bu, bv), prev_anchor[0],
+                            cur_anchor[0])
                     bw = _BitWriter()
                     header(bw, 6, frame_num, 2 * (bdisp - s0),
-                           False, 0)
+                           False, 0, slice_wp=bpic.wp)
                     enc = CabacEncoder(bw)
                     for addr in range(n_mbs):
                         bpic.encode_mb_b(enc, addr, by, bu, bv, search)

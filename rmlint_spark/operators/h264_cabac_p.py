@@ -478,11 +478,15 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
                         qp: int = 20,
                         gop: int = 8,
                         search: int = 4,
-                        partitions: bool = False) -> bytes:
+                        partitions: bool = False,
+                        wp: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with IDR+P GOPs
     under CABAC entropy.  Lossy at ``qp``; self-consistent with
     :func:`rmlint_spark.operators.h264.decode_h264` (the CABAC
-    deviations of h264_cabac.py apply)."""
+    deviations of h264_cabac.py apply).  ``wp`` mirrors
+    :func:`rmlint_spark.operators.h264_inter.encode_h264_p`: explicit
+    per-slice least-squares pred_weight_tables (the header stays
+    Exp-Golomb under CABAC — only slice *data* is arithmetic-coded)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -490,9 +494,11 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
         _escape_rbsp,
         _pad_to_mb,
         _rgb_to_yuv420,
+        _write_pred_weight_table,
         _write_se,
         _write_ue,
     )
+    from rmlint_spark.operators.h264_inter import _estimate_wp
     if not frames:
         raise ValueError("need at least one frame")
     if not 0 <= qp <= 29:
@@ -504,7 +510,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
         _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=1))
-    out += _START4 + b"\x68" + _escape_rbsp(_encode_pps(entropy_coding=1))
+    out += _START4 + b"\x68" + _escape_rbsp(
+        _encode_pps(entropy_coding=1, weighted_pred=1 if wp else 0))
     ref = None
     for i, fr in enumerate(frames):
         fr = np.asarray(fr, dtype=np.uint8)
@@ -520,6 +527,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
                                          np.zeros_like(u),
                                          np.zeros_like(v)))
         pic.qp = qp
+        if wp and not is_idr:
+            pic.wp = _estimate_wp((y, u, v), ref)
         bw = _BitWriter()
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, 7 if is_idr else 5)   # slice_type: I / P (all)
@@ -532,6 +541,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
         else:
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
+            if wp:                          # pred_weight_table (7.3.3)
+                _write_pred_weight_table(bw, pic.wp, is_b=False)
             bw.write(0, 1)                  # adaptive_ref_pic_marking
             _write_ue(bw, 0)                # cabac_init_idc
         _write_se(bw, qp - 26)              # slice_qp_delta

@@ -229,6 +229,10 @@ class MotionMixin:
         self.dec4 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
         self.mb_state = np.zeros((mb_h, mb_w), dtype=np.int64)
         self._mc_chroma: dict[str, np.ndarray] | None = None
+        # weighted prediction (8.4.2.3.3): set per slice from the
+        # header's pred_weight_table (or the implicit 8.4.2.3.1
+        # derivation); None = default prediction
+        self.wp: dict | None = None
 
     # CavlcPicture hook: while an inter MB is being coded, chroma
     # prediction is the motion-compensated block, not intra DC
@@ -297,6 +301,47 @@ class MotionMixin:
             return 0, 0
         return self._mv_pred(my, mx)
 
+    # ---- weighted-prediction application (8.4.2.3.3) ----
+
+    @staticmethod
+    def _wp_plane(pred: np.ndarray, w: int, o: int,
+                  logwd: int) -> np.ndarray:
+        """Explicit mono weighting of one plane, clipped to Clip1."""
+        if logwd >= 1:
+            out = ((pred * w + (1 << (logwd - 1))) >> logwd) + o
+        else:
+            out = pred * w + o
+        return np.clip(out, 0, 255)
+
+    def _wp_mono(self, preds, lst: str = "l0"):
+        """Apply list-X explicit weights to a (y, u, v) prediction
+        triple; implicit weights never apply to mono predictions
+        (8.4.2.3), and None means default prediction."""
+        wp = self.wp
+        if wp is None or wp.get("implicit"):
+            return preds
+        w_y, o_y, w_u, o_u, w_v, o_v = wp[lst]
+        p_y, p_u, p_v = preds
+        return (self._wp_plane(p_y, w_y, o_y, wp["logwd_y"]),
+                self._wp_plane(p_u, w_u, o_u, wp["logwd_c"]),
+                self._wp_plane(p_v, w_v, o_v, wp["logwd_c"]))
+
+    def _search_ref_y(self) -> np.ndarray:
+        """Reference luma plane for motion search: when explicit WP is
+        active the weighted plane ranks candidates the way the
+        decoder's weighted prediction will (weighting and the
+        interpolation filter are both affine, so weighting the plane
+        first is the cheap per-slice approximation)."""
+        wp = self.wp
+        if wp is None or wp.get("implicit"):
+            return self.ref_y
+        if getattr(self, "_wp_ref_y", None) is None:
+            w_y, o_y = wp["l0"][0], wp["l0"][1]
+            self._wp_ref_y = self._wp_plane(
+                self.ref_y.astype(np.int64), w_y, o_y,
+                wp["logwd_y"]).astype(np.uint8)
+        return self._wp_ref_y
+
     def _mc_pred(self, my: int, mx: int, mv: tuple[int, int]):
         mvy, mvx = mv
         pred_y = _interp_luma(self.ref_y, my * 16, mx * 16, 16, 16,
@@ -305,7 +350,7 @@ class MotionMixin:
                                 mvy, mvx)
         pred_v = _interp_chroma(self.ref_v, my * 8, mx * 8, 8, 8,
                                 mvy, mvx)
-        return pred_y, pred_u, pred_v
+        return self._wp_mono((pred_y, pred_u, pred_v))
 
     def _commit_part(self, by: int, bx: int, w4: int, h4: int,
                      mv: tuple[int, int]) -> None:
@@ -341,7 +386,9 @@ class MotionMixin:
                 self.ref_u, cy, cx, ch, cw, mv[0], mv[1])
             pred_v[ou:ou + ch, ov:ov + cw] = _interp_chroma(
                 self.ref_v, cy, cx, ch, cw, mv[0], mv[1])
-        return pred_y, pred_u, pred_v
+        # every partition predicts from refIdx 0, so one weighting of
+        # the assembled macroblock equals per-partition weighting
+        return self._wp_mono((pred_y, pred_u, pred_v))
 
     # ---- decode side ----
 
@@ -406,7 +453,7 @@ class MotionMixin:
         the single-list P state — the B lane passes its per-list
         plane and predictor."""
         if ref_y is None:
-            ref_y = self.ref_y
+            ref_y = self._search_ref_y()
         if mvp is None:
             mvp = self._mv_pred(my, mx)
         return self._search_rect(src, my * 16, mx * 16, 16, 16, rng,
@@ -426,7 +473,8 @@ class MotionMixin:
                 src = y_src[py:py + bh, px:px + bw].astype(np.int64)
                 mvp = self._mv_pred_part(by, bx, w4, h4, shape)
                 mv, cost = self._search_rect(src, py, px, bh, bw,
-                                             rng, self.ref_y, mvp)
+                                             rng, self._search_ref_y(),
+                                             mvp)
                 saved.append((by, bx, w4, h4,
                               self.mv4[by:by + h4, bx:bx + w4].copy(),
                               self.dec4[by:by + h4, bx:bx + w4].copy()))
@@ -776,17 +824,78 @@ class InterPicture(MotionMixin, CavlcPicture):
 
 # --------------------------------------------------------- top level
 
+def _estimate_wp_plane(src: np.ndarray, ref: np.ndarray,
+                       logwd: int) -> tuple[int, int]:
+    """Least-squares (weight, offset) fit of ``src ~ w/2^logwd * ref
+    + o`` over one plane, clamped to the pred_weight_table se(v)
+    range.  Degenerate (flat) references fall back to a pure offset."""
+    s = src.astype(np.float64)
+    rf = ref.astype(np.float64)
+    var = rf.var()
+    if var > 1e-3:
+        slope = ((s * rf).mean() - s.mean() * rf.mean()) / var
+    else:
+        slope = 1.0
+    w = max(-128, min(127, int(round(slope * (1 << logwd)))))
+    o = max(-128, min(127,
+                      int(round(s.mean() - w * rf.mean() / (1 << logwd)))))
+    return w, o
+
+
+def _estimate_wp(planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 logwd: int = 6) -> dict:
+    """Per-plane explicit-WP estimate of a (y, u, v) source against a
+    reconstructed reference — the standard fade/brightness model a
+    conforming encoder derives before writing pred_weight_table."""
+    w_y, o_y = _estimate_wp_plane(planes[0], ref[0], logwd)
+    w_u, o_u = _estimate_wp_plane(planes[1], ref[1], logwd)
+    w_v, o_v = _estimate_wp_plane(planes[2], ref[2], logwd)
+    return {"logwd_y": logwd, "logwd_c": logwd,
+            "l0": (w_y, o_y, w_u, o_u, w_v, o_v)}
+
+
+def _estimate_wp_bi(planes: tuple[np.ndarray, np.ndarray, np.ndarray],
+                    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+                    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+                    logwd: int = 6) -> dict:
+    """Joint two-reference least-squares explicit-B weights: fit
+    ``src ~ (w0 p0 + w1 p1) / 2^(logwd+1) + (o0 + o1) / 2`` per plane
+    — the 8.4.2.3.3 *bi* formula, NOT two independent mono fits
+    (whose weights the bi combiner would halve).  The offset is split
+    evenly across the lists."""
+    l0, l1 = [], []
+    for src, r0, r1 in zip(planes, ref0, ref1):
+        s = src.astype(np.float64).ravel()
+        a = np.stack([r0.astype(np.float64).ravel(),
+                      r1.astype(np.float64).ravel(),
+                      np.ones_like(s)], axis=1)
+        coef, *_ = np.linalg.lstsq(a, s, rcond=None)
+        den = 1 << (logwd + 1)
+        w0 = max(-128, min(127, int(round(coef[0] * den))))
+        w1 = max(-128, min(127, int(round(coef[1] * den))))
+        o = max(-128, min(127, int(round(coef[2]))))
+        l0 += [w0, o]
+        l1 += [w1, o]
+    return {"logwd_y": logwd, "logwd_c": logwd,
+            "l0": tuple(l0), "l1": tuple(l1)}
+
+
 def encode_h264_p(frames: list[np.ndarray],
                   fps: tuple[int, int] = (25, 1),
                   qp: int = 20,
                   gop: int = 8,
                   search: int = 4,
-                  partitions: bool = False) -> bytes:
+                  partitions: bool = False,
+                  wp: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with IDR+P GOPs
     (IPPP..., a new IDR every ``gop`` frames) and CAVLC entropy.
     Lossy at ``qp``; self-consistent with
     :func:`rmlint_spark.operators.h264.decode_h264` (the documented
-    VLC-table deviations of h264_cavlc.py apply here too)."""
+    VLC-table deviations of h264_cavlc.py apply here too).  With
+    ``wp`` the PPS sets weighted_pred_flag and every P slice carries
+    a least-squares pred_weight_table (7.3.3.2) fitted per plane —
+    the fade/brightness model of 8.4.2.3.3 explicit weighting."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -795,6 +904,7 @@ def encode_h264_p(frames: list[np.ndarray],
         _pad_to_mb,
         _rgb_to_yuv420,
         _trailing_bits,
+        _write_pred_weight_table,
         _write_se,
         _write_ue,
     )
@@ -809,7 +919,8 @@ def encode_h264_p(frames: list[np.ndarray],
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
         _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=1))
-    out += _START4 + b"\x68" + _escape_rbsp(_encode_pps())
+    out += _START4 + b"\x68" + _escape_rbsp(
+        _encode_pps(weighted_pred=1 if wp else 0))
     ref = None
     for i, fr in enumerate(frames):
         fr = np.asarray(fr, dtype=np.uint8)
@@ -825,6 +936,8 @@ def encode_h264_p(frames: list[np.ndarray],
                                          np.zeros_like(u),
                                          np.zeros_like(v)))
         pic.qp = qp
+        if wp and not is_idr:
+            pic.wp = _estimate_wp((y, u, v), ref)
         bw = _BitWriter()
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, 7 if is_idr else 5)   # slice_type: I / P (all)
@@ -837,6 +950,8 @@ def encode_h264_p(frames: list[np.ndarray],
         else:
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
+            if wp:                          # pred_weight_table (7.3.3)
+                _write_pred_weight_table(bw, pic.wp, is_b=False)
             bw.write(0, 1)                  # adaptive_ref_pic_marking
         _write_se(bw, qp - 26)              # slice_qp_delta
         if is_idr:
