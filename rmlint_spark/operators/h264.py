@@ -38,10 +38,11 @@ weighted prediction decodes for real under both entropy modes —
 explicit per-slice pred_weight_table (7.3.3.2 / 8.4.2.3.3, P and B)
 and implicit POC-distance weights (weighted_bipred_idc == 2,
 8.4.2.3.1) — with encoder support (least-squares fade / joint-bi
-crossfade weight fitting); the refusal surface is down to reference
-(pyramid) B pictures, temporal direct, SP/SI slices, sub-8x8
-sub_mb_types / sub-16x16 B partitions and multi-reference
-prediction.
+crossfade weight fitting), and BOTH direct modes derive B_Skip /
+B_Direct motion (spatial 8.4.1.2.2, temporal 8.4.1.2.3 POC-scaled
+colocated motion); the refusal surface is down to reference
+(pyramid) B pictures, SP/SI slices, sub-8x8 sub_mb_types /
+sub-16x16 B partitions and multi-reference prediction.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -748,9 +749,9 @@ class _H264Layout:
 
                 cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
         elif kind == "B":
-            # surface header-level refusals (temporal direct) before
-            # demanding references, so a crafted single-picture
-            # stream reports the real reason
+            # surface header-level refusals before demanding
+            # references, so a crafted single-picture stream reports
+            # the real reason
             typ0, ridc0, rbsp0 = self.pictures[idx][0]
             self._parse_slice_header(_BitReader(rbsp0), typ0, ridc0,
                                      sps, pps)
@@ -781,7 +782,8 @@ class _H264Layout:
                     self._cache[p_idx], self._cache[f_idx], col)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
-            first_mb, qp_delta, slice_type, wp = self._parse_slice_header(
+            (first_mb, qp_delta, slice_type, wp,
+             direct_spatial) = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
             slice_qp = pps["pic_init_qp"] + qp_delta
             if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
@@ -792,6 +794,10 @@ class _H264Layout:
             if slice_type % 5 == 1:         # B slice (CAVLC)
                 cavlc_pic.qp = slice_qp
                 cavlc_pic.wp = implicit_wp if wp == "implicit" else wp
+                cavlc_pic.direct_spatial = direct_spatial
+                cavlc_pic.direct_tbtd = (
+                    self.poc[idx] - self.poc[p_idx],
+                    self.poc[f_idx] - self.poc[p_idx])
                 cavlc_pic.decode_slice_b(r, first_mb, covered)
                 continue
             if pps["entropy_coding_mode"]:
@@ -865,6 +871,7 @@ class _H264Layout:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
         wp: dict | str | None = None
+        direct_spatial = True
         if slice_type % 5 not in (0, 1, 2):
             raise NotImplementedError(
                 "H.264 SP/SI slice decode not implemented "
@@ -886,10 +893,7 @@ class _H264Layout:
         if pps["redundant_pic_cnt_present"]:
             _read_ue(r)
         if is_b:
-            if not r.read(1):               # direct_spatial_mv_pred_flag
-                raise ValueError(
-                    "H.264 temporal direct mode unsupported "
-                    "(spatial direct is the implemented subset)")
+            direct_spatial = bool(r.read(1))  # direct_spatial_mv_pred
         if is_p or is_b:
             if r.read(1):                   # num_ref_idx_active_override
                 if _read_ue(r) != 0 or (is_b and _read_ue(r) != 0):
@@ -931,7 +935,7 @@ class _H264Layout:
         if pps["deblocking_control"]:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
                 _read_se(r), _read_se(r)
-        return first_mb, qp_delta, slice_type, wp
+        return first_mb, qp_delta, slice_type, wp, direct_spatial
 
 
 def parse_h264(payload: bytes) -> dict:
@@ -958,11 +962,12 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     order — operators/h264_b.py and h264_cabac_b.py); 16x8 / 8x16 /
     P_8x8 P partitions decode in both entropy lanes, and weighted
     prediction (explicit pred_weight_table on P and B, implicit
-    POC-distance B weights) applies in both too.  SP/SI slices
-    raise ``NotImplementedError``; sub-8x8 sub_mb_types, sub-16x16 B
-    partitions, reference B pictures and temporal direct raise
-    ``ValueError`` (the documented refusal surface); malformed
-    streams raise ``ValueError``.
+    POC-distance B weights) and both direct modes (spatial /
+    temporal) apply in both too.  SP/SI slices raise
+    ``NotImplementedError``; sub-8x8 sub_mb_types, sub-16x16 B
+    partitions and reference B pictures raise ``ValueError`` (the
+    documented refusal surface); malformed streams raise
+    ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -40,8 +40,10 @@ Weighted (bi-)prediction is supported since r5 s10: explicit
 per-slice pred_weight_tables (wp="explicit", joint two-reference
 least-squares fitting against the 8.4.2.3.3 bi formula) and implicit
 POC-distance weights (wp="implicit", 8.4.2.3.1 — the crossfade
-mode).  Refusal surface after this module: reference (pyramid) B
-pictures, temporal direct mode, B partitions below 16x16, SP/SI
+mode).  Temporal direct mode too (direct="temporal", 8.4.1.2.3:
+colocated motion scaled by the POC-distance ratio — the
+constant-velocity mode).  Refusal surface after this module:
+reference (pyramid) B pictures, B partitions below 16x16, SP/SI
 slices, multi-reference lists.  CABAC-coded B slices decode too, via
 h264_cabac_b.py composing this module's BiMotionMixin with the
 arithmetic engine.
@@ -91,6 +93,11 @@ class BiMotionMixin:
             col: tuple[np.ndarray, np.ndarray]) -> None:
         self.ref1_y, self.ref1_u, self.ref1_v = ref1
         self.col_mvs, self.col_state = col
+        # direct-mode selection: spatial (8.4.1.2.2, the default) or
+        # temporal (8.4.1.2.3, needs the POC distances tb/td of the
+        # current picture against its two anchors)
+        self.direct_spatial = True
+        self.direct_tbtd = (0, 0)
         mb_h, mb_w = self.mb_h, self.mb_w
         # per-list motion state: lmv[my, mx, lst] = (mvy, mvx),
         # luse[my, mx, lst] = this MB predicts from list lst
@@ -127,10 +134,30 @@ class BiMotionMixin:
 
     # ---- spatial direct derivation (8.4.1.2.2) ----
 
+    def _col_mv(self, my: int, mx: int) -> tuple[int, int]:
+        """Motion of the colocated macroblock in RefPicList1[0] —
+        zero when it is intra (8.4.1.2.3 / colZeroFlag input).  A
+        PARTITIONED colocated MB (mixed MVs) would make the per-8x8
+        direct_8x8_inference corners diverge from this whole-MB
+        derivation, so it refuses instead of silently deviating —
+        our own encoder keeps B-stream anchors unpartitioned."""
+        col_blk = self.col_mvs[my * 4:(my + 1) * 4,
+                               mx * 4:(mx + 1) * 4]
+        if int(self.col_state[my, mx]) == 2 and not (
+                col_blk == col_blk[0, 0]).all():
+            raise ValueError(
+                "H.264 direct mode over a partitioned colocated "
+                "macroblock is not in the implemented subset")
+        if int(self.col_state[my, mx]) != 2:
+            return 0, 0
+        return int(col_blk[0, 0, 0]), int(col_blk[0, 0, 1])
+
     def _direct_mv(self, my: int, mx: int):
-        """Returns (mv0, mv1, use0, use1) for B_Skip/B_Direct.  With
-        one reference per list, refIdxLX = MinPositive(A, B, C)
-        collapses to "any neighbor predicts from LX"."""
+        """Returns (mv0, mv1, use0, use1) for B_Skip/B_Direct:
+        spatial (8.4.1.2.2) or temporal (8.4.1.2.3) derivation per
+        the slice header's direct_spatial_mv_pred_flag."""
+        if not self.direct_spatial:
+            return self._direct_mv_temporal(my, mx)
         use = []
         for lst in (0, 1):
             a = self._neighbor_b(my, mx - 1, lst)
@@ -144,22 +171,11 @@ class BiMotionMixin:
             # directZeroPredictionFlag: both lists, zero motion
             return (0, 0), (0, 0), True, True
         # colZeroFlag: the colocated MB of RefPicList1[0] is inter
-        # (refIdxCol == 0 by construction) with |mv| <= 1 quarter-pel.
-        # col_mvs is the anchor's 4x4-block grid; a PARTITIONED
-        # colocated MB (mixed MVs) would make the per-8x8
-        # direct_8x8_inference corners diverge from this whole-MB
-        # derivation, so it refuses instead of silently deviating —
-        # our own encoder keeps B-stream anchors unpartitioned.
-        col_blk = self.col_mvs[my * 4:(my + 1) * 4,
-                               mx * 4:(mx + 1) * 4]
-        if int(self.col_state[my, mx]) == 2 and not (
-                col_blk == col_blk[0, 0]).all():
-            raise ValueError(
-                "H.264 spatial direct over a partitioned colocated "
-                "macroblock is not in the implemented subset")
+        # (refIdxCol == 0 by construction) with |mv| <= 1 quarter-pel
+        # (_col_mv also surfaces the partitioned-colocated refusal)
+        cmvy, cmvx = self._col_mv(my, mx)
         col_zero = (int(self.col_state[my, mx]) == 2
-                    and abs(int(col_blk[0, 0, 0])) <= 1
-                    and abs(int(col_blk[0, 0, 1])) <= 1)
+                    and abs(cmvy) <= 1 and abs(cmvx) <= 1)
         mv0 = (0, 0)
         mv1 = (0, 0)
         if use0 and not col_zero:
@@ -167,6 +183,23 @@ class BiMotionMixin:
         if use1 and not col_zero:
             mv1 = self._mv_pred_b(my, mx, 1)
         return mv0, mv1, use0, use1
+
+    def _direct_mv_temporal(self, my: int, mx: int):
+        """Temporal direct (8.4.1.2.3): scale the colocated motion by
+        the POC-distance ratio — mvL0 = (DistScaleFactor * mvCol +
+        128) >> 8, mvL1 = mvL0 - mvCol; both lists always predict.
+        With td == 0 (degenerate anchors) mvL0 = mvCol, mvL1 = 0."""
+        cmvy, cmvx = self._col_mv(my, mx)
+        tb, td = self.direct_tbtd
+        tb = max(-128, min(127, tb))
+        td = max(-128, min(127, td))
+        if td == 0:
+            return (cmvy, cmvx), (0, 0), True, True
+        tx = (16384 + abs(td) // 2) // td
+        dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+        mv0 = ((dsf * cmvy + 128) >> 8, (dsf * cmvx + 128) >> 8)
+        mv1 = (mv0[0] - cmvy, mv0[1] - cmvx)
+        return mv0, mv1, True, True
 
     # ---- prediction ----
 
@@ -400,7 +433,8 @@ def encode_h264_b(frames: list[np.ndarray],
                   bgroup: int = 2,
                   seg: int = 12,
                   search: int = 4,
-                  wp: str | None = None) -> bytes:
+                  wp: str | None = None,
+                  direct: str = "spatial") -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments and CAVLC entropy.  Display structure per
     ``seg``-frame segment: anchors every ``bgroup + 1`` frames (plus
@@ -413,7 +447,12 @@ def encode_h264_b(frames: list[np.ndarray],
     ``wp`` selects weighted bi-prediction: ``"implicit"`` sets
     weighted_bipred_idc = 2 (POC-distance weights, 8.4.2.3.1 — the
     crossfade mode, no header bits); ``"explicit"`` sets idc = 1 and
-    fits per-list least-squares pred_weight_tables per B slice."""
+    fits per-list least-squares pred_weight_tables per B slice.
+
+    ``direct`` selects the B_Skip/B_Direct motion derivation:
+    ``"spatial"`` (8.4.1.2.2, the default) or ``"temporal"``
+    (8.4.1.2.3 — colocated motion scaled by POC distances, the
+    constant-velocity-pan mode)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -431,7 +470,10 @@ def encode_h264_b(frames: list[np.ndarray],
 
     if wp not in (None, "implicit", "explicit"):
         raise ValueError("wp must be None, 'implicit' or 'explicit'")
+    if direct not in ("spatial", "temporal"):
+        raise ValueError("direct must be 'spatial' or 'temporal'")
     bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
+    direct_flag = 1 if direct == "spatial" else 0
     if not frames:
         raise ValueError("need at least one frame")
     if not 0 <= qp <= 29:
@@ -466,7 +508,7 @@ def encode_h264_b(frames: list[np.ndarray],
             _write_ue(bw, idr_id)
         bw.write(poc_lsb & 255, 8)          # pic_order_cnt_lsb
         if slice_type == 6:                 # B
-            bw.write(1, 1)                  # direct_spatial_mv_pred
+            bw.write(direct_flag, 1)        # direct_spatial_mv_pred
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             bw.write(0, 1)                  # ref_pic_list_modification_l1
@@ -558,6 +600,9 @@ def encode_h264_b(frames: list[np.ndarray],
                         np.zeros_like(bv), mb_w, mb_h,
                         prev_anchor[0], cur_anchor[0], cur_anchor[1])
                     bpic.qp = qp
+                    bpic.direct_spatial = direct == "spatial"
+                    bpic.direct_tbtd = (2 * (bdisp - prev_disp),
+                                        2 * (disp - prev_disp))
                     if wp == "implicit":
                         bpic.wp = _implicit_wp(2 * (bdisp - s0),
                                                2 * (prev_disp - s0),

@@ -31,9 +31,9 @@ follow clause 9.3; encoder and decoder share every table, so the
 pair is self-consistent by construction.
 
 The refusal surface for video after this module: reference (pyramid)
-B pictures, temporal direct, SP/SI slices, sub-16x16 partitions,
-multi-reference prediction (weighted prediction — explicit and
-implicit — decodes since r5 s10; the header, pred_weight_table
+B pictures, SP/SI slices, sub-16x16 partitions, multi-reference
+prediction (weighted prediction — explicit and implicit — and
+temporal direct decode since r5 s10; the header, pred_weight_table
 included, stays Exp-Golomb under CABAC).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
@@ -439,7 +439,8 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         bgroup: int = 2,
                         seg: int = 12,
                         search: int = 4,
-                        wp: str | None = None) -> bytes:
+                        wp: str | None = None,
+                        direct: str = "spatial") -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments under CABAC entropy (the B twin of
     h264_b.encode_h264_b; same segment/POC structure and the same
@@ -467,7 +468,10 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         raise ValueError("bgroup must be >= 0 and seg >= 1")
     if wp not in (None, "implicit", "explicit"):
         raise ValueError("wp must be None, 'implicit' or 'explicit'")
+    if direct not in ("spatial", "temporal"):
+        raise ValueError("direct must be 'spatial' or 'temporal'")
     bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
+    direct_flag = 1 if direct == "spatial" else 0
     h, w_px = np.asarray(frames[0]).shape[:2]
     mb_w, mb_h = -(-w_px // 16), -(-h // 16)
     planes = []
@@ -496,7 +500,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
             _write_ue(bw, idr_id)
         bw.write(poc_lsb & 255, 8)          # pic_order_cnt_lsb
         if slice_type == 6:                 # B
-            bw.write(1, 1)                  # direct_spatial_mv_pred
+            bw.write(direct_flag, 1)        # direct_spatial_mv_pred
             bw.write(0, 1)                  # num_ref_idx_active_override
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             bw.write(0, 1)                  # ref_pic_list_modification_l1
@@ -570,6 +574,9 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         np.zeros_like(bv), mb_w, mb_h,
                         prev_anchor[0], cur_anchor[0], cur_anchor[1])
                     bpic.qp = qp
+                    bpic.direct_spatial = direct == "spatial"
+                    bpic.direct_tbtd = (2 * (bdisp - prev_disp),
+                                        2 * (disp - prev_disp))
                     if wp == "implicit":
                         bpic.wp = _implicit_wp(2 * (bdisp - s0),
                                                2 * (prev_disp - s0),

@@ -145,9 +145,12 @@ def _craft_b_slice_stream(pps_rbsp: bytes, direct_flag: int = 1,
             + b"\x00\x00\x00\x01\x01" + _escape_rbsp(w.bytes()))
 
 
-def test_temporal_direct_refused():
+def test_temporal_direct_accepted_at_header_level():
+    # temporal direct decodes since r5 s10 (h264_b._direct_mv_temporal):
+    # the crafted ref-less stream must now fail on the MISSING
+    # REFERENCES, not on the direct-mode flag
     payload = _craft_b_slice_stream(_encode_pps(), direct_flag=0)
-    with pytest.raises(ValueError, match="temporal direct"):
+    with pytest.raises(ValueError, match="past or future"):
         decode_h264(payload)
 
 
@@ -268,3 +271,105 @@ def test_poc_lsb_wrap_long_segment():
     assert len(dec) == 140
     for f, d in zip(frames, dec):
         assert abs(float(d[0, 0, 0]) - float(f[0, 0, 0])) < 8
+
+
+# ------------------------------------------- temporal direct (r5 s10)
+
+def _pan_frames(n: int = 9, h: int = 48, w: int = 64) -> list:
+    yy, xx = np.mgrid[0:h, 0:w + 2 * n]
+    big = np.stack([(xx * 5 + yy * 3) % 256, (xx * 2 + yy * 7) % 256,
+                    (xx * 3 + yy) % 256], -1).astype(np.uint8)
+    return [big[:, 2 * i:2 * i + w] for i in range(n)]
+
+
+def test_temporal_direct_scaling_pinned():
+    """The 8.4.1.2.3 MV scaling against hand-computed values:
+    mvL0 = (DistScaleFactor * mvCol + 128) >> 8, mvL1 = mvL0 - mvCol,
+    including the asymmetric-B and td=0 fallback cases."""
+    from rmlint_spark.operators.h264_b import BInterPicture
+
+    flat = (np.zeros((16, 16), np.uint8), np.zeros((8, 8), np.uint8),
+            np.zeros((8, 8), np.uint8))
+    col_mvs = np.zeros((4, 4, 2), np.int64)
+    col_mvs[:, :] = (-12, 20)           # colocated anchor motion
+    col = (col_mvs, np.full((1, 1), 2, np.int64))
+    pic = BInterPicture(np.zeros((16, 16), np.uint8),
+                        np.zeros((8, 8), np.uint8),
+                        np.zeros((8, 8), np.uint8), 1, 1,
+                        flat, flat, col)
+    pic.direct_spatial = False
+    # midpoint B: tb=2, td=4 -> DistScaleFactor = 128 -> exact halves
+    pic.direct_tbtd = (2, 4)
+    mv0, mv1, use0, use1 = pic._direct_mv(0, 0)
+    assert (use0, use1) == (True, True)
+    assert mv0 == ((128 * -12 + 128) >> 8, (128 * 20 + 128) >> 8)
+    assert mv1 == (mv0[0] + 12, mv0[1] - 20)
+    # asymmetric B (bgroup=2, first B): tb=2, td=6 -> dsf=85
+    pic.direct_tbtd = (2, 6)
+    mv0, mv1, _, _ = pic._direct_mv(0, 0)
+    tx = (16384 + 3) // 6
+    dsf = (2 * tx + 32) >> 6
+    assert dsf == 85
+    assert mv0 == ((dsf * -12 + 128) >> 8, (dsf * 20 + 128) >> 8)
+    assert mv1 == (mv0[0] + 12, mv0[1] - 20)
+    # degenerate anchors: td=0 -> mvL0 = mvCol, mvL1 = 0
+    pic.direct_tbtd = (2, 0)
+    mv0, mv1, _, _ = pic._direct_mv(0, 0)
+    assert mv0 == (-12, 20) and mv1 == (0, 0)
+    # intra colocated -> mvCol = 0
+    pic2 = BInterPicture(np.zeros((16, 16), np.uint8),
+                         np.zeros((8, 8), np.uint8),
+                         np.zeros((8, 8), np.uint8), 1, 1,
+                         flat, flat,
+                         (np.zeros((4, 4, 2), np.int64),
+                          np.ones((1, 1), np.int64)))
+    pic2.direct_spatial = False
+    pic2.direct_tbtd = (2, 4)
+    mv0, mv1, use0, use1 = pic2._direct_mv(0, 0)
+    assert mv0 == (0, 0) and mv1 == (0, 0) and use0 and use1
+
+
+def test_temporal_direct_pan_roundtrip_both_lanes():
+    """A constant-velocity pan round-trips under temporal direct at
+    the same quality as spatial, with no larger B payload, in both
+    entropy lanes (temporal direct predicts motion continuation
+    where spatial direct's first-MB directZeroPrediction cannot)."""
+    from rmlint_spark.operators.h264_cabac_b import encode_h264_cabac_b
+
+    pan = _pan_frames()
+
+    def b_nal_bytes(payload: bytes) -> int:
+        total, i = 0, 0
+        while True:
+            j = payload.find(b"\x00\x00\x00\x01", i)
+            if j < 0:
+                break
+            k = payload.find(b"\x00\x00\x00\x01", j + 4)
+            end = k if k > 0 else len(payload)
+            if payload[j + 4] & 0x1F == 1 and (payload[j + 4] >> 5) == 0:
+                total += end - j        # non-reference slice = B
+            i = j + 4
+        return total
+
+    for enc in (encode_h264_b, encode_h264_cabac_b):
+        e_sp = enc(pan, qp=12, bgroup=1, seg=9, direct="spatial")
+        e_tp = enc(pan, qp=12, bgroup=1, seg=9, direct="temporal")
+        d_sp = decode_h264(e_sp)[1]
+        d_tp = decode_h264(e_tp)[1]
+        p_sp = min(_psnr(a, b) for a, b in zip(pan, d_sp))
+        p_tp = min(_psnr(a, b) for a, b in zip(pan, d_tp))
+        assert p_tp >= p_sp - 0.3 and p_tp >= 24.0
+        assert b_nal_bytes(e_tp) <= b_nal_bytes(e_sp)
+
+
+def test_temporal_direct_with_implicit_wp():
+    """Temporal direct composes with implicit weighted bi-prediction
+    (both are POC-distance machinery); a panning crossfade decodes
+    through both at healthy quality."""
+    pan = _pan_frames(7)
+    faded = [np.clip(f.astype(np.float64) * (1 - 0.08 * i), 0, 255)
+             .astype(np.uint8) for i, f in enumerate(pan)]
+    enc = encode_h264_b(faded, qp=12, bgroup=2, seg=7,
+                        direct="temporal", wp="implicit")
+    dec = decode_h264(enc)[1]
+    assert min(_psnr(a, b) for a, b in zip(faded, dec)) >= 24.0
