@@ -307,14 +307,17 @@ def _check_wp_range(*vals: int) -> None:
                              "the spec's se(v) range [-128, 127]")
 
 
-def _parse_pred_weight_table(r: "_BitReader", is_b: bool) -> dict:
-    """pred_weight_table() (7.3.3.2) for one reference per list."""
+def _parse_pred_weight_table(r: "_BitReader", is_b: bool,
+                             n_l0: int = 1) -> dict:
+    """pred_weight_table() (7.3.3.2): one entry per ACTIVE reference
+    of each list (entry 0 in "l0"/"l1", higher refIdx entries in
+    "l0x" — the 2-reference subset)."""
     logwd_y = _read_ue(r)
     logwd_c = _read_ue(r)
     if logwd_y > 7 or logwd_c > 7:
         raise ValueError("H.264 luma/chroma_log2_weight_denom > 7")
 
-    def one_list() -> tuple[int, int, int, int, int, int]:
+    def one_entry() -> tuple[int, int, int, int, int, int]:
         if r.read(1):                   # luma_weight_lX_flag
             w_y, o_y = _read_se(r), _read_se(r)
             _check_wp_range(w_y, o_y)
@@ -328,21 +331,23 @@ def _parse_pred_weight_table(r: "_BitReader", is_b: bool) -> dict:
             w_u, o_u, w_v, o_v = 1 << logwd_c, 0, 1 << logwd_c, 0
         return w_y, o_y, w_u, o_u, w_v, o_v
 
-    wp = {"logwd_y": logwd_y, "logwd_c": logwd_c, "l0": one_list()}
+    wp = {"logwd_y": logwd_y, "logwd_c": logwd_c, "l0": one_entry()}
+    if n_l0 > 1:
+        wp["l0x"] = [one_entry() for _ in range(n_l0 - 1)]
     if is_b:
-        wp["l1"] = one_list()
+        wp["l1"] = one_entry()
     return wp
 
 
 def _write_pred_weight_table(w: "_BitWriter", wp: dict,
-                             is_b: bool) -> None:
+                             is_b: bool, n_l0: int = 1) -> None:
     """Write-side twin of :func:`_parse_pred_weight_table`; weight
-    flags are emitted only when a list deviates from its defaults."""
+    flags are emitted only when an entry deviates from its defaults."""
     logwd_y, logwd_c = wp["logwd_y"], wp["logwd_c"]
     _write_ue(w, logwd_y)
     _write_ue(w, logwd_c)
 
-    def one_list(vals: tuple[int, int, int, int, int, int]) -> None:
+    def one_entry(vals: tuple[int, int, int, int, int, int]) -> None:
         w_y, o_y, w_u, o_u, w_v, o_v = vals
         if (w_y, o_y) != (1 << logwd_y, 0):
             w.write(1, 1)
@@ -359,9 +364,11 @@ def _write_pred_weight_table(w: "_BitWriter", wp: dict,
         else:
             w.write(0, 1)
 
-    one_list(wp["l0"])
+    one_entry(wp["l0"])
+    for extra in wp.get("l0x", [])[:n_l0 - 1]:
+        one_entry(extra)
     if is_b:
-        one_list(wp["l1"])
+        one_entry(wp["l1"])
 
 
 def _implicit_wp(poc_cur: int, poc_past: int, poc_future: int) -> dict:
@@ -523,7 +530,8 @@ def _parse_pps(rbsp: bytes) -> dict:
            "pic_order_present": r.read(1)}
     if _read_ue(r):                     # num_slice_groups_minus1
         raise ValueError("FMO slice groups unsupported")
-    _read_ue(r), _read_ue(r)            # num_ref_idx defaults
+    pps["n_ref0_default"] = _read_ue(r) + 1
+    pps["n_ref1_default"] = _read_ue(r) + 1
     pps["weighted_pred"] = r.read(1)
     pps["weighted_bipred_idc"] = r.read(2)
     pps["pic_init_qp"] = 26 + _read_se(r)
@@ -739,15 +747,20 @@ class _H264Layout:
                 raise ValueError(
                     "H.264 P picture without a decoded reference")
             ref = self._cache[refs[-1]]
+            # L0 reference list, newest first (8.2.4.2.1): the older
+            # cached reference backs refIdx 1 in multi-ref slices
+            ref1 = self._cache[refs[-2]] if len(refs) >= 2 else None
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac_p import \
                     CabacInterPicture
 
-                cavlc_pic = CabacInterPicture(y, u, v, mb_w, mb_h, ref)
+                cavlc_pic = CabacInterPicture(y, u, v, mb_w, mb_h,
+                                              ref, ref1)
             else:
                 from rmlint_spark.operators.h264_inter import InterPicture
 
-                cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref)
+                cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref,
+                                         ref1)
         elif kind == "B":
             # surface header-level refusals before demanding
             # references, so a crafted single-picture stream reports
@@ -782,13 +795,18 @@ class _H264Layout:
                     self._cache[p_idx], self._cache[f_idx], col)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
-            (first_mb, qp_delta, slice_type, wp,
-             direct_spatial) = self._parse_slice_header(
+            (first_mb, qp_delta, slice_type, wp, direct_spatial,
+             n_ref0) = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
             slice_qp = pps["pic_init_qp"] + qp_delta
             if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
+                if n_ref0 > len(cavlc_pic.refs):
+                    raise ValueError(
+                        "H.264 slice activates more references than "
+                        "the decoder holds")
                 cavlc_pic.qp = slice_qp
                 cavlc_pic.wp = wp
+                cavlc_pic.n_ref0 = n_ref0
                 cavlc_pic.decode_slice_p(r, first_mb, covered)
                 continue
             if slice_type % 5 == 1:         # B slice (CAVLC)
@@ -866,12 +884,14 @@ class _H264Layout:
         return y, u, v
 
     def _parse_slice_header(self, r: _BitReader, nal_type: int,
-                            ref_idc: int, sps: dict,
-                            pps: dict) -> tuple[int, int, int, dict | str | None]:
+                            ref_idc: int, sps: dict, pps: dict
+                            ) -> tuple[int, int, int,
+                                       dict | str | None, bool, int]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
         wp: dict | str | None = None
         direct_spatial = True
+        n_ref0 = 1
         if slice_type % 5 not in (0, 1, 2):
             raise NotImplementedError(
                 "H.264 SP/SI slice decode not implemented "
@@ -895,17 +915,27 @@ class _H264Layout:
         if is_b:
             direct_spatial = bool(r.read(1))  # direct_spatial_mv_pred
         if is_p or is_b:
+            n_ref0 = pps["n_ref0_default"]
+            n_ref1 = pps["n_ref1_default"] if is_b else 1
             if r.read(1):                   # num_ref_idx_active_override
-                if _read_ue(r) != 0 or (is_b and _read_ue(r) != 0):
-                    raise ValueError(
-                        "H.264 multi-reference slices unsupported "
-                        "(num_ref_idx_lX_active > 1)")
+                n_ref0 = _read_ue(r) + 1
+                if is_b:
+                    n_ref1 = _read_ue(r) + 1
+            if is_b and (n_ref0 > 1 or n_ref1 > 1):
+                raise ValueError(
+                    "H.264 multi-reference B slices unsupported "
+                    "(one reference per list is the B subset)")
+            if n_ref0 > 2:
+                raise ValueError(
+                    "H.264 num_ref_idx_l0_active > 2 not in the "
+                    "implemented multi-reference subset")
             # ref_pic_list_modification: l0, plus l1 for B
             if r.read(1) or (is_b and r.read(1)):
                 raise ValueError(
                     "H.264 ref_pic_list_modification unsupported")
             if is_p and pps["weighted_pred"]:
-                wp = _parse_pred_weight_table(r, is_b=False)
+                wp = _parse_pred_weight_table(r, is_b=False,
+                                              n_l0=n_ref0)
             elif is_b and pps["weighted_bipred_idc"] == 1:
                 wp = _parse_pred_weight_table(r, is_b=True)
             elif is_b and pps["weighted_bipred_idc"] == 2:
@@ -935,7 +965,8 @@ class _H264Layout:
         if pps["deblocking_control"]:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
                 _read_se(r), _read_se(r)
-        return first_mb, qp_delta, slice_type, wp, direct_spatial
+        return (first_mb, qp_delta, slice_type, wp, direct_spatial,
+                n_ref0)
 
 
 def parse_h264(payload: bytes) -> dict:

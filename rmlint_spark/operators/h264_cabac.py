@@ -276,6 +276,11 @@ class CabacContexts:
         # P sub_mb_type bin 0 ('1' = P_L0_8x8, Table 9-38) — the only
         # coded bin in the implemented sub-partition subset
         self.p_sub = _zeros(1)
+        # ref_idx_l0 (spec ctxIdxOffset 54, unary): bin0 inc 0..3 in
+        # slots 0-3 (condTermA + 2*condTermB over neighbor refIdx>0),
+        # bin1 in slot 4, bins >= 2 in slot 5 (deviation #2's slot
+        # discipline); the 2-reference subset codes bins 0-1 only
+        self.ref_idx = _zeros(6)
 
 
 # ------------------------------------------------ residual block IO

@@ -106,9 +106,11 @@ class CabacInterPicture(MotionMixin, CabacPicture):
     increments."""
 
     def __init__(self, y, u, v, mb_w: int, mb_h: int,
-                 ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
+                 ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 ref1: tuple[np.ndarray, np.ndarray, np.ndarray] | None
+                 = None) -> None:
         CabacPicture.__init__(self, y, u, v, mb_w, mb_h)
-        self._init_motion(ref)
+        self._init_motion(ref, ref1)
         # -1 undecoded, 0 coded, 1 skipped
         self.skipped = np.full((mb_h, mb_w), -1, dtype=np.int64)
         # |mvd| per 4x4 block and component (dx, dy) — partition
@@ -137,6 +139,40 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         b = abs(int(self.mvd4[by - 1, bx, comp])) if by > 0 else 0
         s = a + b
         return 0 if s < 3 else (1 if s <= 32 else 2)
+
+    def _ref_inc(self, by: int, bx: int) -> int:
+        """ref_idx_l0 bin-0 ctxIdxInc (9.3.3.1.1.6): condTermFlagN is
+        1 when the neighbor partition is inter with refIdx > 0;
+        inc = condTermFlagA + 2 * condTermFlagB."""
+        def cond(ny: int, nx: int) -> int:
+            if ny < 0 or nx < 0:
+                return 0
+            return 1 if (int(self.dec4[ny, nx]) == 2
+                         and int(self.ref4[ny, nx]) > 0) else 0
+
+        return cond(by, bx - 1) + 2 * cond(by - 1, bx)
+
+    # ---- ref_idx_l0 (unary, ctx slots per CabacContexts.ref_idx) ----
+
+    def _dec_ref(self, dec: CabacDecoder, by: int, bx: int) -> int:
+        if self.n_ref0 <= 1:
+            return 0
+        cx = self.cab.ref_idx
+        if not dec.decision(cx[self._ref_inc(by, bx)]):
+            return 0
+        if not dec.decision(cx[4]):
+            return 1
+        raise ValueError(
+            "H.264 CABAC ref_idx_l0 beyond the 2-reference subset")
+
+    def _enc_ref(self, enc: CabacEncoder, by: int, bx: int,
+                 ref: int) -> None:
+        if self.n_ref0 <= 1:
+            return
+        cx = self.cab.ref_idx
+        enc.decision(cx[self._ref_inc(by, bx)], 1 if ref > 0 else 0)
+        if ref > 0:
+            enc.decision(cx[4], 0)
 
     # ---- mvd UEG3 ----
 
@@ -299,31 +335,40 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                             "H.264 CABAC sub_mb_type below 8x8 "
                             "(8x4/4x8/4x4) not in the implemented "
                             "partition subset")
+            parts = _p_parts(t, my, mx)
+            # per-partition ref_idx first (7.3.5.1 syntax order); the
+            # second partition's context inc reads the grid BEFORE the
+            # first partition commits — encoder and decoder share this
+            # derivation, so the pair is self-consistent (same
+            # deviation class as the equiprobable context init)
+            refs = [self._dec_ref(dec, by, bx)
+                    for by, bx, _, _, _, _, _ in parts]
             mvs = []
-            for by, bx, w4, h4, shape, _, _ in _p_parts(t, my, mx):
+            for (by, bx, w4, h4, shape, _, _), ref in zip(parts, refs):
                 mvd_x = self._dec_mvd(dec, 0, by, bx)
                 mvd_y = self._dec_mvd(dec, 1, by, bx)
-                p = self._mv_pred_part(by, bx, w4, h4, shape)
+                p = self._mv_pred_part(by, bx, w4, h4, shape, ref)
                 pmv = (p[0] + mvd_y, p[1] + mvd_x)
-                self._commit_part(by, bx, w4, h4, pmv)
+                self._commit_part(by, bx, w4, h4, pmv, ref)
                 self._note_mvd(by, bx, w4, h4, (mvd_x, mvd_y))
                 mvs.append(pmv)
             pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, t,
-                                                         mvs)
+                                                         mvs, refs)
             self._read_inter_residual_cabac2(dec, addr, pred_y,
                                              pred_u, pred_v)
             self._note_inter(addr, None, 0)
             self._finish_inter_mb(addr)
             return
+        ref = self._dec_ref(dec, my * 4, mx * 4)
         mvd_x = self._dec_mvd(dec, 0, my * 4, mx * 4)
         mvd_y = self._dec_mvd(dec, 1, my * 4, mx * 4)
-        mvp = self._mv_pred(my, mx)
+        mvp = self._mv_pred(my, mx, ref)
         mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
-        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
+        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv, ref)
         self._read_inter_residual_cabac2(dec, addr, pred_y, pred_u,
                                          pred_v)
         self._note_inter(addr, (mvd_x, mvd_y), 0)
-        self._commit_inter(addr, mv)
+        self._commit_inter(addr, mv, ref)
 
     def decode_slice_p(self, r: _BitReader, first_mb: int,
                        covered: np.ndarray) -> None:
@@ -362,6 +407,13 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         mv, inter_cost = self._motion_search(src, my, mx, search)
+        ref = 0
+        if self.n_ref0 > 1 and len(self.refs) > 1:
+            mv1, cost1 = self._motion_search(
+                src, my, mx, search, ref_y=self._search_ref_y(1),
+                mvp=self._mv_pred(my, mx, 1))
+            if cost1 + 16 < inter_cost:
+                ref, mv, inter_cost = 1, mv1, cost1 + 16
         split_best = None
         if partitions:
             from rmlint_spark.operators.h264_inter import (
@@ -391,6 +443,10 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                 # '011' = 16x8, '010' = 8x16 (Table 9-34)
                 enc.decision(cx.p_pre[3],
                              1 if t == _P_L0_L0_16x8 else 0)
+            # partitions search ref 0; with 2 active refs the ref_idx
+            # bins are still coded (no P_8x8ref0 under CABAC)
+            for by, bx, _, _, _, _, _ in _p_parts(t, my, mx):
+                self._enc_ref(enc, by, bx, 0)
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
                     _p_parts(t, my, mx), mvs, mvps):
                 mvd = (pmv[1] - pmvp[1], pmv[0] - pmvp[0])
@@ -426,8 +482,9 @@ class CabacInterPicture(MotionMixin, CabacPicture):
             self.note_intra(addr)
             return
         (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
-         cbp) = self._quantize_inter(addr, mv, y_src, u_src, v_src)
-        if cbp == 0 and mv == self._skip_mv(my, mx):
+         cbp) = self._quantize_inter(addr, mv, y_src, u_src, v_src,
+                                     ref=ref)
+        if cbp == 0 and ref == 0 and mv == self._skip_mv(my, mx):
             enc.decision(cx.mb_skip[self._skip_inc(my, mx)], 1)
             self._decode_skip(addr)          # recon == decoder's skip
             self._note_skip(addr)
@@ -436,7 +493,8 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         enc.decision(cx.p_pre[0], 0)
         enc.decision(cx.p_pre[1], 0)
         enc.decision(cx.p_pre[2], 0)         # '000' = P_L0_16x16
-        mvp = self._mv_pred(my, mx)
+        self._enc_ref(enc, my * 4, mx * 4, ref)
+        mvp = self._mv_pred(my, mx, ref)
         mvd = (mv[1] - mvp[1], mv[0] - mvp[0])
         self._enc_mvd(enc, 0, my * 4, mx * 4, mvd[0])
         self._enc_mvd(enc, 1, my * 4, mx * 4, mvd[1])
@@ -444,7 +502,7 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                                           pred_v, luma_q, dc_q, ac_q,
                                           cbp)
         self._note_inter(addr, mvd, cbp)
-        self._commit_inter(addr, mv)
+        self._commit_inter(addr, mv, ref)
 
     def _write_inter_residual_cabac2(self, enc: CabacEncoder,
                                      addr: int, pred_y, pred_u,
@@ -479,7 +537,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
                         gop: int = 8,
                         search: int = 4,
                         partitions: bool = False,
-                        wp: bool = False) -> bytes:
+                        wp: bool = False,
+                        refs: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with IDR+P GOPs
     under CABAC entropy.  Lossy at ``qp``; self-consistent with
     :func:`rmlint_spark.operators.h264.decode_h264` (the CABAC
@@ -505,30 +564,37 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
         raise ValueError("qp outside the implemented 0..29 subset")
     if gop < 1:
         raise ValueError("gop must be >= 1")
+    if refs not in (1, 2):
+        raise ValueError("refs must be 1 or 2 (the implemented subset)")
     h, w_px = np.asarray(frames[0]).shape[:2]
     mb_w, mb_h = -(-w_px // 16), -(-h // 16)
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
-        _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=1))
+        _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=refs))
     out += _START4 + b"\x68" + _escape_rbsp(
         _encode_pps(entropy_coding=1, weighted_pred=1 if wp else 0))
-    ref = None
+    prev: list[tuple] = []                  # recon refs, newest first
     for i, fr in enumerate(frames):
         fr = np.asarray(fr, dtype=np.uint8)
         if fr.shape[:2] != (h, w_px):
             raise ValueError("all frames must share dimensions")
         y, u, v = _rgb_to_yuv420(fr)
         y, u, v = _pad_to_mb(y, 16), _pad_to_mb(u, 8), _pad_to_mb(v, 8)
-        is_idr = (i % gop == 0) or ref is None
+        is_idr = (i % gop == 0) or not prev
+        n_ref0 = min(refs, len(prev)) if not is_idr else 0
         pic = CabacInterPicture(
             np.zeros_like(y), np.zeros_like(u), np.zeros_like(v),
             mb_w, mb_h,
-            ref if ref is not None else (np.zeros_like(y),
-                                         np.zeros_like(u),
-                                         np.zeros_like(v)))
+            prev[0] if prev else (np.zeros_like(y), np.zeros_like(u),
+                                  np.zeros_like(v)),
+            prev[1] if len(prev) > 1 else None)
         pic.qp = qp
+        pic.n_ref0 = max(n_ref0, 1)
         if wp and not is_idr:
-            pic.wp = _estimate_wp((y, u, v), ref)
+            pic.wp = _estimate_wp((y, u, v), prev[0])
+            if n_ref0 > 1:
+                pic.wp["l0x"] = [_estimate_wp((y, u, v),
+                                              prev[1])["l0"]]
         bw = _BitWriter()
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, 7 if is_idr else 5)   # slice_type: I / P (all)
@@ -539,10 +605,15 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
             bw.write(0, 1)                  # no_output_of_prior_pics
             bw.write(0, 1)                  # long_term_reference_flag
         else:
-            bw.write(0, 1)                  # num_ref_idx_active_override
+            if n_ref0 > 1:                  # num_ref_idx_active_override
+                bw.write(1, 1)
+                _write_ue(bw, n_ref0 - 1)
+            else:
+                bw.write(0, 1)
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             if wp:                          # pred_weight_table (7.3.3)
-                _write_pred_weight_table(bw, pic.wp, is_b=False)
+                _write_pred_weight_table(bw, pic.wp, is_b=False,
+                                         n_l0=max(n_ref0, 1))
             bw.write(0, 1)                  # adaptive_ref_pic_marking
             _write_ue(bw, 0)                # cabac_init_idc
         _write_se(bw, qp - 26)              # slice_qp_delta
@@ -561,7 +632,10 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
         bw.pad_to_byte()
         out += _START4 + (b"\x65" if is_idr else b"\x41") + \
             _escape_rbsp(bw.bytes())
-        ref = (pic.y, pic.u, pic.v)
+        if is_idr:
+            prev = []                       # IDR flushes the DPB
+        prev.insert(0, (pic.y, pic.u, pic.v))
+        del prev[refs:]
     return bytes(out)
 
 

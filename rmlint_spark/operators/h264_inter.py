@@ -217,8 +217,17 @@ class MotionMixin:
 
     def _init_motion(
             self,
-            ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
+            ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+            ref1: tuple[np.ndarray, np.ndarray, np.ndarray] | None
+            = None) -> None:
+        # L0 reference list, most recent first (8.2.4.2.1 descending
+        # PicNum): refs[0] is the immediate reference, refs[1] the one
+        # before it (the 2-reference subset of multi-ref prediction)
+        self.refs = [ref] + ([ref1] if ref1 is not None else [])
         self.ref_y, self.ref_u, self.ref_v = ref
+        # active references for the CURRENT slice (header-set; skip
+        # and single-ref streams keep 1)
+        self.n_ref0 = 1
         mb_h, mb_w = self.mb_h, self.mb_w
         # motion state lives at the spec's 4x4-block granularity since
         # the 16x8/8x16 partition lanes (r5 s9): mv4 holds (mvy, mvx)
@@ -227,6 +236,9 @@ class MotionMixin:
         # the colocated export need
         self.mv4 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
         self.dec4 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
+        # per-4x4-block L0 reference index (multi-ref MV prediction
+        # and the CABAC ref_idx contexts read neighbors from it)
+        self.ref4 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
         self.mb_state = np.zeros((mb_h, mb_w), dtype=np.int64)
         self._mc_chroma: dict[str, np.ndarray] | None = None
         # weighted prediction (8.4.2.3.3): set per slice from the
@@ -247,27 +259,33 @@ class MotionMixin:
         self.mb_state[my, mx] = 1
         self.dec4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 1
         self.mv4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
+        self.ref4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
 
     # ---- motion-vector prediction (8.4.1.3) ----
 
     def _nb4(self, by: int, bx: int):
-        """(available, is_inter, mv) of 4x4 block (by, bx)."""
+        """(available, is_inter, mv, ref) of 4x4 block (by, bx)."""
         if not (0 <= by < self.mb_h * 4 and 0 <= bx < self.mb_w * 4):
-            return False, False, (0, 0)
+            return False, False, (0, 0), 0
         st = int(self.dec4[by, bx])
         if st == 0:
-            return False, False, (0, 0)
+            return False, False, (0, 0), 0
         return True, st == 2, (int(self.mv4[by, bx, 0]),
-                               int(self.mv4[by, bx, 1]))
+                               int(self.mv4[by, bx, 1])), \
+            int(self.ref4[by, bx])
 
     def _mv_pred_part(self, by: int, bx: int, w4: int, h4: int,
-                      shape: str | None = None) -> tuple[int, int]:
+                      shape: str | None = None,
+                      ref: int = 0) -> tuple[int, int]:
         """Median MV predictor (8.4.1.3) for the partition whose
-        top-left 4x4 block is (by, bx) spanning w4 x h4 blocks.
-        ``shape`` selects the 8.4.1.3.2 directional shortcuts:
-        '16x8_top' -> B, '16x8_bottom' -> A, '8x16_left' -> A,
-        '8x16_right' -> C — applied when that neighbor predicts from
-        the same (single) reference, else the median rule runs."""
+        top-left 4x4 block is (by, bx) spanning w4 x h4 blocks,
+        predicting from reference ``ref``.  ``shape`` selects the
+        8.4.1.3.2 directional shortcuts: '16x8_top' -> B,
+        '16x8_bottom' -> A, '8x16_left' -> A, '8x16_right' -> C —
+        applied when that neighbor predicts from the SAME reference,
+        else the median rule runs.  Per 8.4.1.3.1 the exactly-one-
+        match shortcut is keyed by refIdx equality, while the median
+        uses every inter neighbor's motion regardless of refIdx."""
         a = self._nb4(by, bx - 1)
         b = self._nb4(by - 1, bx)
         c = self._nb4(by - 1, bx + w4)
@@ -275,29 +293,32 @@ class MotionMixin:
             c = self._nb4(by - 1, bx - 1)            # D fallback
         directional = {"16x8_top": b, "16x8_bottom": a,
                        "8x16_left": a, "8x16_right": c}.get(shape)
-        if directional is not None and directional[0] and directional[1]:
+        if (directional is not None and directional[0]
+                and directional[1] and directional[3] == ref):
             return directional[2]
         if a[0] and not b[0] and not c[0]:
             return a[2]                              # 8.4.1.3.1 rule 1
-        matches = [n for n in (a, b, c) if n[0] and n[1]]
+        matches = [n for n in (a, b, c)
+                   if n[0] and n[1] and n[3] == ref]
         if len(matches) == 1:
             return matches[0][2]
         mvy = sorted(n[2][0] if n[1] else 0 for n in (a, b, c))[1]
         mvx = sorted(n[2][1] if n[1] else 0 for n in (a, b, c))[1]
         return mvy, mvx
 
-    def _mv_pred(self, my: int, mx: int) -> tuple[int, int]:
-        return self._mv_pred_part(my * 4, mx * 4, 4, 4)
+    def _mv_pred(self, my: int, mx: int, ref: int = 0) -> tuple[int, int]:
+        return self._mv_pred_part(my * 4, mx * 4, 4, 4, ref=ref)
 
     def _skip_mv(self, my: int, mx: int) -> tuple[int, int]:
         """P_Skip motion (8.4.1.1): zero when a slice/picture boundary
-        or a stationary ref-0 neighbor says so, else the median
-        predictor."""
+        or a stationary REF-0 neighbor says so, else the median
+        predictor for reference 0."""
         a = self._nb4(my * 4, mx * 4 - 1)
         b = self._nb4(my * 4 - 1, mx * 4)
         if not a[0] or not b[0]:
             return 0, 0
-        if (a[1] and a[2] == (0, 0)) or (b[1] and b[2] == (0, 0)):
+        if ((a[1] and a[3] == 0 and a[2] == (0, 0))
+                or (b[1] and b[3] == 0 and b[2] == (0, 0))):
             return 0, 0
         return self._mv_pred(my, mx)
 
@@ -313,52 +334,74 @@ class MotionMixin:
             out = pred * w + o
         return np.clip(out, 0, 255)
 
-    def _wp_mono(self, preds, lst: str = "l0"):
+    def _wp_entry(self, lst: str, ref: int) -> tuple:
+        """Explicit-WP weights for reference ``ref`` of list ``lst``:
+        entry 0 lives in wp[lst], entries for higher refIdx in
+        wp[lst + 'x'] (pred_weight_table carries one per active
+        reference)."""
+        wp = self.wp
+        if ref == 0:
+            return wp[lst]
+        extras = wp.get(lst + "x", [])
+        if ref - 1 >= len(extras):
+            raise ValueError(
+                "H.264 weighted prediction table has no entry for "
+                f"refIdx {ref}")
+        return extras[ref - 1]
+
+    def _wp_mono(self, preds, lst: str = "l0", ref: int = 0):
         """Apply list-X explicit weights to a (y, u, v) prediction
         triple; implicit weights never apply to mono predictions
         (8.4.2.3), and None means default prediction."""
         wp = self.wp
         if wp is None or wp.get("implicit"):
             return preds
-        w_y, o_y, w_u, o_u, w_v, o_v = wp[lst]
+        w_y, o_y, w_u, o_u, w_v, o_v = self._wp_entry(lst, ref)
         p_y, p_u, p_v = preds
         return (self._wp_plane(p_y, w_y, o_y, wp["logwd_y"]),
                 self._wp_plane(p_u, w_u, o_u, wp["logwd_c"]),
                 self._wp_plane(p_v, w_v, o_v, wp["logwd_c"]))
 
-    def _search_ref_y(self) -> np.ndarray:
+    def _search_ref_y(self, ref: int = 0) -> np.ndarray:
         """Reference luma plane for motion search: when explicit WP is
         active the weighted plane ranks candidates the way the
         decoder's weighted prediction will (weighting and the
         interpolation filter are both affine, so weighting the plane
         first is the cheap per-slice approximation)."""
         wp = self.wp
+        plane = self.refs[ref][0]
         if wp is None or wp.get("implicit"):
-            return self.ref_y
-        if getattr(self, "_wp_ref_y", None) is None:
-            w_y, o_y = wp["l0"][0], wp["l0"][1]
-            self._wp_ref_y = self._wp_plane(
-                self.ref_y.astype(np.int64), w_y, o_y,
+            return plane
+        cache = getattr(self, "_wp_ref_cache", None)
+        if cache is None:
+            cache = self._wp_ref_cache = {}
+        if ref not in cache:
+            w_y, o_y = self._wp_entry("l0", ref)[:2]
+            cache[ref] = self._wp_plane(
+                plane.astype(np.int64), w_y, o_y,
                 wp["logwd_y"]).astype(np.uint8)
-        return self._wp_ref_y
+        return cache[ref]
 
-    def _mc_pred(self, my: int, mx: int, mv: tuple[int, int]):
+    def _mc_pred(self, my: int, mx: int, mv: tuple[int, int],
+                 ref: int = 0):
         mvy, mvx = mv
-        pred_y = _interp_luma(self.ref_y, my * 16, mx * 16, 16, 16,
+        ry, ru, rv = self.refs[ref]
+        pred_y = _interp_luma(ry, my * 16, mx * 16, 16, 16,
                               mvy, mvx)
-        pred_u = _interp_chroma(self.ref_u, my * 8, mx * 8, 8, 8,
+        pred_u = _interp_chroma(ru, my * 8, mx * 8, 8, 8,
                                 mvy, mvx)
-        pred_v = _interp_chroma(self.ref_v, my * 8, mx * 8, 8, 8,
+        pred_v = _interp_chroma(rv, my * 8, mx * 8, 8, 8,
                                 mvy, mvx)
-        return self._wp_mono((pred_y, pred_u, pred_v))
+        return self._wp_mono((pred_y, pred_u, pred_v), ref=ref)
 
     def _commit_part(self, by: int, bx: int, w4: int, h4: int,
-                     mv: tuple[int, int]) -> None:
+                     mv: tuple[int, int], ref: int = 0) -> None:
         """Record one partition's motion at block granularity (the
         second partition of an MB predicts from the first, so this
         runs per partition, before the MB-level commit)."""
         self.mv4[by:by + h4, bx:bx + w4] = mv
         self.dec4[by:by + h4, bx:bx + w4] = 2
+        self.ref4[by:by + h4, bx:bx + w4] = ref
 
     def _finish_inter_mb(self, addr: int) -> None:
         my, mx = divmod(addr, self.mb_w)
@@ -366,29 +409,39 @@ class MotionMixin:
         # later intra MBs predict mode DC from inter neighbors (8.3.1)
         self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
 
-    def _commit_inter(self, addr: int, mv: tuple[int, int]) -> None:
+    def _commit_inter(self, addr: int, mv: tuple[int, int],
+                      ref: int = 0) -> None:
         my, mx = divmod(addr, self.mb_w)
-        self._commit_part(my * 4, mx * 4, 4, 4, mv)
+        self._commit_part(my * 4, mx * 4, 4, 4, mv, ref)
         self._finish_inter_mb(addr)
 
-    def _mc_pred_split(self, my: int, mx: int, mb_type: int, mvs):
-        """Assembled MB prediction from two partition MVs."""
+    def _mc_pred_split(self, my: int, mx: int, mb_type: int, mvs,
+                       refs=None):
+        """Assembled MB prediction from per-partition MVs (and
+        per-partition L0 references; weighting runs per partition so
+        mixed-reference macroblocks weight each region with its own
+        table entry — pointwise, so identical to whole-MB weighting
+        in the uniform case)."""
         pred_y = np.zeros((16, 16), dtype=np.int64)
         pred_u = np.zeros((8, 8), dtype=np.int64)
         pred_v = np.zeros((8, 8), dtype=np.int64)
-        for part, mv in zip(_p_parts(mb_type, my, mx), mvs):
+        parts = _p_parts(mb_type, my, mx)
+        if refs is None:
+            refs = [0] * len(parts)
+        for part, mv, ref in zip(parts, mvs, refs):
             _, _, _, _, _, (py, px, bh, bw), (cy, cx, ch, cw) = part
+            ry, ru, rv = self.refs[ref]
+            piece = self._wp_mono(
+                (_interp_luma(ry, py, px, bh, bw, mv[0], mv[1]),
+                 _interp_chroma(ru, cy, cx, ch, cw, mv[0], mv[1]),
+                 _interp_chroma(rv, cy, cx, ch, cw, mv[0], mv[1])),
+                ref=ref)
             oy, ox = py - my * 16, px - mx * 16
-            pred_y[oy:oy + bh, ox:ox + bw] = _interp_luma(
-                self.ref_y, py, px, bh, bw, mv[0], mv[1])
+            pred_y[oy:oy + bh, ox:ox + bw] = piece[0]
             ou, ov = cy - my * 8, cx - mx * 8
-            pred_u[ou:ou + ch, ov:ov + cw] = _interp_chroma(
-                self.ref_u, cy, cx, ch, cw, mv[0], mv[1])
-            pred_v[ou:ou + ch, ov:ov + cw] = _interp_chroma(
-                self.ref_v, cy, cx, ch, cw, mv[0], mv[1])
-        # every partition predicts from refIdx 0, so one weighting of
-        # the assembled macroblock equals per-partition weighting
-        return self._wp_mono((pred_y, pred_u, pred_v))
+            pred_u[ou:ou + ch, ov:ov + cw] = piece[1]
+            pred_v[ou:ou + ch, ov:ov + cw] = piece[2]
+        return pred_y, pred_u, pred_v
 
     # ---- decode side ----
 
@@ -477,27 +530,30 @@ class MotionMixin:
                                              mvp)
                 saved.append((by, bx, w4, h4,
                               self.mv4[by:by + h4, bx:bx + w4].copy(),
-                              self.dec4[by:by + h4, bx:bx + w4].copy()))
+                              self.dec4[by:by + h4, bx:bx + w4].copy(),
+                              self.ref4[by:by + h4, bx:bx + w4].copy()))
                 self._commit_part(by, bx, w4, h4, mv)
                 mvs.append(mv)
                 mvps.append(mvp)
                 total += cost
         finally:
-            for by, bx, w4, h4, mv4s, dec4s in reversed(saved):
+            for by, bx, w4, h4, mv4s, dec4s, ref4s in reversed(saved):
                 self.mv4[by:by + h4, bx:bx + w4] = mv4s
                 self.dec4[by:by + h4, bx:bx + w4] = dec4s
+                self.ref4[by:by + h4, bx:bx + w4] = ref4s
         return mvs, mvps, total
 
     def _quantize_inter(self, addr: int, mv: tuple[int, int],
                         y_src: np.ndarray, u_src: np.ndarray,
-                        v_src: np.ndarray, preds=None):
+                        v_src: np.ndarray, preds=None,
+                        ref: int = 0):
         """Transform+quantize the MC residual; returns everything the
         writer and the reconstructor need.  ``preds`` overrides the
         single-list motion compensation (the B lane passes its
         combined uni/bi prediction)."""
         my, mx = divmod(addr, self.mb_w)
         pred_y, pred_u, pred_v = (preds if preds is not None
-                                  else self._mc_pred(my, mx, mv))
+                                  else self._mc_pred(my, mx, mv, ref))
         src = y_src[my * 16:(my + 1) * 16,
                     mx * 16:(mx + 1) * 16].astype(np.int64)
         resid = src - pred_y
@@ -601,6 +657,15 @@ class MotionMixin:
         self._recon_inter(addr, pred_y, pred_u, pred_v,
                           luma_q, dc_q, ac_q, cbp)
 
+def _read_te1(r: _BitReader) -> int:
+    """te(v) with range 0..1 (9.1.1): one bit, INVERTED."""
+    return 1 - r.read(1)
+
+
+def _write_te1(w: _BitWriter, v: int) -> None:
+    w.write(1 - v, 1)
+
+
 class InterPicture(MotionMixin, CavlcPicture):
     """CavlcPicture plus MotionMixin: the CAVLC-entropy P lane.
     I-slice macroblocks inside the same picture run through the
@@ -608,9 +673,11 @@ class InterPicture(MotionMixin, CavlcPicture):
 
     def __init__(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                  mb_w: int, mb_h: int,
-                 ref: tuple[np.ndarray, np.ndarray, np.ndarray]) -> None:
+                 ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+                 ref1: tuple[np.ndarray, np.ndarray, np.ndarray] | None
+                 = None) -> None:
         CavlcPicture.__init__(self, y, u, v, mb_w, mb_h)
-        self._init_motion(ref)
+        self._init_motion(ref, ref1)
 
     def decode_ipcm(self, r: _BitReader, addr: int) -> None:
         """I_PCM raw samples (also reachable from P slices as
@@ -672,54 +739,72 @@ class InterPicture(MotionMixin, CavlcPicture):
                     self.decode_mb16(r, addr, it)
                 else:
                     raise ValueError(f"invalid P-slice mb_type {mb_type}")
-                self.mb_state[my, mx] = 1
+                # intra MBs are AVAILABLE-but-not-inter to later MV
+                # prediction (8.4.1.3: mvLXN = 0, refIdxLXN = -1) —
+                # the same semantics the CABAC lane records, so both
+                # entropy lanes derive identical predictors
+                self.note_intra(addr)
             covered[addr] = True
             addr += 1
 
     # ---- encode side ----
 
+    def _read_ref_l0(self, r: _BitReader) -> int:
+        """ref_idx_l0 for the active count: absent (0) when one
+        reference is active, te(v) for the 2-reference subset."""
+        if self.n_ref0 <= 1:
+            return 0
+        return _read_te1(r)
+
     def decode_mb_p16(self, r: _BitReader, addr: int) -> None:
-        """P_L0_16x16: mvd pair, CBP, residual over the MC block."""
+        """P_L0_16x16: ref_idx_l0 (if >1 active), mvd pair, CBP,
+        residual over the MC block."""
         from rmlint_spark.operators.h264 import _read_se, _read_ue
 
         my, mx = divmod(addr, self.mb_w)
+        ref = self._read_ref_l0(r)
         mvd_x = _read_se(r)                 # compIdx 0 = horizontal
         mvd_y = _read_se(r)
-        mvp = self._mv_pred(my, mx)
+        mvp = self._mv_pred(my, mx, ref)
         mv = (mvp[0] + mvd_y, mvp[1] + mvd_x)
-        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv)
+        pred_y, pred_u, pred_v = self._mc_pred(my, mx, mv, ref)
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
-        self._commit_inter(addr, mv)
+        self._commit_inter(addr, mv, ref)
 
     def decode_mb_p2(self, r: _BitReader, addr: int,
                      mb_type: int) -> None:
-        """P_L0_L0_16x8 / P_L0_L0_8x16: two mvd pairs in partition
+        """P_L0_L0_16x8 / P_L0_L0_8x16: per-partition ref_idx_l0
+        first (7.3.5.1 syntax order), then two mvd pairs in partition
         order (the second partition's predictor sees the first's
         committed motion), then one CBP + residual over the assembled
         prediction."""
         from rmlint_spark.operators.h264 import _read_se
 
         my, mx = divmod(addr, self.mb_w)
+        parts = _p_parts(mb_type, my, mx)
+        refs = [self._read_ref_l0(r) for _ in parts]
         mvs = []
-        for by, bx, w4, h4, shape, _, _ in _p_parts(mb_type, my, mx):
+        for (by, bx, w4, h4, shape, _, _), ref in zip(parts, refs):
             mvd_x = _read_se(r)             # compIdx 0 = horizontal
             mvd_y = _read_se(r)
-            p = self._mv_pred_part(by, bx, w4, h4, shape)
+            p = self._mv_pred_part(by, bx, w4, h4, shape, ref)
             mv = (p[0] + mvd_y, p[1] + mvd_x)
-            self._commit_part(by, bx, w4, h4, mv)
+            self._commit_part(by, bx, w4, h4, mv, ref)
             mvs.append(mv)
         pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, mb_type,
-                                                     mvs)
+                                                     mvs, refs)
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._finish_inter_mb(addr)
 
     def decode_mb_p8x8(self, r: _BitReader, addr: int,
                        mb_type: int) -> None:
         """P_8x8 / P_8x8ref0 with the P_L0_8x8 sub-macroblock type:
-        four sub_mb_type codes (7.3.5.2), then four mvd pairs in
-        raster order (each sub-partition predicting from the already
-        committed ones), then one CBP + residual.  Sub-8x8 splits
-        (P_L0_8x4 / P_L0_4x8 / P_L0_4x4) refuse."""
+        four sub_mb_type codes (7.3.5.2), per-partition ref_idx_l0
+        (P_8x8 only — P_8x8ref0 pins every reference to 0 with no
+        syntax), then four mvd pairs in raster order (each
+        sub-partition predicting from the already committed ones),
+        then one CBP + residual.  Sub-8x8 splits (P_L0_8x4 /
+        P_L0_4x8 / P_L0_4x4) refuse."""
         from rmlint_spark.operators.h264 import _read_se, _read_ue
 
         my, mx = divmod(addr, self.mb_w)
@@ -728,16 +813,21 @@ class InterPicture(MotionMixin, CavlcPicture):
                 raise ValueError(
                     "H.264 sub_mb_type below 8x8 (8x4/4x8/4x4) not in "
                     "the implemented partition subset")
+        parts = _p_parts(mb_type, my, mx)
+        if mb_type == _P_8x8REF0:
+            refs = [0] * len(parts)
+        else:
+            refs = [self._read_ref_l0(r) for _ in parts]
         mvs = []
-        for by, bx, w4, h4, shape, _, _ in _p_parts(mb_type, my, mx):
+        for (by, bx, w4, h4, shape, _, _), ref in zip(parts, refs):
             mvd_x = _read_se(r)
             mvd_y = _read_se(r)
-            p = self._mv_pred_part(by, bx, w4, h4, shape)
+            p = self._mv_pred_part(by, bx, w4, h4, shape, ref)
             mv = (p[0] + mvd_y, p[1] + mvd_x)
-            self._commit_part(by, bx, w4, h4, mv)
+            self._commit_part(by, bx, w4, h4, mv, ref)
             mvs.append(mv)
         pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, mb_type,
-                                                     mvs)
+                                                     mvs, refs)
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._finish_inter_mb(addr)
 
@@ -756,6 +846,15 @@ class InterPicture(MotionMixin, CavlcPicture):
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         mv, inter_cost = self._motion_search(src, my, mx, search)
+        ref = 0
+        if self.n_ref0 > 1 and len(self.refs) > 1:
+            # the older reference competes for the whole-MB mode (a
+            # small bias covers the extra te(v) bit)
+            mv1, cost1 = self._motion_search(
+                src, my, mx, search, ref_y=self._search_ref_y(1),
+                mvp=self._mv_pred(my, mx, 1))
+            if cost1 + 16 < inter_cost:
+                ref, mv, inter_cost = 1, mv1, cost1 + 16
         split_best = None
         if partitions:
             for t in (_P_L0_L0_16x8, _P_L0_L0_8x16, _P_8x8):
@@ -768,10 +867,16 @@ class InterPicture(MotionMixin, CavlcPicture):
                     split_best = (cost, t, mvs, mvps)
         if split_best is not None and split_best[0] < inter_cost:
             cost, t, mvs, mvps = split_best
-            _write_ue(w, t)
+            if t == _P_8x8 and self.n_ref0 > 1:
+                _write_ue(w, _P_8x8REF0)    # all refs 0, no te(v) bits
+            else:
+                _write_ue(w, t)
             if t == _P_8x8:
                 for _ in range(4):
                     _write_ue(w, _P_SUB_L0_8x8)
+            elif self.n_ref0 > 1:
+                for _ in _p_parts(t, my, mx):
+                    _write_te1(w, 0)        # partitions search ref 0
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
                     _p_parts(t, my, mx), mvs, mvps):
                 _write_se(w, pmv[1] - pmvp[1])
@@ -805,20 +910,23 @@ class InterPicture(MotionMixin, CavlcPicture):
                 self.encode_mb(w, addr, y_src, u_src, v_src)
             finally:
                 self.mb_type_offset = 0
-            self.mb_state[my, mx] = 1
+            self.note_intra(addr)       # available-not-inter (8.4.1.3)
             return False
         (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
-         cbp) = self._quantize_inter(addr, mv, y_src, u_src, v_src)
-        if cbp == 0 and mv == self._skip_mv(my, mx):
+         cbp) = self._quantize_inter(addr, mv, y_src, u_src, v_src,
+                                     ref=ref)
+        if cbp == 0 and ref == 0 and mv == self._skip_mv(my, mx):
             self._decode_skip(addr)             # recon == decoder's skip
             return True
-        mvp = self._mv_pred(my, mx)
+        mvp = self._mv_pred(my, mx, ref)
         _write_ue(w, _P_L0_16x16)
+        if self.n_ref0 > 1:
+            _write_te1(w, ref)
         _write_se(w, mv[1] - mvp[1])            # mvd horizontal first
         _write_se(w, mv[0] - mvp[0])
         self._write_inter_residual(w, addr, pred_y, pred_u, pred_v,
                                    luma_q, dc_q, ac_q, cbp)
-        self._commit_inter(addr, mv)
+        self._commit_inter(addr, mv, ref)
         return False
 
 
@@ -887,7 +995,8 @@ def encode_h264_p(frames: list[np.ndarray],
                   gop: int = 8,
                   search: int = 4,
                   partitions: bool = False,
-                  wp: bool = False) -> bytes:
+                  wp: bool = False,
+                  refs: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with IDR+P GOPs
     (IPPP..., a new IDR every ``gop`` frames) and CAVLC entropy.
     Lossy at ``qp``; self-consistent with
@@ -895,7 +1004,12 @@ def encode_h264_p(frames: list[np.ndarray],
     VLC-table deviations of h264_cavlc.py apply here too).  With
     ``wp`` the PPS sets weighted_pred_flag and every P slice carries
     a least-squares pred_weight_table (7.3.3.2) fitted per plane —
-    the fade/brightness model of 8.4.2.3.3 explicit weighting."""
+    the fade/brightness model of 8.4.2.3.3 explicit weighting.
+
+    ``refs = 2`` enables multi-reference prediction: P slices
+    override num_ref_idx_l0_active to 2 once two references exist,
+    whole-MB modes compete across both (te(v) ref_idx_l0 syntax) —
+    the flicker/occlusion mode where frame t-2 beats t-1."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -914,30 +1028,37 @@ def encode_h264_p(frames: list[np.ndarray],
         raise ValueError("qp outside the implemented 0..29 subset")
     if gop < 1:
         raise ValueError("gop must be >= 1")
+    if refs not in (1, 2):
+        raise ValueError("refs must be 1 or 2 (the implemented subset)")
     h, w = np.asarray(frames[0]).shape[:2]
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
-        _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=1))
+        _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=refs))
     out += _START4 + b"\x68" + _escape_rbsp(
         _encode_pps(weighted_pred=1 if wp else 0))
-    ref = None
+    prev: list[tuple] = []                  # recon refs, newest first
     for i, fr in enumerate(frames):
         fr = np.asarray(fr, dtype=np.uint8)
         if fr.shape[:2] != (h, w):
             raise ValueError("all frames must share dimensions")
         y, u, v = _rgb_to_yuv420(fr)
         y, u, v = _pad_to_mb(y, 16), _pad_to_mb(u, 8), _pad_to_mb(v, 8)
-        is_idr = (i % gop == 0) or ref is None
+        is_idr = (i % gop == 0) or not prev
+        n_ref0 = min(refs, len(prev)) if not is_idr else 0
         pic = InterPicture(
             np.zeros_like(y), np.zeros_like(u), np.zeros_like(v),
             mb_w, mb_h,
-            ref if ref is not None else (np.zeros_like(y),
-                                         np.zeros_like(u),
-                                         np.zeros_like(v)))
+            prev[0] if prev else (np.zeros_like(y), np.zeros_like(u),
+                                  np.zeros_like(v)),
+            prev[1] if len(prev) > 1 else None)
         pic.qp = qp
+        pic.n_ref0 = max(n_ref0, 1)
         if wp and not is_idr:
-            pic.wp = _estimate_wp((y, u, v), ref)
+            pic.wp = _estimate_wp((y, u, v), prev[0])
+            if n_ref0 > 1:
+                pic.wp["l0x"] = [_estimate_wp((y, u, v),
+                                              prev[1])["l0"]]
         bw = _BitWriter()
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, 7 if is_idr else 5)   # slice_type: I / P (all)
@@ -948,10 +1069,15 @@ def encode_h264_p(frames: list[np.ndarray],
             bw.write(0, 1)                  # no_output_of_prior_pics
             bw.write(0, 1)                  # long_term_reference_flag
         else:
-            bw.write(0, 1)                  # num_ref_idx_active_override
+            if n_ref0 > 1:                  # num_ref_idx_active_override
+                bw.write(1, 1)
+                _write_ue(bw, n_ref0 - 1)   # num_ref_idx_l0_active_minus1
+            else:
+                bw.write(0, 1)
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             if wp:                          # pred_weight_table (7.3.3)
-                _write_pred_weight_table(bw, pic.wp, is_b=False)
+                _write_pred_weight_table(bw, pic.wp, is_b=False,
+                                         n_l0=max(n_ref0, 1))
             bw.write(0, 1)                  # adaptive_ref_pic_marking
         _write_se(bw, qp - 26)              # slice_qp_delta
         if is_idr:
@@ -977,7 +1103,10 @@ def encode_h264_p(frames: list[np.ndarray],
         _trailing_bits(bw)
         out += _START4 + (b"\x65" if is_idr else b"\x41") + \
             _escape_rbsp(bw.bytes())
-        ref = (pic.y, pic.u, pic.v)
+        if is_idr:
+            prev = []                       # IDR flushes the DPB
+        prev.insert(0, (pic.y, pic.u, pic.v))
+        del prev[refs:]
     return bytes(out)
 
 
