@@ -209,7 +209,6 @@ def combined_udf(
     With shingle-feature simhash the per-doc shingle arrays are shared
     between both kernels (one rolling-hash pass total)."""
     from rmlint_spark.functions.simhash import (
-        mix64,
         simhash_from_feature_arrays,
         simhash_from_token_hashes,
     )
@@ -226,7 +225,7 @@ def combined_udf(
             sig[nonempty] = minhash_from_shingles(per_doc, num_perm, seed)
             if simhash_features == "shingle":
                 simhash[nonempty] = simhash_from_feature_arrays(
-                    [mix64(h) for h in per_doc]
+                    per_doc, mix=True
                 ).astype(np.int64)
             else:
                 ne = counts[nonempty]

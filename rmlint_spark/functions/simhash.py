@@ -44,29 +44,41 @@ def simhash_from_token_hashes(h: np.ndarray, starts: np.ndarray, counts: np.ndar
         t0 = starts[lo]
         t1 = starts[hi - 1] + counts[hi - 1]
         hh = h[t0:t1]
-        # (n_tokens, 64) bit matrix, little-endian per uint64.
-        # int32 accumulator: a document with > 32767 whitespace tokens
-        # (a few-hundred-KB file — realistic) would silently overflow
-        # int16 and corrupt its signature; memory is already bounded by
-        # the 2048-doc chunking.
+        # (n_tokens, 64) uint8 bit matrix, little-endian per uint64,
+        # accumulated DIRECTLY in int32 via reduceat's dtype (an int8/
+        # int16 accumulator would overflow on a > 32767-token doc; a
+        # materialized int32 matrix — the previous form — quadruples
+        # the stage's DRAM traffic, measured 5x slower on the 400k
+        # corpus where this kernel dominates the pipeline).
         bits = np.unpackbits(
             hh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
-        ones = np.add.reduceat(bits, starts[lo:hi] - t0, axis=0)  # (docs, 64)
+        )
+        ones = np.add.reduceat(
+            bits, starts[lo:hi] - t0, axis=0, dtype=np.int32
+        )  # (docs, 64)
         sig_bits = (ones * 2 > counts[lo:hi, None]).astype(np.uint64)
         out[lo:hi] = (sig_bits << _SHIFTS).sum(axis=1, dtype=np.uint64)
     return out
 
 
-def simhash_from_feature_arrays(per_doc: list[np.ndarray]) -> np.ndarray:
+def simhash_from_feature_arrays(
+    per_doc: list[np.ndarray], mix: bool = False
+) -> np.ndarray:
     """Packed uint64 simhash per doc from per-doc uint64 feature-hash
-    arrays (the shingle-feature path); empty docs get the 0 sentinel."""
+    arrays (the shingle-feature path); empty docs get the 0 sentinel.
+
+    ``mix``: apply the splitmix64 finalizer to the CONCATENATED flat
+    array (one vectorized pass) instead of the caller looping
+    ``mix64`` over thousands of small per-doc arrays — same bits,
+    batch-level cost."""
     counts = np.array([len(a) for a in per_doc], dtype=np.int64)
     out = np.zeros(len(per_doc), dtype=np.uint64)
     nonempty = counts > 0
     if not nonempty.any():
         return out
     flat = np.concatenate([a for a in per_doc if len(a)])
+    if mix:
+        flat = mix64(flat)
     ne_counts = counts[nonempty]
     starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
     np.cumsum(ne_counts[:-1], out=starts[1:])
@@ -96,10 +108,10 @@ def simhash_batch(texts: list[str], features: str = "token", k: int = 5) -> np.n
         from rmlint_spark.functions.minhash import shingle_hashes_from_tokens
 
         per_doc = [
-            mix64(shingle_hashes_from_tokens(h[s : s + c], k))
+            shingle_hashes_from_tokens(h[s : s + c], k)
             for s, c in zip(starts, ne_counts)
         ]
-        out[nonempty] = simhash_from_feature_arrays(per_doc).astype(np.int64)
+        out[nonempty] = simhash_from_feature_arrays(per_doc, mix=True).astype(np.int64)
     else:
         out[nonempty] = simhash_from_token_hashes(h, starts, ne_counts).astype(np.int64)
     return out
