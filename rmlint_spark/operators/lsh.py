@@ -421,8 +421,27 @@ def jaccard_verify(
     """Filter (fid_a, fid_b) pairs by estimated Jaccard >= threshold.
     The unified verification step for ANY candidate source (LSH bands,
     SimHash blocks, substring windows). Joins carry only (fid, sig) —
-    content never shuffles here."""
+    content never shuffles here.
+
+    The signature relation is O(corpus) while the candidate relation
+    is O(pairs) ≪ O(corpus) after banding, so sigs are first PRUNED to
+    the fids that appear in any pair (semi join — AQE turns it into a
+    broadcast when the id set is small, and the pruned fetch joins
+    below then broadcast too): the 128-slot signature arrays shuffle
+    at O(pairs) instead of twice at O(corpus). The candidate relation
+    is pinned first — it is referenced by the prune AND the fetch
+    join, and re-deriving a band self-join twice costs more than the
+    narrow (fid_a, fid_b) cache."""
+    from rmlint_spark.operators.exact import _pin
+
+    pairs = _pin(pairs.select("fid_a", "fid_b"))
     sigs = signatures.select("fid", "sig")
+    pair_ids = (
+        pairs.select(F.col("fid_a").alias("fid"))
+        .union(pairs.select(F.col("fid_b").alias("fid")))
+        .distinct()
+    )
+    sigs = sigs.join(pair_ids, "fid", "leftsemi")
     joined = (
         pairs.select("fid_a", "fid_b")
         .join(sigs.withColumnRenamed("fid", "fid_a").withColumnRenamed("sig", "sig_a"), "fid_a")
