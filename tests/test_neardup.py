@@ -352,3 +352,45 @@ def test_stop_shingles_boilerplate_ab(spark):
     want_sorted = {tuple(sorted(p)) for p in want}
     assert want_sorted <= found_off
     assert want_sorted <= found_on
+
+
+def test_minhash_blocked_loop_matches_naive_reference():
+    """The cache-blocked permutation loop (r5 s11: all permutations
+    over one ~1 MiB block while it is cache-hot, block-spanning
+    segments folded with np.minimum) is bit-identical to the naive
+    per-doc definition — including docs that straddle block
+    boundaries, exact-boundary lengths, singletons and empties."""
+    import numpy as np
+
+    from rmlint_spark.functions.minhash import (
+        minhash_from_shingles,
+        perm_params,
+    )
+
+    def naive(per_doc, num_perm, seed):
+        a, b = perm_params(num_perm, seed)
+        out = np.full((len(per_doc), num_perm), -1, dtype=np.int64)
+        for d, h in enumerate(per_doc):
+            if len(h) == 0:
+                continue
+            for i in range(num_perm):
+                out[d, i] = int(((a[i] * h + b[i]) >> np.uint64(32)).min())
+        return out
+
+    rng = np.random.RandomState(7)
+    block = 1 << 17
+    cases = [
+        [np.array([], dtype=np.uint64)],
+        [np.arange(5, dtype=np.uint64)],
+        [np.array([], dtype=np.uint64), np.arange(3, dtype=np.uint64),
+         np.array([], dtype=np.uint64)],
+        # one doc spanning multiple blocks + boundary-exact lengths
+        [rng.randint(0, 2 ** 32, size=n).astype(np.uint64)
+         for n in (1, block - 1, block, block + 1, 2, 0, 9)],
+        [rng.randint(0, 2 ** 32, size=3 * block + 17).astype(np.uint64),
+         np.array([7], dtype=np.uint64)],
+    ]
+    for j, per_doc in enumerate(cases):
+        got = minhash_from_shingles(per_doc, 16, 42)
+        want = naive(per_doc, 16, 42)
+        assert np.array_equal(got, want), f"case {j} diverged"
