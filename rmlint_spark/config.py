@@ -31,6 +31,16 @@ class SignatureConfig:
     # Hashing (and the grouping size) operate on content[start:end).
     clamp_start: int | float | None = None
     clamp_end: int | float | None = None
+    # Fold the full digest into the same content scan as the prefix
+    # signature (ONE corpus pass for the whole funnel instead of two;
+    # qualification still runs staged on the narrow relation, so the
+    # surviving clusters are identical). Costs digesting rows the
+    # prefix stage would have pruned — the right trade when the
+    # dup-candidate fraction is high or scans are bandwidth-bound
+    # (columnar sources); keep False to digest only prefix-stage
+    # survivors, mirroring the reference's incremental-read economy
+    # (lib/shredder.c:218-275).
+    fuse_full_digest: bool = False
     # MinHash / LSH
     shingle_k: int = 5            # token shingle width
     num_perm: int = 128           # MinHash permutations

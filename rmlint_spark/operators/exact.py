@@ -309,50 +309,70 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     mk_names = [n for n, _ in mk]
     mk_cols = [c.alias(n) for n, c in mk]
 
-    # gen-0 (R1): narrow (key, size) relation; dedup + qualify shuffle
-    # ~20 bytes/row. Sizes with >= 2 distinct rows survive.
-    meta = raw.select(*KEY, size, *mk_cols).dropDuplicates(KEY)
-    sizes2 = (
-        meta.groupBy("size", *mk_names)
-        .count()
-        .filter(F.col("count") >= 2)
-        .select("size", *mk_names)
-    )
-
-    # gen-1 (R2): prefix signature, computed map-side ONLY for rows in a
-    # surviving size bucket (broadcast semi-join precedes the hash —
-    # rmlint's "unique sizes never read", lib/shredder.c:50-56; prefix
-    # default = the 4-page first read, lib/shredder.c:52,272-275).
-    sig1 = (
-        raw.select(*KEY, size, *mk_cols, cc.alias("_cc"))
-        .join(F.broadcast(sizes2), ["size", *mk_names], "left_semi")
-        .select(
-            *KEY, "size", *mk_names,
-            F.xxhash64(F.substring("_cc", 1, prefix_len)).alias("sig1"),
-        )
-        .dropDuplicates(KEY)
-    )
-    surv1 = _qualify(sig1, ["size", *mk_names, "sig1"])
-
-    # final generation: full digest (-a selectable) for remaining
-    # survivors, again map-side; survivor keys are narrow -> broadcast.
-    # NOTE: no explicit broadcast() hints on survivor-key sets — they
-    # scale with the number of duplicate-candidate files (potentially a
-    # large corpus fraction), so a forced broadcast would OOM the driver
-    # on a duplicate-heavy corpus. AQE converts these semi-joins to
-    # broadcasts at runtime when the survivor set is actually small.
+    # gen-0 (R1) + gen-1 (R2) in ONE content pass. The reference keeps
+    # the stages physically separate because stat() yields sizes
+    # without reading a byte, so unique sizes are never READ
+    # (lib/shredder.c:50-56). On a columnar source that economy
+    # inverts: computing length(content) already decodes the full
+    # content column, so a separate gen-0 pass is a whole extra corpus
+    # scan that saves nothing. Computing the prefix signature
+    # (the 4-page first read, lib/shredder.c:52,272-275) in the SAME
+    # scan is value-equivalent: a (size, sig1) group with >= 2 members
+    # implies its size group has >= 2 members, so the single staged
+    # qualification below reproduces gen-0 -> gen-1 exactly — the
+    # survivor set is identical, one full content pass cheaper. The
+    # extra map-side work (prefix xxhash64 for rows whose size turns
+    # out unique) is capped at prefix_len bytes/row, noise next to the
+    # scan itself.
     # Optional ranking columns (preference tags, hardlink counts) ride
-    # along on the narrow projection so -S criteria can see them.
+    # along on the narrow projections so -S criteria can see them.
     extras = [c for c in ("is_preferred", "link_count", "outer_link_count", "inode")
               if c in files.columns]
-    final = (
-        raw.join(surv1.select(*KEY), KEY, "left_semi")
-        .select(
-            *KEY, size, *mk_cols,
-            digest(cc, cfg.sig.checksum_algo).alias("checksum"), *extras,
+
+    if cfg.sig.fuse_full_digest:
+        # single-pass variant: prefix signature AND full digest from
+        # the same scan; both qualifications run staged on the narrow
+        # relation, so the surviving clusters are identical to the
+        # two-pass funnel (digesting a row the prefix stage would have
+        # pruned can never create or destroy a qualifying
+        # (size, checksum) group — pruned rows are size- or
+        # prefix-unique, hence checksum-unique within their key).
+        sig1 = (
+            raw.select(
+                *KEY, size, *mk_cols,
+                F.xxhash64(F.substring(cc, 1, prefix_len)).alias("sig1"),
+                digest(cc, cfg.sig.checksum_algo).alias("checksum"), *extras,
+            )
+            .dropDuplicates(KEY)
         )
-        .dropDuplicates(KEY)
-    )
+        final = _qualify(sig1, ["size", *mk_names, "sig1"]).drop("sig1")
+    else:
+        sig1 = (
+            raw.select(
+                *KEY, size, *mk_cols,
+                F.xxhash64(F.substring(cc, 1, prefix_len)).alias("sig1"),
+            )
+            .dropDuplicates(KEY)
+        )
+        surv1 = _qualify(sig1, ["size", *mk_names, "sig1"])
+
+        # final generation: full digest (-a selectable) for remaining
+        # survivors, again map-side; survivor keys are narrow ->
+        # broadcast. NOTE: no explicit broadcast() hints on
+        # survivor-key sets — they scale with the number of
+        # duplicate-candidate files (potentially a large corpus
+        # fraction), so a forced broadcast would OOM the driver on a
+        # duplicate-heavy corpus. AQE converts these semi-joins to
+        # broadcasts at runtime when the survivor set is actually
+        # small.
+        final = (
+            raw.join(surv1.select(*KEY), KEY, "left_semi")
+            .select(
+                *KEY, size, *mk_cols,
+                digest(cc, cfg.sig.checksum_algo).alias("checksum"), *extras,
+            )
+            .dropDuplicates(KEY)
+        )
     clustered = _pin(_qualify(final, ["size", *mk_names, "checksum"]))
 
     if cfg.byte_confirm:

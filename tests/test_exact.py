@@ -151,3 +151,34 @@ def test_route_narrow_router(spark):
     d = doubles.collect()
     assert len(d) == 1 and d[0]["path"] == "a" and d[0]["n_extra"] == 1
     assert cand.count() == 3  # raw nonempty rows; funnel dedups doubles
+
+
+def test_fused_single_pass_identical_output(corpus):
+    """fuse_full_digest=True (one content scan for prefix sig + full
+    digest) must reproduce the two-pass funnel's FULL output rows —
+    not just cluster pairs — across the configs that interact with the
+    fusion: byte_confirm, match keys, and a byte-range clamp. The
+    fusion's value-equivalence argument (a pruned row is size- or
+    prefix-unique, hence checksum-unique within its key) is exactly
+    what this pins."""
+    from dataclasses import replace
+
+    files, _ = corpus
+
+    def rows(cfg):
+        return {
+            tuple(r) for r in exact_clusters(files, cfg)
+            .select("repo", "path", "commit", "size", "checksum",
+                    "cluster_id", "cluster_size", "rank", "is_original")
+            .collect()
+        }
+
+    variants = [
+        EngineConfig(sig=SignatureConfig(prefix_len=64)),
+        EngineConfig(sig=SignatureConfig(prefix_len=64), byte_confirm=True),
+        EngineConfig(sig=SignatureConfig(prefix_len=7), match_with_extension=True),
+        EngineConfig(sig=SignatureConfig(prefix_len=64, clamp_start=2, clamp_end=0.9)),
+    ]
+    for cfg in variants:
+        fused = replace(cfg, sig=replace(cfg.sig, fuse_full_digest=True))
+        assert rows(cfg) == rows(fused), f"fused output diverges for {cfg}"
