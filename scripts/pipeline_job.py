@@ -52,11 +52,16 @@ def main() -> None:
     # (604,427 -> 980 candidates) with signal recall 1.0 — see
     # BENCH/BASELINE.md "Stop-shingle decision (round 5)". Set 0 for
     # reference-exact signatures.
+    # RMLINT_SPARK_FUSE_FUNNEL: 1 = one content pass for prefix sig +
+    # full digest (output bit-identical to the two-pass funnel —
+    # tests/test_exact.py::test_fused_single_pass_identical_output;
+    # A/B at 400k rows in BENCH/BASELINE.md "Funnel fusion").
     cfg = EngineConfig(
         sig=SignatureConfig(
             prefix_len=4096,
             simhash_features=os.environ.get("RMLINT_SPARK_SIMHASH_FEATURES", "shingle"),
             stop_shingle_df=float(os.environ.get("RMLINT_SPARK_STOP_SHINGLES", "0.3")),
+            fuse_full_digest=os.environ.get("RMLINT_SPARK_FUSE_FUNNEL", "0") == "1",
         ),
         lsh_escalate_levels=8 if esc in ("1", "lsh") else 0,
         simhash_escalate=esc in ("1", "simhash"),
