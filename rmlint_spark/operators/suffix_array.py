@@ -1,0 +1,242 @@
+"""Distributed generalized suffix array — prefix doubling on DataFrames.
+
+The north-star names "cross-file substring lint via distributed
+suffix-array shingles"; `operators/substring.py` and
+`operators/span_dedup.py` cover that lint semantics with stride-1
+window hashes (collision-checked by verification joins). This module
+adds the suffix array itself — the exact, hash-free structure — built
+with the Manber-Myers prefix-doubling recurrence expressed as
+DataFrame rounds (the same family as Flick & Aluru, "Parallel
+distributed memory construction of suffix and LCP arrays", SC'15):
+
+  round k: rank_{2h}(d, p) = dense_rank( rank_h(d, p), rank_h(d, p+h) )
+
+with a 0 sentinel for positions past the end of a document (ranks are
+1-based, so the sentinel orders first — shorter suffix sorts before
+its extensions, the suffix-array convention). Suffixes never cross
+document boundaries (generalized SA), so no separator alphabet is
+needed and every join stays keyed on (doc, pos).
+
+Scale shape (SCALE.md):
+- each round is JVM-only: one positional self-join on (doc, pos+h),
+  one distributed dense rank, one map-back join — O(log L) rounds for
+  prefix length L, each a constant number of hash/range exchanges over
+  narrow (doc, pos, rank) rows; text is read ONCE (the char explode)
+  and never shuffles again.
+- the dense rank never funnels through a single task: distinct pairs
+  are RANGE-partitioned, ranked per-partition under a
+  spark_partition_id() window, and shifted by per-partition base
+  offsets (one <=P-row collect) — the standard distributed dense-rank,
+  parallelism-invariant by construction (pinned in tests).
+- repeated-substring lint does NOT need the full array: equality of
+  window-w classes is equality of length-min(w, |suffix|) prefixes,
+  so detection of "shared substring of length >= L" stops at window
+  exactly L (<= ceil(log2 L) + 1 rounds, 5-7 for the typical L of
+  32-100; the final round uses the overlapping-window shift L - w) —
+  exact stride-1 coverage with zero hash-collision risk, the property
+  the window-hash operators buy back with verification joins.
+
+Reference semantics parity: like `substring.py` this is north-star
+surface with no direct rmlint counterpart; nearest precedent is the
+sub-range hashing of R2's incremental shredder (lib/shredder.c:496-533).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dense_rank_distributed",
+    "suffix_ranks",
+    "suffix_array",
+    "repeated_spans",
+    "sa_clone_pairs",
+]
+
+
+def dense_rank_distributed(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
+    """(cols..., out) mapping relation: 1-based dense rank of the
+    distinct ``cols`` tuples in lexicographic order, computed without
+    a single-task global window: range-partition the distinct tuples,
+    row_number within each physical partition (spark_partition_id is
+    evaluated BEFORE the window exchange, so the range classes
+    survive), then shift by per-partition base offsets (one bounded
+    <= shuffle.partitions-row collect). Join the result back on
+    ``cols`` to rank a full relation."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.select(*cols)
+        .distinct()
+        .repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    # eager checkpoint: the relation is read by TWO jobs (the counts
+    # collect below and the caller's join-back), and repartitionByRange
+    # samples its range boundaries — freeze (_pid, _lr) so both jobs
+    # see the same partition assignment. The caller sweeps this
+    # checkpoint via persistent_rdd_ids bracketing.
+    d = d.withColumn("_lr", F.row_number().over(w)).localCheckpoint(eager=True)
+    # base offset of each partition = rows in all lower-range partitions;
+    # bounded collect (one row per partition)
+    counts = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    base, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = base
+        base += counts[pid]
+    off = spark.createDataFrame(
+        [(pid, offsets[pid]) for pid in sorted(counts)] or [(0, 0)], "_pid int, _off long"
+    )
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .select(*cols, (F.col("_lr") + F.col("_off")).alias(out))
+    )
+
+
+def _char_ranks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, pos, r): level-1 ranks = dense rank of the character at
+    each position. One pass over text; text never reappears."""
+    chars = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("_t"),
+        )
+        .filter(F.length("_t") > 0)
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.length("_t") - 1)).alias("pos"),
+            F.col("_t"),
+        )
+        .select("doc", "pos", F.expr("substring(_t, pos + 1, 1)").alias("ch"))
+    )
+    rank_map = dense_rank_distributed(chars, ["ch"])
+    return chars.join(rank_map, "ch").select("doc", "pos", "r")
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    upto: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, pos, r): prefix-doubled suffix ranks. Two suffixes carry
+    the same ``r`` iff their prefixes of length min(upto, |suffix|)
+    are EXACTLY equal — not the next power of two: the last round uses
+    the overlapping-window trick (rank pair at shift ``upto - w``
+    covers [p, p+w) ∪ [p+upto-w, p+upto) = [p, p+upto) when w >= upto/2),
+    so non-power-of-two targets refine to exactly ``upto``. Sentinel
+    convention: a suffix shorter than the comparison window can only
+    tie with a suffix of the SAME length, so class equality implies
+    shared-prefix length >= min(upto, |suffix|).
+
+    Each round localCheckpoints the narrow (doc, pos, r) state and
+    releases the previous generation (the CC storage idiom)."""
+    from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = docs.sparkSession
+    if upto is None:
+        upto = (
+            docs.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
+        )
+    before = persistent_rdd_ids(spark)
+    cur = _char_ranks(docs, id_col, text_col).localCheckpoint(eager=True)
+    prev_ids = persistent_rdd_ids(spark) - before
+    w = 1
+    while w < upto:
+        # window grows w -> w + shift; shift <= w keeps the two ranked
+        # windows overlapping (prefix-doubling invariant), and
+        # shift = upto - w on the last round lands on EXACTLY upto.
+        h = min(w, upto - w)
+        shifted = cur.select("doc", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2"))
+        paired = (
+            cur.join(shifted, ["doc", "pos"], "left")
+            .select("doc", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
+        )
+        before = persistent_rdd_ids(spark)
+        rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn")
+        rank_ids = persistent_rdd_ids(spark) - before
+        cur = (
+            paired.join(rank_map, ["r", "r2"])
+            .select("doc", "pos", F.col("rn").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        cur_ids = persistent_rdd_ids(spark) - before - rank_ids
+        # new cur is materialized: the round's internal rank map and the
+        # previous generation are both dead — only cur stays persistent
+        unpersist_rdd_ids(spark, prev_ids | rank_ids)
+        prev_ids = cur_ids
+        w += h
+    return cur
+
+
+def suffix_array(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, pos, r): fully refined generalized suffix array ranks.
+    Ordering suffixes by r yields suffix-array order; suffixes that
+    are IDENTICAL strings (across documents) share an r — the
+    generalized-SA tie, broken downstream by (r, doc, pos) when a
+    total order is needed."""
+    return suffix_ranks(docs, upto=None, id_col=id_col, text_col=text_col)
+
+
+def repeated_spans(
+    docs: DataFrame,
+    min_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring occurrences: every (class_id, doc,
+    pos, n_occ) where the length-``min_len`` substring at (doc, pos)
+    occurs >= 2 times corpus-wide (including within one document).
+    Hash-free (suffix-class equality IS string equality), stride-1
+    exact — the suffix-array-backed sibling of span_dedup's keeper
+    table. Refinement stops at window exactly min_len (any value, not
+    just powers of two), not at full refinement."""
+    ranks = suffix_ranks(docs, upto=min_len, id_col=id_col, text_col=text_col)
+    lens = docs.select(
+        F.col(id_col).alias("doc"), F.length(text_col).alias("_dl")
+    )
+    # suffixes long enough to certify a min_len-char repeat
+    eligible = ranks.join(lens, "doc").filter(F.col("pos") + min_len <= F.col("_dl"))
+    occ = Window.partitionBy("r")
+    return (
+        eligible.withColumn("n_occ", F.count("*").over(occ))
+        .filter(F.col("n_occ") >= 2)
+        .select(F.col("r").alias("class_id"), "doc", "pos", "n_occ")
+    )
+
+
+def sa_clone_pairs(
+    docs: DataFrame,
+    min_len: int = 32,
+    max_class_width: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-document substring-clone pairs from the suffix classes:
+    (doc_a, doc_b, shared_classes) for documents sharing >= 1 repeated
+    substring of length >= min_len. Standard skew contract: a class
+    appearing in more than ``max_class_width`` distinct documents is
+    excluded from pairing and surfaced in the dropped report
+    (class_id, width) — boilerplate hits the report, not the shuffle."""
+    spans = repeated_spans(docs, min_len, id_col=id_col, text_col=text_col)
+    class_docs = spans.select("class_id", "doc").distinct()
+    widths = class_docs.groupBy("class_id").agg(F.count("*").alias("width"))
+    dropped = widths.filter(F.col("width") > max_class_width)
+    # anti-join against the DROPPED side: oversized classes are rare by
+    # construction (that is what the cap asserts), so that is the
+    # broadcastable relation — the ok set is corpus-sized
+    ok = class_docs.join(
+        F.broadcast(dropped.select("class_id")), "class_id", "left_anti"
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(b, "class_id")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared_classes"))
+    )
+    return pairs, dropped
