@@ -96,23 +96,30 @@ def dense_rank_distributed(df: DataFrame, cols: list[str], out: str = "r") -> Da
 
 
 def _char_ranks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc, pos, r): level-1 ranks = dense rank of the character at
-    each position. One pass over text; text never reappears."""
-    chars = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.col(text_col).alias("_t"),
-        )
+    """(doc, pos, r): level-1 ranks = codepoint of the character at
+    each position, +1 so the 0 sentinel stays strictly smallest even
+    for NUL bytes. Prefix doubling needs ORDER-PRESERVING initial
+    ranks, not dense ones (every subsequent round re-densifies), so
+    this is pure map-side expression code: one text scan, no alphabet
+    pass, no join — and crucially no shuffle of the exploded char
+    relation onto an alphabet-sized key space (a ≤256-key hash
+    exchange of every character in the corpus would be the worst skew
+    in the engine). Codepoint order == UTF-8 binary order, matching
+    Spark string comparison."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
         .filter(F.length("_t") > 0)
         .select(
             "doc",
             F.explode(F.sequence(F.lit(0), F.length("_t") - 1)).alias("pos"),
             F.col("_t"),
         )
-        .select("doc", "pos", F.expr("substring(_t, pos + 1, 1)").alias("ch"))
+        .select(
+            "doc",
+            "pos",
+            (F.ascii(F.expr("substring(_t, pos + 1, 1)")) + F.lit(1)).alias("r"),
+        )
     )
-    rank_map = dense_rank_distributed(chars, ["ch"])
-    return chars.join(rank_map, "ch").select("doc", "pos", "r")
 
 
 def suffix_ranks(

@@ -281,3 +281,34 @@ def test_hyperplane_ladder_signs_each_vector_once(spark, monkeypatch):
         assert topk.count() > 0
         assert dropped.count() == 0
     assert acc.value == n, f"signature UDF processed {acc.value} rows for {n} vectors"
+
+
+def test_suffix_array_char_ranks_are_map_side_and_text_never_shuffles(spark):
+    """The suffix array's only contact with document text is the
+    level-1 char explode, and it must be PURE map-side expression code
+    (codepoint ranks): a dense-rank of the alphabet joined back would
+    hash-exchange every character in the corpus onto a <=256-key
+    space — the worst possible skew. Pin: no Exchange at all in the
+    level-1 plan, and no Exchange carrying text in a doubling round."""
+    from rmlint_spark.operators.suffix_array import (
+        _char_ranks,
+        suffix_ranks,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "banana"), ("d2", "cabbage")], ["doc_id", "text"]
+    )
+    lvl1 = formatted_plan(_char_ranks(docs, "doc_id", "text"))
+    assert "Exchange" not in lvl1, lvl1
+    # a doubling round shuffles only narrow (doc, pos, rank) triples;
+    # the ranked generations are localCheckpointed so text cannot leak
+    # into any later plan by construction — assert it on the output
+    out = suffix_ranks(docs, upto=4)
+    plan = formatted_plan(out)
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and ("text#" in ln or "_t#" in ln)
+    ]
+    assert not bad, bad
+    assert [f.name for f in out.schema.fields] == ["doc", "pos", "r"]
