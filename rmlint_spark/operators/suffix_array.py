@@ -52,6 +52,9 @@ __all__ = [
     "suffix_array",
     "repeated_spans",
     "sa_clone_pairs",
+    "rank_generations",
+    "pair_lcp",
+    "longest_shared_substring",
 ]
 
 
@@ -247,3 +250,148 @@ def sa_clone_pairs(
         .agg(F.count("*").alias("shared_classes"))
     )
     return pairs, dropped
+
+
+def rank_generations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, DataFrame]]:
+    """All pure-doubling rank generations [(1, g1), (2, g2), (4, g4),
+    ..., (2^K, gK)] with 2^K >= the longest document — the structure
+    the LCP descent walks. Unlike :func:`suffix_ranks` (which frees
+    each generation as the next lands), every generation stays
+    localCheckpointed: O(log L) narrow (doc, pos, r) relations,
+    deliberately retained. Callers that finish with them can unpersist
+    via the returned DataFrames.
+
+    Generation semantics (the descent's contract): two positions share
+    an ``r`` in generation w iff their length-min(w, remainder)
+    prefixes are equal AND (both remainders >= w, or the remainders
+    are equal) — the sentinel rule, so equality at w certifies either
+    a true w-char match or total remainder equality."""
+    spark = docs.sparkSession
+    max_len = docs.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
+    gens: list[tuple[int, DataFrame]] = []
+    cur = _char_ranks(docs, id_col, text_col).localCheckpoint(eager=True)
+    gens.append((1, cur))
+    w = 1
+    while w < max_len:
+        shifted = cur.select("doc", (F.col("pos") - w).alias("pos"), F.col("r").alias("r2"))
+        paired = (
+            cur.join(shifted, ["doc", "pos"], "left")
+            .select("doc", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
+        )
+        rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn")
+        cur = (
+            paired.join(rank_map, ["r", "r2"])
+            .select("doc", "pos", F.col("rn").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        w *= 2
+        gens.append((w, cur))
+    return gens
+
+
+def pair_lcp(
+    docs: DataFrame,
+    pairs: DataFrame,
+    gens: list[tuple[int, DataFrame]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact longest-common-prefix for candidate position pairs:
+    input (doc_a, pos_a, doc_b, pos_b), output the same + ``lcp``.
+
+    The classic generation descent, distributed: walk windows from the
+    largest power of two down; at each window join both positions'
+    ranks at offset (pos + lcp-so-far) and add w when the classes
+    match. A short-suffix tie (total remainder equality) over-adds w
+    once and is repaired by the final remainder clamp, which is exact
+    because that tie implies equal remainders. Cost: 2 hash joins of
+    the pair relation against a narrow generation per level — O(log L)
+    rounds, id+position-only shuffles, text never moves."""
+    if gens is None:
+        gens = rank_generations(docs, id_col=id_col, text_col=text_col)
+    lens = docs.select(
+        F.col(id_col).alias("_ld"), F.length(text_col).alias("_ll")
+    )
+    cur = pairs.select("doc_a", "pos_a", "doc_b", "pos_b").withColumn(
+        "lcp", F.lit(0)
+    )
+    for w, g in sorted(gens, key=lambda t: -t[0]):
+        ga = g.select(
+            F.col("doc").alias("doc_a"), F.col("pos").alias("_ka"), F.col("r").alias("_ra")
+        )
+        gb = g.select(
+            F.col("doc").alias("doc_b"), F.col("pos").alias("_kb"), F.col("r").alias("_rb")
+        )
+        cur = (
+            cur.withColumn("_ka", F.col("pos_a") + F.col("lcp"))
+            .withColumn("_kb", F.col("pos_b") + F.col("lcp"))
+            .join(ga, ["doc_a", "_ka"], "left")
+            .join(gb, ["doc_b", "_kb"], "left")
+            .withColumn(
+                "lcp",
+                F.col("lcp")
+                + F.when(
+                    F.col("_ra").isNotNull() & (F.col("_ra") == F.col("_rb")),
+                    F.lit(w),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_ka", "_kb", "_ra", "_rb")
+        )
+    return (
+        cur.join(lens.withColumnRenamed("_ld", "doc_a"), "doc_a")
+        .withColumnRenamed("_ll", "_la")
+        .join(lens.withColumnRenamed("_ld", "doc_b"), "doc_b")
+        .withColumnRenamed("_ll", "_lb")
+        .select(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            F.least(
+                "lcp", F.col("_la") - F.col("pos_a"), F.col("_lb") - F.col("pos_b")
+            ).alias("lcp"),
+        )
+    )
+
+
+def longest_shared_substring(
+    docs: DataFrame,
+    min_len: int = 32,
+    max_class_width: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, length): the EXACT longest substring shared by
+    each cross-document pair that shares one of length >= min_len.
+    Composition of the lane: every common substring of length >=
+    min_len starts at positions sharing a repeated-span class, so the
+    max pair-LCP over within-class occurrence pairs IS the longest
+    common substring — no hashing, no sampling. Classes wider than
+    ``max_class_width`` are excluded (same skew contract as
+    :func:`sa_clone_pairs`: boilerplate belongs in its dropped report,
+    not in an O(w^2) pair fan-out)."""
+    spans = repeated_spans(docs, min_len, id_col=id_col, text_col=text_col)
+    widths = spans.groupBy("class_id").agg(
+        F.count_distinct("doc").alias("width")
+    )
+    ok = spans.join(
+        F.broadcast(
+            widths.filter(F.col("width") > max_class_width).select("class_id")
+        ),
+        "class_id",
+        "left_anti",
+    )
+    a = ok.select("class_id", F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"))
+    b = ok.select("class_id", F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"))
+    cand = (
+        a.join(b, "class_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "pos_a", "doc_b", "pos_b")
+        .distinct()
+    )
+    scored = pair_lcp(docs, cand, id_col=id_col, text_col=text_col)
+    return scored.groupBy("doc_a", "doc_b").agg(F.max("lcp").alias("length"))

@@ -150,3 +150,80 @@ def test_sa_clone_pairs_planted_pair_and_skew_cap(spark):
     assert got[("s1", "s2")] == len(shared) - 32 + 1 == 14
     # boilerplate-only doc pairs are suppressed by the width cap
     assert not any(a.startswith("b") and b.startswith("b") for a, b in got)
+
+
+def test_pair_lcp_matches_bruteforce(spark):
+    rnd = random.Random(23)
+    docs = {
+        f"d{i}": "".join(rnd.choice("ab") for _ in range(rnd.randint(1, 25)))
+        for i in range(5)
+    }
+    from rmlint_spark.operators.suffix_array import pair_lcp
+
+    names = sorted(docs)
+    pairs = []
+    for da in names:
+        for db in names:
+            for pa in range(len(docs[da])):
+                for pb in range(len(docs[db])):
+                    if rnd.random() < 0.07:
+                        pairs.append((da, pa, db, pb))
+    pdf = spark.createDataFrame(
+        pairs, "doc_a string, pos_a int, doc_b string, pos_b int"
+    )
+    got = {
+        (r["doc_a"], r["pos_a"], r["doc_b"], r["pos_b"]): r["lcp"]
+        for r in pair_lcp(_docs_df(spark, docs), pdf).collect()
+    }
+
+    def lcp(sa: str, sb: str) -> int:
+        n = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    assert len(got) == len(pairs)
+    for da, pa, db, pb in pairs:
+        want = lcp(docs[da][pa:], docs[db][pb:])
+        assert got[(da, pa, db, pb)] == want, (da, pa, db, pb, want)
+
+
+def test_longest_shared_substring_matches_bruteforce(spark):
+    rnd = random.Random(31)
+    docs = {
+        f"d{i}": "".join(rnd.choice("abc") for _ in range(40)) for i in range(5)
+    }
+    # plant a long exact share between d0 and d3 so the test is
+    # non-vacuous above min_len
+    block = "zqzqzvqzzvzqqvzz"
+    docs["d0"] = docs["d0"][:10] + block + docs["d0"][10 + len(block):]
+    docs["d3"] = block + docs["d3"][len(block):]
+    from rmlint_spark.operators.suffix_array import longest_shared_substring
+
+    L = 5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["length"]
+        for r in longest_shared_substring(_docs_df(spark, docs), min_len=L).collect()
+    }
+
+    def lcs_len(ta: str, tb: str) -> int:
+        best = 0
+        for i in range(len(ta)):
+            for j in range(len(tb)):
+                n = 0
+                while i + n < len(ta) and j + n < len(tb) and ta[i + n] == tb[j + n]:
+                    n += 1
+                best = max(best, n)
+        return best
+
+    names = sorted(docs)
+    for i, da in enumerate(names):
+        for db in names[i + 1:]:
+            want = lcs_len(docs[da], docs[db])
+            if want >= L:
+                assert got[(da, db)] == want, (da, db, want)
+            else:
+                assert (da, db) not in got
+    assert got[("d0", "d3")] >= len(block)
