@@ -468,21 +468,35 @@ def q_minhash_sql(spark, sf_dir):
 
 
 def q_lsh_band_buckets(spark, sf_dir):
-    # LSH banding over the SQL MinHash rows: 2 bands x 4 perms,
-    # band signature = sha256 of the ordered slot concatenation
-    mh = q_minhash_sql(spark, sf_dir).withColumn("band", (F.col("perm") / 4).cast("int"))
-    assembled = (
-        mh.groupBy("doc_id", "band")
+    """LSH banding over the SQL MinHash rows: 2 bands x 4 perms, band
+    signature = sha256 of the ordered slot concatenation. Absorbs the
+    former ``minhash_sql`` query (r5 50-query cap, same idiom as the
+    text_stats/gopher consolidations): the output unions BOTH verified
+    surfaces as (doc_id, stage, slot, value) rows — stage='mh' carries
+    every raw per-permutation minimum, stage='band' the banded
+    signatures — so the oracle still pins the full signature chain
+    value-by-value, not just the composed end."""
+    mh = q_minhash_sql(spark, sf_dir)
+    banded = (
+        mh.withColumn("band", (F.col("perm") / 4).cast("int"))
+        .groupBy("doc_id", "band")
         .agg(F.sort_array(F.collect_list(F.struct("perm", "minh"))).alias("slots"))
         .select(
             "doc_id",
-            "band",
+            F.lit("band").alias("stage"),
+            F.col("band").alias("slot"),
             F.sha2(
                 F.concat_ws("|", F.expr("transform(slots, s -> s.minh)")), 256
-            ).alias("band_sig"),
+            ).alias("value"),
         )
     )
-    return assembled
+    raw = mh.select(
+        "doc_id",
+        F.lit("mh").alias("stage"),
+        F.col("perm").alias("slot"),
+        F.col("minh").alias("value"),
+    )
+    return raw.unionByName(banded)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1138,6 +1152,32 @@ def q_substring_clones(spark, sf_dir):
     return pairs
 
 
+def q_sa_lcp(spark, sf_dir):
+    """Exact longest-shared-substring via the distributed generalized
+    suffix array (operators/suffix_array): prefix-doubled ranks,
+    repeated-span classes at min_len=12, then the exact pair-LCP
+    generation descent — (doc_a, doc_b, max_shared) is the TRUE
+    longest common substring length for every cross-doc pair sharing
+    >= 12 chars. Runs over a 24-doc slice of the derived code corpus
+    (_code_corpus — the winnow t2 lane's construction, replayed
+    identically by the oracle), where the shared function skeleton
+    plants corpus-wide classes and each 4-doc family plants longer
+    family-private runs. max_class_width=24 >= the slice size, so the
+    skew cap provably drops nothing and the oracle needs no cap model.
+    The DuckDB oracle brute-forces the same truth by enumerating every
+    >=12-char substring and joining on string equality — both sides
+    hash-free and exact, so any off-by-one in the descent (sentinel
+    rule, remainder clamp, overlap shift) breaks the value hash."""
+    from rmlint_spark.operators.suffix_array import longest_shared_substring
+
+    docs = _code_corpus(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 24)
+    ).select("doc_id", "text")
+    return longest_shared_substring(
+        docs, min_len=12, max_class_width=24
+    ).select("doc_a", "doc_b", F.col("length").alias("max_shared"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from rmlint_spark.operators.multimodal import extract_features, synthetic_assets
 
@@ -1217,7 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "dedup_canonical": q_dedup_canonical,
         "paragraph_dedup": q_paragraph_dedup,
-        "minhash_sql": q_minhash_sql,
+        # minhash_sql absorbed into lsh_band_buckets (r5 50-query cap)
         "lsh_band_buckets": q_lsh_band_buckets,
         "ngram_jaccard": q_ngram_jaccard,
         "duplicate_dirs": q_duplicate_dirs,
@@ -1239,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "needs_new": q_needs_new,
         "rank_criteria": q_rank_criteria,
+        "sa_lcp": q_sa_lcp,
         # oracled via the ORACLE_SIDE parquet side-channel (signatures
         # materialized by the query, clustering recomputed in SQL)
         "ann_topk": q_ann_topk,
@@ -1516,18 +1557,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY sha256(text)) AS group_size
             FROM documents
         """,
-        "minhash_sql": MINHASH_SQL_CTE + """
-            SELECT doc_id, CAST(perm AS INTEGER) AS perm,
-                   min(sha256(shingle || '#' || CAST(perm AS VARCHAR))) AS minh
-            FROM sh, perms GROUP BY 1, 2
-        """,
+        # minhash_sql absorbed into lsh_band_buckets (r5 50-query
+        # cap): the union output keeps both stages' values oracled
         "lsh_band_buckets": MINHASH_SQL_CTE + """
             , mh AS (
               SELECT doc_id, CAST(perm AS INTEGER) AS perm,
                      min(sha256(shingle || '#' || CAST(perm AS VARCHAR))) AS minh
               FROM sh, perms GROUP BY 1, 2)
-            SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
-                   sha256(string_agg(minh, '|' ORDER BY perm)) AS band_sig
+            SELECT doc_id, 'mh' AS stage, perm AS slot, minh AS value
+            FROM mh
+            UNION ALL
+            SELECT doc_id, 'band' AS stage, CAST(perm // 4 AS INTEGER) AS slot,
+                   sha256(string_agg(minh, '|' ORDER BY perm)) AS value
             FROM mh GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
         """,
         "ngram_jaccard": """
@@ -1886,6 +1927,35 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 2
+        """,
+        # brute-force ground truth for the suffix-array LCP lane: the
+        # same 24-doc code corpus (construction mirrored from the
+        # winnow t2 lane), every >= 12-char substring enumerated and
+        # joined on string equality — exact, hash-free, cap-free
+        # (max_class_width = slice size on the Spark side)
+        "sa_lcp": f"""
+            WITH code AS (
+              SELECT doc_id,
+                     'def fn_' || CAST(doc_id AS VARCHAR) || '(aa, bb, cc):' || chr(10)
+                     || '    # ' || substr(text, 1, 40) || chr(10)
+                     || '    tag = "' || substr(text, 1, 24) || '"' || chr(10)
+                     || '    va = aa ' || {_OPS1} || ' bb' || chr(10)
+                     || '    vb = va ' || {_OPS2} || ' cc' || chr(10)
+                     || '    return vb + ' || CAST(doc_id + 17 AS VARCHAR) || chr(10)
+                     AS t
+              FROM documents WHERE doc_id < 24),
+            pos AS (
+              SELECT doc_id, t, u.i
+              FROM code, UNNEST(generate_series(1, length(t) - 11)) AS u(i)),
+            subs AS (
+              SELECT DISTINCT doc_id, v.l,
+                     substr(t, CAST(i AS INT), CAST(v.l AS INT)) AS sub
+              FROM pos, UNNEST(generate_series(12, length(t) - i + 1)) AS v(l))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(MAX(a.l) AS INT) AS max_shared
+            FROM subs a JOIN subs b
+              ON a.sub = b.sub AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "corpus_report": f"""
             WITH planted AS (

@@ -227,3 +227,58 @@ def test_longest_shared_substring_matches_bruteforce(spark):
             else:
                 assert (da, db) not in got
     assert got[("d0", "d3")] >= len(block)
+
+
+def test_sa_lcp_driver_query_matches_bruteforce(spark):
+    """The sa_lcp driver query (longest_shared_substring over the
+    24-doc derived code corpus at sf0.001) against a Python brute
+    force over the SAME corpus texts: pair set identical, every
+    max_shared the true longest-common-substring length. The corpus
+    construction itself is pinned by the DuckDB oracle (which replays
+    it in SQL); this guards the query wiring in CI."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_sa_lcp",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    sf = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    corpus = {
+        r["doc_id"]: r["text"]
+        for r in entry._code_corpus(
+            entry._docs(spark, sf).filter(F.col("doc_id") < 24)
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_shared"]
+        for r in entry.q_sa_lcp(spark, sf).collect()
+    }
+
+    def lcs_len(ta: str, tb: str) -> int:
+        # O(n*m) dp over shared-suffix lengths
+        prev = [0] * (len(tb) + 1)
+        best = 0
+        for i in range(1, len(ta) + 1):
+            cur = [0] * (len(tb) + 1)
+            for j in range(1, len(tb) + 1):
+                if ta[i - 1] == tb[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    if cur[j] > best:
+                        best = cur[j]
+            prev = cur
+        return best
+
+    ids = sorted(corpus)
+    want = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            n = lcs_len(corpus[da], corpus[db])
+            if n >= 12:
+                want[(da, db)] = n
+    assert got == want
