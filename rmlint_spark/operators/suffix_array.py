@@ -119,7 +119,14 @@ def _char_ranks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(
             "doc",
-            "pos",
+            # pos is LONG from birth: the LCP descent joins generations
+            # on (doc, pos + lcp) which is long arithmetic — an int pos
+            # would make Catalyst wrap the generation-side key in a
+            # cast, and a cast key can never match the generation's
+            # stored hashpartitioning (plan-audited: the cast was the
+            # difference between a pair-only shuffle and re-exchanging
+            # the whole position table per level)
+            F.col("pos").cast("long").alias("pos"),
             (F.ascii(F.expr("substring(_t, pos + 1, 1)")) + F.lit(1)).alias("r"),
         )
     )
@@ -271,25 +278,54 @@ def rank_generations(
     are equal) — the sentinel rule, so equality at w certifies either
     a true w-char match or total remainder equality."""
     spark = docs.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     max_len = docs.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
     gens: list[tuple[int, DataFrame]] = []
-    cur = _char_ranks(docs, id_col, text_col).localCheckpoint(eager=True)
-    gens.append((1, cur))
-    w = 1
-    while w < max_len:
-        shifted = cur.select("doc", (F.col("pos") - w).alias("pos"), F.col("r").alias("r2"))
-        paired = (
-            cur.join(shifted, ["doc", "pos"], "left")
-            .select("doc", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
-        )
-        rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn")
+    # every generation is checkpointed HASH-PARTITIONED ON (doc, pos)
+    # — the descent's join key. The checkpoint's LogicalRDD preserves
+    # that partitioning, so pair_lcp's two per-level lookups shuffle
+    # only the (small) pair relation, never the corpus-position-sized
+    # generation: the index is built once and queried shuffle-free
+    # (plan-asserted in test_plans). The extra build-time exchange is
+    # repaid immediately — the next doubling round's positional
+    # self-join reuses the same partitioning on its unshifted side.
+    #
+    # AQE must be OFF while the generations build: a localCheckpoint
+    # taken under an AdaptiveSparkPlan stores UnknownPartitioning (the
+    # adaptive plan cannot promise a partitioning at capture time), so
+    # the index would silently lose the very property it exists for.
+    # The build is a fixed chain of narrow statically-sized shuffles —
+    # nothing AQE would improve — and the session value is restored
+    # before any caller query plans against the result.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
         cur = (
-            paired.join(rank_map, ["r", "r2"])
-            .select("doc", "pos", F.col("rn").alias("r"))
+            _char_ranks(docs, id_col, text_col)
+            .repartition(n_parts, "doc", "pos")
             .localCheckpoint(eager=True)
         )
-        w *= 2
-        gens.append((w, cur))
+        gens.append((1, cur))
+        w = 1
+        while w < max_len:
+            shifted = cur.select(
+                "doc", (F.col("pos") - w).alias("pos"), F.col("r").alias("r2")
+            )
+            paired = (
+                cur.join(shifted, ["doc", "pos"], "left")
+                .select("doc", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
+            )
+            rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn")
+            cur = (
+                paired.join(rank_map, ["r", "r2"])
+                .select("doc", "pos", F.col("rn").alias("r"))
+                .repartition(n_parts, "doc", "pos")
+                .localCheckpoint(eager=True)
+            )
+            w *= 2
+            gens.append((w, cur))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return gens
 
 
@@ -310,7 +346,12 @@ def pair_lcp(
     once and is repaired by the final remainder clamp, which is exact
     because that tie implies equal remainders. Cost: 2 hash joins of
     the pair relation against a narrow generation per level — O(log L)
-    rounds, id+position-only shuffles, text never moves."""
+    rounds, id+position-only shuffles, text never moves; and because
+    generations are checkpointed hash-partitioned on (doc, pos) with a
+    long pos (see rank_generations), ONLY the pair relation is
+    exchanged at each level — the corpus-position-sized index side
+    joins in place (plan-asserted: no Exchange carries a generation
+    rank column)."""
     if gens is None:
         gens = rank_generations(docs, id_col=id_col, text_col=text_col)
     lens = docs.select(

@@ -315,3 +315,48 @@ def test_suffix_array_char_ranks_are_map_side_and_text_never_shuffles(spark):
     ]
     assert not bad, bad
     assert [f.name for f in out.schema.fields] == ["doc", "pos", "r"]
+
+
+def test_lcp_descent_never_exchanges_the_generation_side(spark):
+    """The LCP descent's contract: generations are the INDEX — built
+    once, checkpointed hash-partitioned on (doc, pos) with a long pos
+    — and every per-level lookup must shuffle only the (small) pair
+    relation. Two regressions this pins: (a) generations checkpointed
+    with the map-back join's (r, r2) partitioning re-exchange the
+    corpus-position-sized relation twice per level; (b) an int pos
+    makes Catalyst wrap the generation-side join key in a cast, which
+    can never match the stored partitioning. Assert: no Exchange node
+    in the descent plan carries a generation rank column (_ra/_rb)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rmlint_spark.operators.suffix_array import pair_lcp, rank_generations
+
+    docs = spark.createDataFrame(
+        [("d1", "banana"), ("d2", "cabbage"), ("d3", "banal")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [("d1", 0, "d2", 1), ("d1", 2, "d3", 0)],
+        "doc_a string, pos_a long, doc_b string, pos_b long",
+    )
+    gens = rank_generations(docs)
+    # the stored partitioning really is the descent key
+    for _, g in gens:
+        part = g._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+        assert "hashpartitioning(doc#" in part and "pos#" in part, part
+        assert dict(g.dtypes)["pos"] == "bigint"
+    plan = formatted_plan(pair_lcp(docs, pairs, gens=gens))
+    # the generation side projects exactly (doc_x, _kx, _rx); the pair
+    # relation legitimately carries _ra between the two lane joins, so
+    # flag only 3-column exchanges of the generation projection itself
+    gen_side_exchanges = [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[3\]: \[([^\]]*)\]", plan
+        )
+        if ("_ra#" in m.group(1) and "_ka#" in m.group(1))
+        or ("_rb#" in m.group(1) and "_kb#" in m.group(1))
+    ]
+    assert not gen_side_exchanges, gen_side_exchanges
