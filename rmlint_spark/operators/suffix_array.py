@@ -55,6 +55,8 @@ __all__ = [
     "rank_generations",
     "pair_lcp",
     "longest_shared_substring",
+    "lcp_array",
+    "distinct_substring_count",
 ]
 
 
@@ -436,3 +438,122 @@ def longest_shared_substring(
     )
     scored = pair_lcp(docs, cand, id_col=id_col, text_col=text_col)
     return scored.groupBy("doc_a", "doc_b").agg(F.max("lcp").alias("length"))
+
+
+def lcp_array(
+    docs: DataFrame,
+    gens: list[tuple[int, DataFrame]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The classic LCP array over the generalized suffix array,
+    distributed: (doc, pos, r, lcp) where suffixes are totally ordered
+    by (r, doc, pos) — r is the fully-refined rank, so equal r means
+    the suffix STRINGS are identical and (doc, pos) breaks the tie —
+    and ``lcp`` is the longest common prefix with the order
+    PREDECESSOR (0 for the first suffix). SA + LCP array together are
+    the complete substring index (Manber & Myers 1993 §3).
+
+    Distribution shape: one range exchange of the narrow (doc, pos, r)
+    relation to materialize the order, a per-partition lag under a
+    spark_partition_id window (the dense-rank idiom — no single-task
+    global window), partition-boundary predecessors stitched from one
+    <= shuffle.partitions-row collect, then ONE pair_lcp descent over
+    the corpus-position-sized adjacency relation — O(n log L) join
+    work, the same asymptotics as building the array, and the
+    generation index side of every descent join stays un-shuffled
+    (see pair_lcp). Text never appears.
+    """
+    spark = docs.sparkSession
+    if gens is None:
+        gens = rank_generations(docs, id_col=id_col, text_col=text_col)
+    sa = gens[-1][1]  # fully refined: equal r <=> identical suffix strings
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # freeze (_pid, order) once: two consumers below + repartitionByRange
+    # samples boundaries (the dense_rank_distributed discipline)
+    d = (
+        sa.repartitionByRange(n_parts, "r", "doc", "pos")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy("r", "doc", "pos")
+    cur = d.select(
+        "doc",
+        "pos",
+        "r",
+        "_pid",
+        F.lag("doc").over(w).alias("_pd"),
+        F.lag("pos").over(w).alias("_pp"),
+    )
+    # partition-boundary predecessors: the last row of each non-empty
+    # partition precedes the next non-empty partition's first row.
+    # struct max = lexicographic on (r, doc, pos) — exactly the order.
+    lasts = sorted(
+        d.groupBy("_pid")
+        .agg(F.max(F.struct("r", "doc", "pos")).alias("m"))
+        .select("_pid", "m.doc", "m.pos")
+        .collect(),
+        key=lambda row: row["_pid"],
+    )
+    doc_type = dict(sa.dtypes)["doc"]
+    bounds, prev = [], None
+    for row in lasts:
+        if prev is not None:
+            bounds.append((row["_pid"], prev["doc"], prev["pos"]))
+        prev = row
+    bdf = spark.createDataFrame(
+        bounds or [(-1, None, None)],
+        f"_pid int, _bd {doc_type}, _bp long",
+    )
+    cur = (
+        cur.join(F.broadcast(bdf), "_pid", "left")
+        .select(
+            "doc",
+            "pos",
+            "r",
+            F.coalesce("_pd", "_bd").alias("_pd"),
+            F.coalesce("_pp", "_bp").alias("_pp"),
+        )
+    )
+    pairs = cur.filter(F.col("_pd").isNotNull()).select(
+        F.col("_pd").alias("doc_a"),
+        F.col("_pp").alias("pos_a"),
+        F.col("doc").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    scored = pair_lcp(docs, pairs, gens=gens, id_col=id_col, text_col=text_col)
+    return (
+        cur.join(
+            scored.select(
+                F.col("doc_b").alias("doc"),
+                F.col("pos_b").alias("pos"),
+                "lcp",
+            ),
+            ["doc", "pos"],
+            "left",
+        )
+        .select("doc", "pos", "r", F.coalesce("lcp", F.lit(0)).alias("lcp"))
+    )
+
+
+def distinct_substring_count(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact number of DISTINCT substrings across the whole corpus
+    (shared substrings counted once — the generalized-SA semantics):
+    the classic identity  sum(|suffix|) - sum(LCP array). Returns a
+    1-row (n_substrings long) DataFrame. An exact corpus-diversity
+    statistic no sketch gives: the hash-free audit twin of the
+    HLL/MinHash diversity estimates, at O(n log L) join cost."""
+    la = lcp_array(docs, id_col=id_col, text_col=text_col)
+    lens = docs.select(
+        F.col(id_col).alias("doc"), F.length(text_col).cast("long").alias("_dl")
+    )
+    return (
+        la.join(lens, "doc")
+        .agg(
+            (F.sum(F.col("_dl") - F.col("pos")) - F.sum("lcp")).alias("n_substrings")
+        )
+    )

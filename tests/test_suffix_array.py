@@ -282,3 +282,75 @@ def test_sa_lcp_driver_query_matches_bruteforce(spark):
             if n >= 12:
                 want[(da, db)] = n
     assert got == want
+
+
+def _brute_lcp_array(docs: dict[str, str]):
+    """Sorted generalized suffixes with predecessor LCPs, ordered by
+    (suffix string, doc, pos) — identical strings tie on the string and
+    break on (doc, pos), matching the (r, doc, pos) engine order."""
+    sufs = sorted(
+        (t[p:], d, p) for d, t in docs.items() for p in range(len(t))
+    )
+    out = []
+    prev = None
+    for s, d, p in sufs:
+        lcp = 0
+        if prev is not None:
+            while lcp < len(s) and lcp < len(prev) and s[lcp] == prev[lcp]:
+                lcp += 1
+        out.append((d, p, lcp))
+        prev = s
+    return out
+
+
+def test_lcp_array_matches_bruteforce(spark):
+    rnd = random.Random(47)
+    docs = {
+        f"d{i}": "".join(rnd.choice("ab") for _ in range(20)) for i in range(4)
+    }
+    docs["d4"] = docs["d0"]  # identical docs: every suffix ties on r
+    from rmlint_spark.operators.suffix_array import lcp_array
+
+    got = {
+        (r["doc"], r["pos"]): r["lcp"]
+        for r in lcp_array(_docs_df(spark, docs)).collect()
+    }
+    want = {(d, p): lcp for d, p, lcp in _brute_lcp_array(docs)}
+    assert got == want
+
+
+def test_lcp_array_parallelism_invariant(spark):
+    docs = {"d1": "banana", "d2": "bandana", "d3": "anab"}
+    from rmlint_spark.operators.suffix_array import lcp_array
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                sorted(
+                    tuple(r)
+                    for r in lcp_array(_docs_df(spark, docs)).collect()
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1]
+
+
+def test_distinct_substring_count_matches_bruteforce(spark):
+    rnd = random.Random(53)
+    docs = {
+        f"d{i}": "".join(rnd.choice("abc") for _ in range(15)) for i in range(4)
+    }
+    docs["d2"] = docs["d1"][:10]  # a prefix-contained doc: pure overlap
+    from rmlint_spark.operators.suffix_array import distinct_substring_count
+
+    got = distinct_substring_count(_docs_df(spark, docs)).collect()[0][
+        "n_substrings"
+    ]
+    want = len(
+        {t[i:j] for t in docs.values() for i in range(len(t)) for j in range(i + 1, len(t) + 1)}
+    )
+    assert got == want
