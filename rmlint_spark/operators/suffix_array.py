@@ -416,7 +416,16 @@ def longest_shared_substring(
     common substring — no hashing, no sampling. Classes wider than
     ``max_class_width`` are excluded (same skew contract as
     :func:`sa_clone_pairs`: boilerplate belongs in its dropped report,
-    not in an O(w^2) pair fan-out)."""
+    not in an O(w^2) pair fan-out).
+
+    Storage: the window ranks and descent generations built here are
+    RELEASED before returning (snapshot-diff sweep, the pin_scope
+    idiom) — the small (doc_a, doc_b, length) result is eagerly
+    checkpointed first, so nothing lazily depends on the swept pins."""
+    from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
     spans = repeated_spans(docs, min_len, id_col=id_col, text_col=text_col)
     widths = spans.groupBy("class_id").agg(
         F.count_distinct("doc").alias("width")
@@ -437,7 +446,14 @@ def longest_shared_substring(
         .distinct()
     )
     scored = pair_lcp(docs, cand, id_col=id_col, text_col=text_col)
-    return scored.groupBy("doc_a", "doc_b").agg(F.max("lcp").alias("length"))
+    built = persistent_rdd_ids(spark) - before
+    out = (
+        scored.groupBy("doc_a", "doc_b")
+        .agg(F.max("lcp").alias("length"))
+        .localCheckpoint(eager=True)
+    )
+    unpersist_rdd_ids(spark, built)
+    return out
 
 
 def lcp_array(
@@ -463,8 +479,16 @@ def lcp_array(
     work, the same asymptotics as building the array, and the
     generation index side of every descent join stays un-shuffled
     (see pair_lcp). Text never appears.
+
+    Storage: the result is eagerly checkpointed and every pin built
+    HERE (the order relation, and the generations when this function
+    created them) is released before returning; caller-provided
+    ``gens`` predate the snapshot and are never touched.
     """
+    from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+
     spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
     if gens is None:
         gens = rank_generations(docs, id_col=id_col, text_col=text_col)
     sa = gens[-1][1]  # fully refined: equal r <=> identical suffix strings
@@ -522,7 +546,8 @@ def lcp_array(
         F.col("pos").alias("pos_b"),
     )
     scored = pair_lcp(docs, pairs, gens=gens, id_col=id_col, text_col=text_col)
-    return (
+    built = persistent_rdd_ids(spark) - before
+    out = (
         cur.join(
             scored.select(
                 F.col("doc_b").alias("doc"),
@@ -533,7 +558,10 @@ def lcp_array(
             "left",
         )
         .select("doc", "pos", "r", F.coalesce("lcp", F.lit(0)).alias("lcp"))
+        .localCheckpoint(eager=True)
     )
+    unpersist_rdd_ids(spark, built)
+    return out
 
 
 def distinct_substring_count(
@@ -546,14 +574,23 @@ def distinct_substring_count(
     the classic identity  sum(|suffix|) - sum(LCP array). Returns a
     1-row (n_substrings long) DataFrame. An exact corpus-diversity
     statistic no sketch gives: the hash-free audit twin of the
-    HLL/MinHash diversity estimates, at O(n log L) join cost."""
+    HLL/MinHash diversity estimates, at O(n log L) join cost. The
+    lcp_array pin is released once the 1-row result materializes."""
+    from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+
+    spark = docs.sparkSession
+    before = persistent_rdd_ids(spark)
     la = lcp_array(docs, id_col=id_col, text_col=text_col)
     lens = docs.select(
         F.col(id_col).alias("doc"), F.length(text_col).cast("long").alias("_dl")
     )
-    return (
+    built = persistent_rdd_ids(spark) - before
+    out = (
         la.join(lens, "doc")
         .agg(
             (F.sum(F.col("_dl") - F.col("pos")) - F.sum("lcp")).alias("n_substrings")
         )
+        .localCheckpoint(eager=True)
     )
+    unpersist_rdd_ids(spark, built)
+    return out

@@ -354,3 +354,29 @@ def test_distinct_substring_count_matches_bruteforce(spark):
         {t[i:j] for t in docs.values() for i in range(len(t)) for j in range(i + 1, len(t) + 1)}
     )
     assert got == want
+
+
+def test_lcp_lanes_release_their_pins(spark):
+    """longest_shared_substring / lcp_array / distinct_substring_count
+    build O(log L) checkpointed generations plus descent intermediates;
+    each must sweep everything it pinned except its own materialized
+    result (exactly ONE new persistent RDD per call)."""
+    from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+    from rmlint_spark.operators.suffix_array import (
+        distinct_substring_count,
+        lcp_array,
+        longest_shared_substring,
+    )
+
+    docs = _docs_df(spark, {"d1": "banana", "d2": "bandana", "d3": "anaban"})
+    for fn in (
+        lambda: longest_shared_substring(docs, min_len=3),
+        lambda: lcp_array(docs),
+        lambda: distinct_substring_count(docs),
+    ):
+        base = persistent_rdd_ids(spark)
+        out = fn()
+        new = persistent_rdd_ids(spark) - base
+        assert len(new) == 1, f"{fn}: {len(new)} pins left"
+        out.count()  # the survivor is the result itself — still usable
+        unpersist_rdd_ids(spark, new)
