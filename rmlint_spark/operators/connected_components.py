@@ -36,6 +36,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetric (u, v) edge relation, eagerly checkpointed
+    HASH-PARTITIONED ON u — the propagation join's key. Every
+    iteration joins this relation on u, so storing it pre-partitioned
+    means only the (node-sized) label relation is exchanged per round;
+    the edge relation joins in place for the whole loop. Built with
+    AQE off: a localCheckpoint taken under an AdaptiveSparkPlan stores
+    UnknownPartitioning (same discovery as the suffix-array descent
+    index; plan-asserted in test_plans)."""
+    spark = edges.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .repartition(n_parts, "u")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "fid_a",
@@ -79,11 +103,7 @@ def connected_components(
 
     spark = edges.sparkSession
     _ids0 = persistent_rdd_ids(spark)
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
-    )
+    sym = _sym_edges(edges, src, dst)
     sym_ids = persistent_rdd_ids(spark) - _ids0
 
     labels, start_iter = None, 0

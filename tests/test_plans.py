@@ -360,3 +360,29 @@ def test_lcp_descent_never_exchanges_the_generation_side(spark):
         or ("_rb#" in m.group(1) and "_kb#" in m.group(1))
     ]
     assert not gen_side_exchanges, gen_side_exchanges
+
+
+def test_cc_propagation_never_exchanges_the_edge_side(spark):
+    """The CC loop's contract (same pattern as the LCP descent index):
+    the symmetric edge relation is checkpointed hash-partitioned on u,
+    so the per-iteration propagation join exchanges ONLY the label
+    relation — exactly one Exchange in the join plan, and it is not
+    the edge side (which carries v)."""
+    import re
+
+    from rmlint_spark.operators.connected_components import _sym_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "fid_a long, fid_b long"
+    )
+    sym = _sym_edges(edges, "fid_a", "fid_b")
+    part = sym._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    assert "hashpartitioning(u#" in part, part
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "fid long, component long")
+    j = sym.join(labels.withColumnRenamed("fid", "u"), "u")
+    plan = formatted_plan(j)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert len(exchanges) == 1, plan
+    assert "v#" not in exchanges[0], exchanges
