@@ -40,9 +40,10 @@ and implicit POC-distance weights (weighted_bipred_idc == 2,
 8.4.2.3.1) — with encoder support (least-squares fade / joint-bi
 crossfade weight fitting), and BOTH direct modes derive B_Skip /
 B_Direct motion (spatial 8.4.1.2.2, temporal 8.4.1.2.3 POC-scaled
-colocated motion); the refusal surface is down to reference
-(pyramid) B pictures, SP/SI slices, sub-8x8 sub_mb_types /
-sub-16x16 B partitions and multi-reference prediction.
+colocated motion); P macroblocks split down to the full Table 7-17
+sub-8x8 family (8x4/4x8/4x4); the refusal surface is down to
+reference (pyramid) B pictures, SP/SI slices, sub-16x16 B
+partitions and >2 reference frames.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -991,11 +992,11 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     intra-in-P) macroblocks decode under BOTH entropy modes, and so
     do B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
     order — operators/h264_b.py and h264_cabac_b.py); 16x8 / 8x16 /
-    P_8x8 P partitions decode in both entropy lanes, and weighted
-    prediction (explicit pred_weight_table on P and B, implicit
-    POC-distance B weights) and both direct modes (spatial /
-    temporal) apply in both too.  SP/SI slices raise
-    ``NotImplementedError``; sub-8x8 sub_mb_types, sub-16x16 B
+    P_8x8 P partitions (with the full Table 7-17 sub-8x8 family)
+    decode in both entropy lanes, and weighted prediction (explicit
+    pred_weight_table on P and B, implicit POC-distance B weights)
+    and both direct modes (spatial / temporal) apply in both too.
+    SP/SI slices raise ``NotImplementedError``; sub-16x16 B
     partitions and reference B pictures raise ``ValueError`` (the
     documented refusal surface); malformed streams raise
     ``ValueError``.

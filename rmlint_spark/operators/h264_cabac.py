@@ -273,9 +273,9 @@ class CabacContexts:
         # shared between the lists, as in the spec
         self.b_skip = _zeros(3)
         self.b_pre = _zeros(6)
-        # P sub_mb_type bin 0 ('1' = P_L0_8x8, Table 9-38) — the only
-        # coded bin in the implemented sub-partition subset
-        self.p_sub = _zeros(1)
+        # P sub_mb_type (Table 9-38: '1' 8x8, '00' 8x4, '011' 4x8,
+        # '010' 4x4): bin0/bin1/bin2 in slots 0-2 (spec ctx 21-23)
+        self.p_sub = _zeros(3)
         # ref_idx_l0 (spec ctxIdxOffset 54, unary): bin0 inc 0..3 in
         # slots 0-3 (condTermA + 2*condTermB over neighbor refIdx>0),
         # bin1 in slot 4, bins >= 2 in slot 5 (deviation #2's slot

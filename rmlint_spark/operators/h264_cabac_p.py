@@ -35,8 +35,9 @@ encoder and decoder share every context table, so the pair is
 self-consistent by construction.
 
 The refusal surface for video after this module: SP/SI slices,
-sub-8x8 sub_mb_types, B partitions below 16x16, and multi-reference
-prediction (B slices decode via h264_b.py / h264_cabac_b.py).
+B partitions below 16x16, and >2 reference frames (B slices decode
+via h264_b.py / h264_cabac_b.py; the full Table 7-17 / 9-38 sub-8x8
+P family decodes since r5 s17).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -321,28 +322,41 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                 _P_L0_L0_8x16,
                 _P_L0_L0_16x8,
                 _p_parts,
+                _sub_split_parts,
             )
 
+            subs = None
             if b1:
                 t = _P_L0_L0_16x8 if b2 else _P_L0_L0_8x16
             else:
                 t = _P_8x8
-                # four sub_mb_type codes: '1' = P_L0_8x8 (Table 9-38);
-                # a 0 bin opens the sub-8x8 family, which refuses
+                # four sub_mb_type codes (Table 9-38 binarization:
+                # '1' 8x8, '00' 8x4, '011' 4x8, '010' 4x4)
+                subs = []
                 for _ in range(4):
-                    if not dec.decision(cx.p_sub[0]):
-                        raise ValueError(
-                            "H.264 CABAC sub_mb_type below 8x8 "
-                            "(8x4/4x8/4x4) not in the implemented "
-                            "partition subset")
-            parts = _p_parts(t, my, mx)
-            # per-partition ref_idx first (7.3.5.1 syntax order); the
-            # second partition's context inc reads the grid BEFORE the
-            # first partition commits — encoder and decoder share this
-            # derivation, so the pair is self-consistent (same
-            # deviation class as the equiprobable context init)
-            refs = [self._dec_ref(dec, by, bx)
-                    for by, bx, _, _, _, _, _ in parts]
+                    if dec.decision(cx.p_sub[0]):
+                        subs.append(0)
+                    elif not dec.decision(cx.p_sub[1]):
+                        subs.append(1)
+                    else:
+                        subs.append(2 if dec.decision(cx.p_sub[2])
+                                    else 3)
+            # per-partition ref_idx first (7.3.5.1 syntax order — one
+            # per 8x8 sub-macroblock for P_8x8, regardless of its
+            # sub-split); the second partition's context inc reads the
+            # grid BEFORE the first partition commits — encoder and
+            # decoder share this derivation, so the pair is
+            # self-consistent (same deviation class as the
+            # equiprobable context init)
+            if subs is not None:
+                refs8 = [self._dec_ref(dec, by, bx)
+                         for by, bx, _, _, _, _, _
+                         in _p_parts(t, my, mx)]
+                parts, refs = _sub_split_parts(subs, refs8, my, mx)
+            else:
+                parts = _p_parts(t, my, mx)
+                refs = [self._dec_ref(dec, by, bx)
+                        for by, bx, _, _, _, _, _ in parts]
             mvs = []
             for (by, bx, w4, h4, shape, _, _), ref in zip(parts, refs):
                 mvd_x = self._dec_mvd(dec, 0, by, bx)
@@ -352,8 +366,8 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                 self._commit_part(by, bx, w4, h4, pmv, ref)
                 self._note_mvd(by, bx, w4, h4, (mvd_x, mvd_y))
                 mvs.append(pmv)
-            pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, t,
-                                                         mvs, refs)
+            pred_y, pred_u, pred_v = self._mc_pred_split(
+                my, mx, t, mvs, refs, parts=parts)
             self._read_inter_residual_cabac2(dec, addr, pred_y,
                                              pred_u, pred_v)
             self._note_inter(addr, None, 0)
@@ -423,38 +437,53 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                 _p_parts,
             )
 
-            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16, _P_8x8):
+            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
                 mvs, mvps, cost = self._search_split(y_src, my, mx,
                                                      t, search)
-                cost += 96 if t != _P_8x8 else 320
+                cost += 96              # bit-cost bias: extra mvd pair
                 if split_best is None or cost < split_best[0]:
-                    split_best = (cost, t, mvs, mvps)
+                    split_best = (cost, t, mvs, mvps, None, None)
+            # P_8x8 with per-block sub_mb_type competition — the SAME
+            # shared search (and biases) as the CAVLC lane, so mode
+            # decisions and pixels stay identical across entropy modes
+            subs, sparts, mvs, mvps, cost = self._search_sub_split(
+                y_src, my, mx, search)
+            cost += 320                 # four sub codes + mvd baseline
+            if cost < split_best[0]:
+                split_best = (cost, _P_8x8, mvs, mvps, subs, sparts)
         if split_best is not None and split_best[0] < inter_cost:
-            cost, t, mvs, mvps = split_best
+            cost, t, mvs, mvps, subs, sparts = split_best
             enc.decision(cx.mb_skip[self._skip_inc(my, mx)], 0)
             enc.decision(cx.p_pre[0], 0)
             if t == _P_8x8:
                 enc.decision(cx.p_pre[1], 0)
                 enc.decision(cx.p_pre[2], 1)    # '001' (Table 9-34)
-                for _ in range(4):
-                    enc.decision(cx.p_sub[0], 1)    # P_L0_8x8
+                for st in subs:                 # Table 9-38 codes
+                    enc.decision(cx.p_sub[0], 1 if st == 0 else 0)
+                    if st != 0:
+                        enc.decision(cx.p_sub[1], 0 if st == 1 else 1)
+                        if st != 1:
+                            enc.decision(cx.p_sub[2],
+                                         1 if st == 2 else 0)
             else:
                 enc.decision(cx.p_pre[1], 1)
                 # '011' = 16x8, '010' = 8x16 (Table 9-34)
                 enc.decision(cx.p_pre[3],
                              1 if t == _P_L0_L0_16x8 else 0)
+            parts = sparts if t == _P_8x8 else _p_parts(t, my, mx)
             # partitions search ref 0; with 2 active refs the ref_idx
-            # bins are still coded (no P_8x8ref0 under CABAC)
+            # bins are still coded (no P_8x8ref0 under CABAC) — one
+            # per 8x8 sub-macroblock for P_8x8 (7.3.5.2)
             for by, bx, _, _, _, _, _ in _p_parts(t, my, mx):
                 self._enc_ref(enc, by, bx, 0)
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
-                    _p_parts(t, my, mx), mvs, mvps):
+                    parts, mvs, mvps):
                 mvd = (pmv[1] - pmvp[1], pmv[0] - pmvp[0])
                 self._enc_mvd(enc, 0, by, bx, mvd[0])
                 self._enc_mvd(enc, 1, by, bx, mvd[1])
                 self._commit_part(by, bx, w4, h4, pmv)
                 self._note_mvd(by, bx, w4, h4, mvd)
-            preds = self._mc_pred_split(my, mx, t, mvs)
+            preds = self._mc_pred_split(my, mx, t, mvs, parts=parts)
             (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
              cbp) = self._quantize_inter(addr, mvs[0], y_src, u_src,
                                          v_src, preds=preds)

@@ -38,15 +38,17 @@ dequant/IDCT/MC path the decoder runs, so encoder/decoder drift is
 structurally impossible.
 
 Since r5 s9 the 16x8 / 8x16 P partitions (mb_type 1/2) AND P_8x8
-with the P_L0_8x8 sub-macroblock type (mb_type 3/4, four 8x8
-partitions) encode and decode too: motion state lives on the spec's
-4x4-block grid, the two-partition shapes get the 8.4.1.3.2
-directional predictor (top->B, bottom->A, left->A, right->C) with
-the median fallback, each partition predicts from the previously
-committed ones, and the encoder lets all three splits compete with
-the whole-MB mode by SAD + mvd-bits cost (opt-in ``partitions=``
-flag).  Refusal surface after this module: SP/SI slices, sub-8x8
-sub_mb_types (8x4/4x8/4x4), and multiple reference frames.  CABAC-coded P slices decode too, via
+(mb_type 3/4) encode and decode too — since r5 s17 with the FULL
+Table 7-17 sub_mb_type family (8x8 / 8x4 / 4x8 / 4x4 per 8x8
+sub-macroblock): motion state lives on the spec's 4x4-block grid,
+the two-partition shapes get the 8.4.1.3.2 directional predictor
+(top->B, bottom->A, left->A, right->C) with the median fallback,
+each (sub-)partition predicts from the previously committed ones,
+and the encoder lets all splits compete with the whole-MB mode by
+SAD + mvd-bits cost (opt-in ``partitions=`` flag; per-8x8-block
+greedy sub_mb_type competition in :meth:`_search_sub_split`).
+Refusal surface after this module: SP/SI slices (multi-reference
+P prediction landed in r5 s13).  CABAC-coded P slices decode too, via
 h264_cabac_p.py composing this module's MotionMixin with the
 arithmetic engine; CAVLC B slices via h264_b.py composing the
 two-list machinery over this module's InterPicture.
@@ -86,14 +88,20 @@ from rmlint_spark.operators.h264_cavlc import (
 )
 
 # P-slice mb_type table (7-13): 0 = P_L0_16x16; 1..4 are the smaller
-# partitions (refused subset); >= 5 renames the intra table.
+# partitions (all decode); >= 5 renames the intra table.
 _P_L0_16x16 = 0
 _P_L0_L0_16x8 = 1
 _P_L0_L0_8x16 = 2
 _P_8x8 = 3
 _P_8x8REF0 = 4          # identical with one reference (7.4.5)
-_P_SUB_L0_8x8 = 0       # sub_mb_type (Table 7-17); 1..3 sub-8x8 refuse
+_P_SUB_L0_8x8 = 0       # sub_mb_type (Table 7-17); 0..3 all decode
 _P_INTRA_OFFSET = 5
+
+# encoder bit-cost biases (SAD-scale heuristics, shared by BOTH
+# entropy lanes so mode decisions — and pixels — match across them):
+# per-sub_mb_type extra cost over plain 8x8 (extra mvd pairs + the
+# longer sub_mb_type code), tried in this order
+_SUB_BIAS = ((0, 0), (1, 110), (2, 110), (3, 330))
 
 
 def _p_parts(mb_type: int, my: int, mx: int):
@@ -125,6 +133,54 @@ def _p_parts(mb_type: int, my: int, mx: int):
         (by, bx + 2, 2, 4, "8x16_right",
          (py, px + 8, 16, 8), (cy, cx + 4, 8, 4)),
     ]
+
+
+# sub_mb_type (Table 7-17) -> list of (dy, dx, bh, bw) luma rects
+# inside one 8x8 sub-macroblock, in sub-partition coding order
+_SUB_RECTS = {
+    0: ((0, 0, 8, 8),),                                  # P_L0_8x8
+    1: ((0, 0, 4, 8), (4, 0, 4, 8)),                     # P_L0_8x4
+    2: ((0, 0, 8, 4), (0, 4, 8, 4)),                     # P_L0_4x8
+    3: ((0, 0, 4, 4), (0, 4, 4, 4),
+        (4, 0, 4, 4), (4, 4, 4, 4)),                     # P_L0_4x4
+}
+
+
+def _sub_parts(i: int, sub_type: int, my: int, mx: int):
+    """Sub-partition geometry (Table 7-17) for 8x8 sub-macroblock
+    ``i`` (raster order) of MB (my, mx) under ``sub_type``
+    (0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4), same tuple layout as
+    :func:`_p_parts`.  Sub-partitions use the plain median predictor
+    (8.4.1.3 — the 8.4.1.3.2 directional shortcuts apply only to
+    16x8/8x16 macroblock partitions, so shape is None)."""
+    if sub_type not in _SUB_RECTS:
+        raise ValueError(f"invalid P sub_mb_type {sub_type}")
+    oy, ox = 8 * (i // 2), 8 * (i % 2)
+    py0, px0 = my * 16 + oy, mx * 16 + ox
+    by0, bx0 = my * 4 + oy // 4, mx * 4 + ox // 4
+    cy0, cx0 = my * 8 + oy // 2, mx * 8 + ox // 2
+    return [
+        (by0 + dy // 4, bx0 + dx // 4, bw // 4, bh // 4, None,
+         (py0 + dy, px0 + dx, bh, bw),
+         (cy0 + dy // 2, cx0 + dx // 2, bh // 2, bw // 2))
+        for dy, dx, bh, bw in _SUB_RECTS[sub_type]
+    ]
+
+
+def _sub_split_parts(subs: list[int], refs8: list[int],
+                     my: int, mx: int):
+    """Flattened (parts, per-part refs) for a P_8x8 macroblock whose
+    four 8x8 sub-macroblocks carry ``subs`` sub_mb_types; ref_idx is
+    per 8x8 sub-macroblock (7.3.5.2), so each sub-partition inherits
+    its block's entry."""
+    parts, refs = [], []
+    for i, s in enumerate(subs):
+        ps = _sub_parts(i, s, my, mx)
+        parts.extend(ps)
+        refs.extend([refs8[i]] * len(ps))
+    return parts, refs
+
+
 # motion vectors are bounded so a crafted stream cannot demand an
 # absurd interpolation window (level limits bound real streams too)
 _MV_LIMIT = 1 << 14
@@ -416,16 +472,18 @@ class MotionMixin:
         self._finish_inter_mb(addr)
 
     def _mc_pred_split(self, my: int, mx: int, mb_type: int, mvs,
-                       refs=None):
+                       refs=None, parts=None):
         """Assembled MB prediction from per-partition MVs (and
         per-partition L0 references; weighting runs per partition so
         mixed-reference macroblocks weight each region with its own
         table entry — pointwise, so identical to whole-MB weighting
-        in the uniform case)."""
+        in the uniform case).  ``parts`` overrides the
+        :func:`_p_parts` geometry for sub-8x8 split macroblocks."""
         pred_y = np.zeros((16, 16), dtype=np.int64)
         pred_u = np.zeros((8, 8), dtype=np.int64)
         pred_v = np.zeros((8, 8), dtype=np.int64)
-        parts = _p_parts(mb_type, my, mx)
+        if parts is None:
+            parts = _p_parts(mb_type, my, mx)
         if refs is None:
             refs = [0] * len(parts)
         for part, mv, ref in zip(parts, mvs, refs):
@@ -542,6 +600,71 @@ class MotionMixin:
                 self.dec4[by:by + h4, bx:bx + w4] = dec4s
                 self.ref4[by:by + h4, bx:bx + w4] = ref4s
         return mvs, mvps, total
+
+    def _search_sub_split(self, y_src: np.ndarray, my: int, mx: int,
+                          rng: int):
+        """Greedy per-8x8-block sub_mb_type competition for P_8x8:
+        each 8x8 sub-macroblock tries all of Table 7-17 (8x8 / 8x4 /
+        4x8 / 4x4), sub-MVs searched in coding order with tentative
+        commits so later predictors see earlier motion; the
+        SAD+bit-bias winner is committed and the next block searched
+        against it.  Both entropy lanes call this, so mode decisions
+        (and therefore pixels) stay identical across CAVLC/CABAC.
+        Returns (subs, parts, mvs, mvps, cost); every tentative
+        commit is rolled back before returning."""
+        saved_all = []
+        subs: list[int] = []
+        parts_all, mvs_all, mvps_all = [], [], []
+        total = 0
+        ref_y = self._search_ref_y()
+        try:
+            for i in range(4):
+                best = None
+                for st, bias in _SUB_BIAS:
+                    ps = _sub_parts(i, st, my, mx)
+                    saved, mvs, mvps, cost = [], [], [], bias
+                    for by, bx, w4, h4, shape, (py, px, bh, bw), _ in ps:
+                        src = y_src[py:py + bh,
+                                    px:px + bw].astype(np.int64)
+                        mvp = self._mv_pred_part(by, bx, w4, h4, shape)
+                        mv, c = self._search_rect(src, py, px, bh, bw,
+                                                  rng, ref_y, mvp)
+                        saved.append((
+                            by, bx, w4, h4,
+                            self.mv4[by:by + h4, bx:bx + w4].copy(),
+                            self.dec4[by:by + h4, bx:bx + w4].copy(),
+                            self.ref4[by:by + h4, bx:bx + w4].copy()))
+                        self._commit_part(by, bx, w4, h4, mv)
+                        mvs.append(mv)
+                        mvps.append(mvp)
+                        cost += c
+                    for by, bx, w4, h4, m4, d4, r4 in reversed(saved):
+                        self.mv4[by:by + h4, bx:bx + w4] = m4
+                        self.dec4[by:by + h4, bx:bx + w4] = d4
+                        self.ref4[by:by + h4, bx:bx + w4] = r4
+                    if best is None or cost < best[0]:
+                        best = (cost, st, ps, mvs, mvps)
+                cost, st, ps, mvs, mvps = best
+                # commit the winner (from the same base state the
+                # candidate was searched in, so its mvps stay valid)
+                for (by, bx, w4, h4, _, _, _), mv in zip(ps, mvs):
+                    saved_all.append((
+                        by, bx, w4, h4,
+                        self.mv4[by:by + h4, bx:bx + w4].copy(),
+                        self.dec4[by:by + h4, bx:bx + w4].copy(),
+                        self.ref4[by:by + h4, bx:bx + w4].copy()))
+                    self._commit_part(by, bx, w4, h4, mv)
+                subs.append(st)
+                parts_all.extend(ps)
+                mvs_all.extend(mvs)
+                mvps_all.extend(mvps)
+                total += cost
+        finally:
+            for by, bx, w4, h4, m4, d4, r4 in reversed(saved_all):
+                self.mv4[by:by + h4, bx:bx + w4] = m4
+                self.dec4[by:by + h4, bx:bx + w4] = d4
+                self.ref4[by:by + h4, bx:bx + w4] = r4
+        return subs, parts_all, mvs_all, mvps_all, total
 
     def _quantize_inter(self, addr: int, mv: tuple[int, int],
                         y_src: np.ndarray, u_src: np.ndarray,
@@ -798,26 +921,21 @@ class InterPicture(MotionMixin, CavlcPicture):
 
     def decode_mb_p8x8(self, r: _BitReader, addr: int,
                        mb_type: int) -> None:
-        """P_8x8 / P_8x8ref0 with the P_L0_8x8 sub-macroblock type:
-        four sub_mb_type codes (7.3.5.2), per-partition ref_idx_l0
-        (P_8x8 only — P_8x8ref0 pins every reference to 0 with no
-        syntax), then four mvd pairs in raster order (each
-        sub-partition predicting from the already committed ones),
-        then one CBP + residual.  Sub-8x8 splits (P_L0_8x4 /
-        P_L0_4x8 / P_L0_4x4) refuse."""
+        """P_8x8 / P_8x8ref0 (7.3.5.2): four sub_mb_type codes — ALL
+        of Table 7-17 decodes (8x8, 8x4, 4x8, 4x4) — then ref_idx_l0
+        per 8x8 sub-macroblock (P_8x8 only — P_8x8ref0 pins every
+        reference to 0 with no syntax), then one mvd pair per
+        sub-partition in coding order (each predicting from the
+        already committed ones), then one CBP + residual."""
         from rmlint_spark.operators.h264 import _read_se, _read_ue
 
         my, mx = divmod(addr, self.mb_w)
-        for _ in range(4):
-            if _read_ue(r) != _P_SUB_L0_8x8:
-                raise ValueError(
-                    "H.264 sub_mb_type below 8x8 (8x4/4x8/4x4) not in "
-                    "the implemented partition subset")
-        parts = _p_parts(mb_type, my, mx)
+        subs = [_read_ue(r) for _ in range(4)]
         if mb_type == _P_8x8REF0:
-            refs = [0] * len(parts)
+            refs8 = [0] * 4
         else:
-            refs = [self._read_ref_l0(r) for _ in parts]
+            refs8 = [self._read_ref_l0(r) for _ in range(4)]
+        parts, refs = _sub_split_parts(subs, refs8, my, mx)
         mvs = []
         for (by, bx, w4, h4, shape, _, _), ref in zip(parts, refs):
             mvd_x = _read_se(r)
@@ -827,7 +945,8 @@ class InterPicture(MotionMixin, CavlcPicture):
             self._commit_part(by, bx, w4, h4, mv, ref)
             mvs.append(mv)
         pred_y, pred_u, pred_v = self._mc_pred_split(my, mx, mb_type,
-                                                     mvs, refs)
+                                                     mvs, refs,
+                                                     parts=parts)
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._finish_inter_mb(addr)
 
@@ -857,32 +976,39 @@ class InterPicture(MotionMixin, CavlcPicture):
                 ref, mv, inter_cost = 1, mv1, cost1 + 16
         split_best = None
         if partitions:
-            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16, _P_8x8):
+            for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
                 mvs, mvps, cost = self._search_split(y_src, my, mx,
                                                      t, search)
-                # bit-cost bias: extra mvd pairs (and the four
-                # sub_mb_type codes for the 8x8 split)
-                cost += 96 if t != _P_8x8 else 320
+                cost += 96              # bit-cost bias: extra mvd pair
                 if split_best is None or cost < split_best[0]:
-                    split_best = (cost, t, mvs, mvps)
+                    split_best = (cost, t, mvs, mvps, None, None)
+            # P_8x8 with per-block sub_mb_type competition (the
+            # all-8x8 pattern degenerates to the former plain-P_8x8
+            # candidate at the same cost)
+            subs, sparts, mvs, mvps, cost = self._search_sub_split(
+                y_src, my, mx, search)
+            cost += 320                 # four sub codes + mvd baseline
+            if cost < split_best[0]:
+                split_best = (cost, _P_8x8, mvs, mvps, subs, sparts)
         if split_best is not None and split_best[0] < inter_cost:
-            cost, t, mvs, mvps = split_best
+            cost, t, mvs, mvps, subs, sparts = split_best
             if t == _P_8x8 and self.n_ref0 > 1:
                 _write_ue(w, _P_8x8REF0)    # all refs 0, no te(v) bits
             else:
                 _write_ue(w, t)
+            parts = sparts if t == _P_8x8 else _p_parts(t, my, mx)
             if t == _P_8x8:
-                for _ in range(4):
-                    _write_ue(w, _P_SUB_L0_8x8)
+                for st in subs:
+                    _write_ue(w, st)
             elif self.n_ref0 > 1:
-                for _ in _p_parts(t, my, mx):
+                for _ in parts:
                     _write_te1(w, 0)        # partitions search ref 0
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
-                    _p_parts(t, my, mx), mvs, mvps):
+                    parts, mvs, mvps):
                 _write_se(w, pmv[1] - pmvp[1])
                 _write_se(w, pmv[0] - pmvp[0])
                 self._commit_part(by, bx, w4, h4, pmv)
-            preds = self._mc_pred_split(my, mx, t, mvs)
+            preds = self._mc_pred_split(my, mx, t, mvs, parts=parts)
             (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
              cbp) = self._quantize_inter(addr, mvs[0], y_src, u_src,
                                          v_src, preds=preds)

@@ -119,25 +119,45 @@ def test_skip_context_counts_non_skipped_neighbors():
     assert pic._skip_inc(1, 1) == 0 + (1 if pic.skipped[1, 0] == 0 else 0)
 
 
-def test_sub16_partition_refused():
-    """P_8x8 decodes since r5 s9, so the refusal moved to the
-    sub-8x8 sub_mb_type family: a '0' sub_mb_type bin (P_L0_8x4 and
-    below) raises through a crafted slice payload."""
-    pic = _pic(mb_w=1, mb_h=1)
-    w = _BitWriter()
-    enc = CabacEncoder(w)
-    cx = pic.cab
-    enc.decision(cx.mb_skip[0], 0)       # not skipped
-    enc.decision(cx.p_pre[0], 0)         # inter
-    enc.decision(cx.p_pre[1], 0)         # bin1 = 0
-    enc.decision(cx.p_pre[2], 1)         # bin2 = 1 -> P_8x8
-    enc.decision(cx.p_sub[0], 0)         # sub_mb_type: not P_L0_8x8
-    enc.terminate(1)
-    w.pad_to_byte()
-    pic2 = _pic(mb_w=1, mb_h=1)
-    covered = np.zeros(1, dtype=bool)
-    with pytest.raises(ValueError, match="sub_mb_type below 8x8"):
-        pic2.decode_slice_p(_BitReader(w.bytes()), 0, covered)
+def test_sub8x8_split_decodes_through_cabac(monkeypatch):
+    """The full Table 9-38 sub_mb_type binarization ('1' 8x8,
+    '00' 8x4, '011' 4x8, '010' 4x4) decodes since r5 s17 — the
+    binarization is prefix-complete, so no refusal remains in the
+    family.  Per-4x4-tile alternating motion forces the encoder's
+    greedy sub-split competition below 8x8; a spy on the shared
+    geometry helper records the sub_mb_types the DECODER actually
+    walked."""
+    from rmlint_spark.operators import h264_inter as hi
+    from rmlint_spark.operators.h264 import decode_h264
+
+    yy, xx = np.mgrid[0:32, 0:64]
+    base = np.stack([(yy * 5 + xx * 3) % 256, (yy + xx * 7) % 256,
+                     (yy * 2 + xx) % 256], -1).astype(np.uint8)
+    frames = [base]
+    for i in range(1, 4):
+        fr = base.copy()
+        # full-width 4-row strips in counter-motion: every 8x8 block
+        # holds two opposite 8x4 translations — the 8x4 sub-split's
+        # shape, unreachable by 16x16 / 16x8 / 8x16 / plain 8x8
+        for r in range(0, 32, 4):
+            s = i * 2 if (r // 4) % 2 == 0 else -i * 2
+            fr[r:r + 4] = np.roll(base[r:r + 4], s, axis=1)
+        frames.append(fr)
+    enc = encode_h264_cabac_p(frames, qp=14, gop=8, search=6,
+                              partitions=True)
+
+    seen: list[int] = []
+    real = hi._sub_split_parts
+
+    def spy(subs, refs8, my, mx):
+        seen.extend(subs)
+        return real(subs, refs8, my, mx)
+
+    monkeypatch.setattr(hi, "_sub_split_parts", spy)
+    _, dec = decode_h264(enc)
+    assert any(s != 0 for s in seen)    # a true sub-8x8 split decoded
+    for f, d in zip(frames, dec):
+        assert np.abs(f.astype(int) - d.astype(int)).mean() < 8.0
 
 
 def test_cross_entropy_mode_pixel_identical_dedup():

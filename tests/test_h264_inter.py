@@ -279,19 +279,47 @@ def test_mp4_p_lane_roundtrips_with_sync_table():
 
 # ------------------------------------------------------ refusals
 
-def test_p_partition_mb_types_refused():
-    # 16x8/8x16 and P_8x8 (P_L0_8x8) decode since r5 s9; the refusal
-    # boundary narrowed to the sub-8x8 sub_mb_types
+def test_p_sub_mb_type_invalid_refused():
+    # the full Table 7-17 family (0..3) decodes since r5 s17; the
+    # refusal boundary narrowed to out-of-table sub_mb_type codes
     pic = _pic(mb_w=1, mb_h=1)
     w = _BitWriter()
     from rmlint_spark.operators.h264 import _trailing_bits, _write_ue
     _write_ue(w, 0)          # mb_skip_run
     _write_ue(w, 3)          # P_8x8
-    _write_ue(w, 1)          # sub_mb_type P_L0_8x4 -> refused subset
+    for s in (4, 0, 0, 0):   # sub_mb_type 4 is outside Table 7-17
+        _write_ue(w, s)
     _trailing_bits(w)
     covered = np.zeros(1, dtype=bool)
-    with pytest.raises(ValueError, match="sub_mb_type below 8x8"):
+    with pytest.raises(ValueError, match="invalid P sub_mb_type"):
         pic.decode_slice_p(_BitReader(w.bytes()), 0, covered)
+
+
+def test_p_sub_split_crafted_stream_decodes():
+    """A hand-written P_8x8 macroblock mixing all four Table 7-17
+    sub_mb_types (8x4 / 4x8 / 4x4 / 8x8 -> 2+2+4+1 = 9 mvd pairs in
+    coding order), zero motion, CBP 0: decodes clean against the
+    zero reference and covers the MB."""
+    pic = _pic(mb_w=1, mb_h=1)
+    w = _BitWriter()
+    from rmlint_spark.operators.h264 import (_trailing_bits, _write_se,
+                                             _write_ue)
+    _write_ue(w, 0)          # mb_skip_run
+    _write_ue(w, 3)          # P_8x8 (one active ref: no te(v) bits)
+    for s in (1, 2, 3, 0):   # 8x4, 4x8, 4x4, 8x8
+        _write_ue(w, s)
+    for _ in range(9):       # one mvd pair per sub-partition
+        _write_se(w, 0)
+        _write_se(w, 0)
+    _write_ue(w, 1)          # cbp 0 (deviation-#1 ordering: code 1)
+    _trailing_bits(w)
+    covered = np.zeros(1, dtype=bool)
+    pic.decode_slice_p(_BitReader(w.bytes()), 0, covered)
+    assert covered[0]
+    # zero mvd over the zero-mv predictor on a zero reference: the
+    # whole reconstruction is the reference plane
+    assert not pic.y.any()
+    assert (pic.mv4 == 0).all()
 
 
 def test_skip_run_overrun_refused():

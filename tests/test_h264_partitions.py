@@ -1,7 +1,8 @@
-"""H.264 16x8 / 8x16 P partitions (r5 s9): directional MV predictor
-rules, split-motion compression wins under both entropy modes,
-cross-entropy reconstruction identity, the narrowed P_8x8 refusal,
-and the B-direct guard over partitioned colocated macroblocks."""
+"""H.264 16x8 / 8x16 / P_8x8 P partitions (r5 s9) and the Table
+7-17 sub-8x8 family (r5 s17): directional MV predictor rules,
+split-motion compression wins under both entropy modes,
+cross-entropy reconstruction identity, and the B-direct guard over
+partitioned colocated macroblocks."""
 
 from __future__ import annotations
 
@@ -135,6 +136,52 @@ def test_partitions_cross_entropy_pixel_identical():
                                            search=6, partitions=True))
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_sub8x8_strip_motion_roundtrip_both_lanes():
+    """Counter-moving full-width 4-row strips put two opposite 8x4
+    translations inside every 8x8 block — only the Table 7-17
+    sub-splits (r5 s17) can model it.  Both lanes must beat the
+    pre-sub-split mode set on size, decode above 40 dB, stay
+    pixel-identical to each other, and the decoder must actually
+    walk a non-8x8 sub_mb_type."""
+    from rmlint_spark.operators import h264_inter as hi
+    from rmlint_spark.operators.h264 import decode_h264 as _dec
+
+    yy, xx = np.mgrid[0:32, 0:64]
+    base = np.stack([(yy * 5 + xx * 3) % 256, (yy + xx * 7) % 256,
+                     (yy * 2 + xx) % 256], -1).astype(np.uint8)
+    frames = [base]
+    for i in range(1, 4):
+        fr = base.copy()
+        for r in range(0, 32, 4):
+            s = i * 2 if (r // 4) % 2 == 0 else -i * 2
+            fr[r:r + 4] = np.roll(base[r:r + 4], s, axis=1)
+        frames.append(fr)
+    plain = encode_h264_p(frames, qp=14, gop=8, search=6)
+    parts = encode_h264_p(frames, qp=14, gop=8, search=6,
+                          partitions=True)
+    assert len(parts) < len(plain)
+
+    seen: list[int] = []
+    real = hi._sub_split_parts
+
+    def spy(subs, refs8, my, mx):
+        seen.extend(subs)
+        return real(subs, refs8, my, mx)
+
+    hi._sub_split_parts = spy
+    try:
+        _, dec = _dec(parts)
+    finally:
+        hi._sub_split_parts = real
+    assert any(s != 0 for s in seen)
+    for src, out in zip(frames, dec):
+        assert _psnr(src, out) > 40.0
+    _, dec_cab = decode_h264(encode_h264_cabac_p(
+        frames, qp=14, gop=8, search=6, partitions=True))
+    for a, b in zip(dec, dec_cab):
+        assert np.array_equal(a, b)
 
 
 def test_b_direct_refuses_partitioned_colocated():
