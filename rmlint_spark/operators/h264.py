@@ -41,9 +41,10 @@ and implicit POC-distance weights (weighted_bipred_idc == 2,
 crossfade weight fitting), and BOTH direct modes derive B_Skip /
 B_Direct motion (spatial 8.4.1.2.2, temporal 8.4.1.2.3 POC-scaled
 colocated motion); P macroblocks split down to the full Table 7-17
-sub-8x8 family (8x4/4x8/4x4); the refusal surface is down to
-reference (pyramid) B pictures, SP/SI slices, sub-16x16 B
-partitions and >2 reference frames.
+sub-8x8 family (8x4/4x8/4x4), and P slices predict from up to 16
+active references (8.2.5.3 sliding-window DPB; encoder subset emits
+up to 4); the refusal surface is down to reference (pyramid) B
+pictures, SP/SI slices and sub-16x16 B partitions.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -312,7 +313,7 @@ def _parse_pred_weight_table(r: "_BitReader", is_b: bool,
                              n_l0: int = 1) -> dict:
     """pred_weight_table() (7.3.3.2): one entry per ACTIVE reference
     of each list (entry 0 in "l0"/"l1", higher refIdx entries in
-    "l0x" — the 2-reference subset)."""
+    "l0x", one per extra active reference)."""
     logwd_y = _read_ue(r)
     logwd_c = _read_ue(r)
     if logwd_y > 7 or logwd_c > 7:
@@ -478,7 +479,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         _read_se(r)                     # offset_for_top_to_bottom_field
         for _ in range(_read_ue(r)):
             _read_se(r)                 # offset_for_ref_frame[i]
-    _read_ue(r)                         # max_num_ref_frames
+    sps["num_ref_frames"] = _read_ue(r)  # max_num_ref_frames (DPB window)
     r.read(1)                           # gaps_in_frame_num_value_allowed
     mb_w = _read_ue(r) + 1
     mb_h = _read_ue(r) + 1
@@ -703,16 +704,18 @@ class _H264Layout:
 
     def _decode_planes(self, idx: int) -> tuple:
         """Decode (in DECODE order) up to picture ``idx``, maintaining
-        the sliding window of the last two REFERENCE pictures (the
-        8.2.4 default-list machinery specialized to the one-ref-per-
-        list subset: P takes the most recent reference, B the nearest
-        past/future anchors by POC)."""
+        the 8.2.5.3 sliding window of the last ``max_num_ref_frames``
+        REFERENCE pictures (floor 2 so B anchors survive even when the
+        SPS says 1): P builds its L0 list newest-first from the
+        window (8.2.4.2.1 descending PicNum), B takes the nearest
+        past/future anchors by POC."""
         cache = self._cache
         if idx in cache and (not self.is_ref[idx] or idx in self._mvinfo):
             return cache[idx]
         start = idx
         while start > 0 and self.kinds[start] != "I":
             start -= 1
+        window = max(2, self.sps.get("num_ref_frames", 2))
         refs: list[int] = []
         for i in range(start, idx + 1):
             if i not in cache or (self.is_ref[i]
@@ -720,7 +723,7 @@ class _H264Layout:
                 cache[i] = self._decode_picture(i, refs)
             if self.is_ref[i]:
                 refs.append(i)
-                if len(refs) > 2:
+                if len(refs) > window:
                     refs.pop(0)
             if len(cache) > 64:
                 keep = set(refs) | {i, idx}
@@ -748,20 +751,22 @@ class _H264Layout:
                 raise ValueError(
                     "H.264 P picture without a decoded reference")
             ref = self._cache[refs[-1]]
-            # L0 reference list, newest first (8.2.4.2.1): the older
-            # cached reference backs refIdx 1 in multi-ref slices
+            # L0 reference list, newest first (8.2.4.2.1 descending
+            # PicNum): the older cached references back refIdx 1.. in
+            # multi-ref slices
             ref1 = self._cache[refs[-2]] if len(refs) >= 2 else None
+            more = [self._cache[r] for r in refs[-3::-1]]
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac_p import \
                     CabacInterPicture
 
                 cavlc_pic = CabacInterPicture(y, u, v, mb_w, mb_h,
-                                              ref, ref1)
+                                              ref, ref1, more=more)
             else:
                 from rmlint_spark.operators.h264_inter import InterPicture
 
                 cavlc_pic = InterPicture(y, u, v, mb_w, mb_h, ref,
-                                         ref1)
+                                         ref1, more=more)
         elif kind == "B":
             # surface header-level refusals before demanding
             # references, so a crafted single-picture stream reports
@@ -926,10 +931,10 @@ class _H264Layout:
                 raise ValueError(
                     "H.264 multi-reference B slices unsupported "
                     "(one reference per list is the B subset)")
-            if n_ref0 > 2:
+            if n_ref0 > 16:
                 raise ValueError(
-                    "H.264 num_ref_idx_l0_active > 2 not in the "
-                    "implemented multi-reference subset")
+                    "H.264 num_ref_idx_l0_active out of the spec "
+                    "range (7.4.3: at most 16 for frame coding)")
             # ref_pic_list_modification: l0, plus l1 for B
             if r.read(1) or (is_b and r.read(1)):
                 raise ValueError(

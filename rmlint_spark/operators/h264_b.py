@@ -44,7 +44,8 @@ mode).  Temporal direct mode too (direct="temporal", 8.4.1.2.3:
 colocated motion scaled by the POC-distance ratio — the
 constant-velocity mode).  Refusal surface after this module:
 reference (pyramid) B pictures, B partitions below 16x16, SP/SI
-slices, multi-reference lists.  CABAC-coded B slices decode too, via
+slices, multi-reference B lists (P multi-ref is DPB-general since
+r5 s17).  CABAC-coded B slices decode too, via
 h264_cabac_b.py composing this module's BiMotionMixin with the
 arithmetic engine.
 

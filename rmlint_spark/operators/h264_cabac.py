@@ -279,7 +279,7 @@ class CabacContexts:
         # ref_idx_l0 (spec ctxIdxOffset 54, unary): bin0 inc 0..3 in
         # slots 0-3 (condTermA + 2*condTermB over neighbor refIdx>0),
         # bin1 in slot 4, bins >= 2 in slot 5 (deviation #2's slot
-        # discipline); the 2-reference subset codes bins 0-1 only
+        # discipline), exactly the spec's three-increment ladder
         self.ref_idx = _zeros(6)
 
 

@@ -31,10 +31,11 @@ follow clause 9.3; encoder and decoder share every table, so the
 pair is self-consistent by construction.
 
 The refusal surface for video after this module: reference (pyramid)
-B pictures, SP/SI slices, sub-16x16 partitions, multi-reference
-prediction (weighted prediction — explicit and implicit — and
-temporal direct decode since r5 s10; the header, pred_weight_table
-included, stays Exp-Golomb under CABAC).
+B pictures, SP/SI slices, sub-16x16 B partitions, multi-reference B
+lists (P multi-ref is DPB-general since r5 s17; weighted prediction
+— explicit and implicit — and temporal direct decode since r5 s10;
+the header, pred_weight_table included, stays Exp-Golomb under
+CABAC).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the

@@ -35,9 +35,10 @@ encoder and decoder share every context table, so the pair is
 self-consistent by construction.
 
 The refusal surface for video after this module: SP/SI slices,
-B partitions below 16x16, and >2 reference frames (B slices decode
-via h264_b.py / h264_cabac_b.py; the full Table 7-17 / 9-38 sub-8x8
-P family decodes since r5 s17).
+B partitions below 16x16, and reference (pyramid) B pictures
+(B slices decode via h264_b.py / h264_cabac_b.py; the full Table
+7-17 / 9-38 sub-8x8 P family decodes since r5 s17, and P multi-ref
+is DPB-general — up to 16 active references — since r5 s17 too).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -109,9 +110,11 @@ class CabacInterPicture(MotionMixin, CabacPicture):
     def __init__(self, y, u, v, mb_w: int, mb_h: int,
                  ref: tuple[np.ndarray, np.ndarray, np.ndarray],
                  ref1: tuple[np.ndarray, np.ndarray, np.ndarray] | None
-                 = None) -> None:
+                 = None,
+                 more: list[tuple[np.ndarray, np.ndarray,
+                                  np.ndarray]] | None = None) -> None:
         CabacPicture.__init__(self, y, u, v, mb_w, mb_h)
-        self._init_motion(ref, ref1)
+        self._init_motion(ref, ref1, more)
         # -1 undecoded, 0 coded, 1 skipped
         self.skipped = np.full((mb_h, mb_w), -1, dtype=np.int64)
         # |mvd| per 4x4 block and component (dx, dy) — partition
@@ -156,15 +159,22 @@ class CabacInterPicture(MotionMixin, CabacPicture):
     # ---- ref_idx_l0 (unary, ctx slots per CabacContexts.ref_idx) ----
 
     def _dec_ref(self, dec: CabacDecoder, by: int, bx: int) -> int:
+        """Unary ref_idx_l0 (Table 9-34): bin 0's ctxIdxInc comes
+        from the neighbors (9.3.3.1.1.6), bin 1 uses inc 4, every
+        later bin inc 5 — plain unary, terminated by a 0 bin."""
         if self.n_ref0 <= 1:
             return 0
         cx = self.cab.ref_idx
         if not dec.decision(cx[self._ref_inc(by, bx)]):
             return 0
-        if not dec.decision(cx[4]):
-            return 1
-        raise ValueError(
-            "H.264 CABAC ref_idx_l0 beyond the 2-reference subset")
+        v = 1
+        while dec.decision(cx[4 if v == 1 else 5]):
+            v += 1
+            if v >= self.n_ref0:
+                raise ValueError(
+                    "H.264 CABAC ref_idx_l0 beyond "
+                    "num_ref_idx_l0_active")
+        return v
 
     def _enc_ref(self, enc: CabacEncoder, by: int, bx: int,
                  ref: int) -> None:
@@ -172,8 +182,11 @@ class CabacInterPicture(MotionMixin, CabacPicture):
             return
         cx = self.cab.ref_idx
         enc.decision(cx[self._ref_inc(by, bx)], 1 if ref > 0 else 0)
-        if ref > 0:
-            enc.decision(cx[4], 0)
+        k = 1
+        while k <= ref:
+            enc.decision(cx[4 if k == 1 else 5],
+                         1 if ref > k else 0)
+            k += 1
 
     # ---- mvd UEG3 ----
 
@@ -422,12 +435,15 @@ class CabacInterPicture(MotionMixin, CabacPicture):
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         mv, inter_cost = self._motion_search(src, my, mx, search)
         ref = 0
-        if self.n_ref0 > 1 and len(self.refs) > 1:
+        # every older active reference competes (same bias schedule
+        # as the CAVLC lane so mode decisions stay entropy-invariant)
+        for ridx in range(1, min(self.n_ref0, len(self.refs))):
             mv1, cost1 = self._motion_search(
-                src, my, mx, search, ref_y=self._search_ref_y(1),
-                mvp=self._mv_pred(my, mx, 1))
-            if cost1 + 16 < inter_cost:
-                ref, mv, inter_cost = 1, mv1, cost1 + 16
+                src, my, mx, search, ref_y=self._search_ref_y(ridx),
+                mvp=self._mv_pred(my, mx, ridx))
+            if cost1 + 16 + 8 * (ridx - 1) < inter_cost:
+                ref, mv = ridx, mv1
+                inter_cost = cost1 + 16 + 8 * (ridx - 1)
         split_best = None
         if partitions:
             from rmlint_spark.operators.h264_inter import (
@@ -593,8 +609,8 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
         raise ValueError("qp outside the implemented 0..29 subset")
     if gop < 1:
         raise ValueError("gop must be >= 1")
-    if refs not in (1, 2):
-        raise ValueError("refs must be 1 or 2 (the implemented subset)")
+    if not 1 <= refs <= 4:
+        raise ValueError("refs must be 1..4 (the implemented subset)")
     h, w_px = np.asarray(frames[0]).shape[:2]
     mb_w, mb_h = -(-w_px // 16), -(-h // 16)
     out = bytearray()
@@ -616,14 +632,15 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
             mb_w, mb_h,
             prev[0] if prev else (np.zeros_like(y), np.zeros_like(u),
                                   np.zeros_like(v)),
-            prev[1] if len(prev) > 1 else None)
+            prev[1] if len(prev) > 1 else None,
+            more=prev[2:])
         pic.qp = qp
         pic.n_ref0 = max(n_ref0, 1)
         if wp and not is_idr:
             pic.wp = _estimate_wp((y, u, v), prev[0])
             if n_ref0 > 1:
-                pic.wp["l0x"] = [_estimate_wp((y, u, v),
-                                              prev[1])["l0"]]
+                pic.wp["l0x"] = [_estimate_wp((y, u, v), pr)["l0"]
+                                 for pr in prev[1:n_ref0]]
         bw = _BitWriter()
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, 7 if is_idr else 5)   # slice_type: I / P (all)

@@ -48,7 +48,9 @@ and the encoder lets all splits compete with the whole-MB mode by
 SAD + mvd-bits cost (opt-in ``partitions=`` flag; per-8x8-block
 greedy sub_mb_type competition in :meth:`_search_sub_split`).
 Refusal surface after this module: SP/SI slices (multi-reference
-P prediction landed in r5 s13).  CABAC-coded P slices decode too, via
+P prediction landed in r5 s13 and became DPB-general — te(v)/ue(v)
+ref_idx, up to 16 active references, encoder subset 4 — in r5
+s17).  CABAC-coded P slices decode too, via
 h264_cabac_p.py composing this module's MotionMixin with the
 arithmetic engine; CAVLC B slices via h264_b.py composing the
 two-list machinery over this module's InterPicture.
@@ -275,11 +277,15 @@ class MotionMixin:
             self,
             ref: tuple[np.ndarray, np.ndarray, np.ndarray],
             ref1: tuple[np.ndarray, np.ndarray, np.ndarray] | None
-            = None) -> None:
+            = None,
+            more: list[tuple[np.ndarray, np.ndarray, np.ndarray]]
+            | None = None) -> None:
         # L0 reference list, most recent first (8.2.4.2.1 descending
         # PicNum): refs[0] is the immediate reference, refs[1] the one
-        # before it (the 2-reference subset of multi-ref prediction)
-        self.refs = [ref] + ([ref1] if ref1 is not None else [])
+        # before it, ``more`` the still-older DPB entries backing
+        # refIdx 2.. (r5 s17 lifts the former 2-reference cap)
+        self.refs = [ref] + ([ref1] if ref1 is not None else []) \
+            + list(more or [])
         self.ref_y, self.ref_u, self.ref_v = ref
         # active references for the CURRENT slice (header-set; skip
         # and single-ref streams keep 1)
@@ -798,9 +804,11 @@ class InterPicture(MotionMixin, CavlcPicture):
                  mb_w: int, mb_h: int,
                  ref: tuple[np.ndarray, np.ndarray, np.ndarray],
                  ref1: tuple[np.ndarray, np.ndarray, np.ndarray] | None
-                 = None) -> None:
+                 = None,
+                 more: list[tuple[np.ndarray, np.ndarray,
+                                  np.ndarray]] | None = None) -> None:
         CavlcPicture.__init__(self, y, u, v, mb_w, mb_h)
-        self._init_motion(ref, ref1)
+        self._init_motion(ref, ref1, more)
 
     def decode_ipcm(self, r: _BitReader, addr: int) -> None:
         """I_PCM raw samples (also reachable from P slices as
@@ -873,11 +881,32 @@ class InterPicture(MotionMixin, CavlcPicture):
     # ---- encode side ----
 
     def _read_ref_l0(self, r: _BitReader) -> int:
-        """ref_idx_l0 for the active count: absent (0) when one
-        reference is active, te(v) for the 2-reference subset."""
+        """ref_idx_l0 for the active count, te(v) per 9.1.1: absent
+        (0) when one reference is active, one INVERTED bit when
+        exactly two are, plain ue(v) beyond that."""
         if self.n_ref0 <= 1:
             return 0
-        return _read_te1(r)
+        if self.n_ref0 == 2:
+            return _read_te1(r)
+        from rmlint_spark.operators.h264 import _read_ue
+
+        v = _read_ue(r)
+        if v >= self.n_ref0:
+            raise ValueError(
+                "H.264 ref_idx_l0 beyond num_ref_idx_l0_active")
+        return v
+
+    def _write_ref_l0(self, w: _BitWriter, ref: int) -> None:
+        """Encode-side twin of :meth:`_read_ref_l0` (same te(v)
+        regimes keyed on the slice's active count)."""
+        if self.n_ref0 <= 1:
+            return
+        if self.n_ref0 == 2:
+            _write_te1(w, ref)
+            return
+        from rmlint_spark.operators.h264 import _write_ue
+
+        _write_ue(w, ref)
 
     def decode_mb_p16(self, r: _BitReader, addr: int) -> None:
         """P_L0_16x16: ref_idx_l0 (if >1 active), mvd pair, CBP,
@@ -966,14 +995,15 @@ class InterPicture(MotionMixin, CavlcPicture):
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         mv, inter_cost = self._motion_search(src, my, mx, search)
         ref = 0
-        if self.n_ref0 > 1 and len(self.refs) > 1:
-            # the older reference competes for the whole-MB mode (a
-            # small bias covers the extra te(v) bit)
+        # every older active reference competes for the whole-MB mode
+        # (a small per-index bias covers the extra ref_idx bits)
+        for ridx in range(1, min(self.n_ref0, len(self.refs))):
             mv1, cost1 = self._motion_search(
-                src, my, mx, search, ref_y=self._search_ref_y(1),
-                mvp=self._mv_pred(my, mx, 1))
-            if cost1 + 16 < inter_cost:
-                ref, mv, inter_cost = 1, mv1, cost1 + 16
+                src, my, mx, search, ref_y=self._search_ref_y(ridx),
+                mvp=self._mv_pred(my, mx, ridx))
+            if cost1 + 16 + 8 * (ridx - 1) < inter_cost:
+                ref, mv = ridx, mv1
+                inter_cost = cost1 + 16 + 8 * (ridx - 1)
         split_best = None
         if partitions:
             for t in (_P_L0_L0_16x8, _P_L0_L0_8x16):
@@ -1002,7 +1032,7 @@ class InterPicture(MotionMixin, CavlcPicture):
                     _write_ue(w, st)
             elif self.n_ref0 > 1:
                 for _ in parts:
-                    _write_te1(w, 0)        # partitions search ref 0
+                    self._write_ref_l0(w, 0)  # partitions search ref 0
             for (by, bx, w4, h4, _, _, _), pmv, pmvp in zip(
                     parts, mvs, mvps):
                 _write_se(w, pmv[1] - pmvp[1])
@@ -1046,8 +1076,7 @@ class InterPicture(MotionMixin, CavlcPicture):
             return True
         mvp = self._mv_pred(my, mx, ref)
         _write_ue(w, _P_L0_16x16)
-        if self.n_ref0 > 1:
-            _write_te1(w, ref)
+        self._write_ref_l0(w, ref)
         _write_se(w, mv[1] - mvp[1])            # mvd horizontal first
         _write_se(w, mv[0] - mvp[0])
         self._write_inter_residual(w, addr, pred_y, pred_u, pred_v,
@@ -1132,10 +1161,12 @@ def encode_h264_p(frames: list[np.ndarray],
     a least-squares pred_weight_table (7.3.3.2) fitted per plane —
     the fade/brightness model of 8.4.2.3.3 explicit weighting.
 
-    ``refs = 2`` enables multi-reference prediction: P slices
-    override num_ref_idx_l0_active to 2 once two references exist,
-    whole-MB modes compete across both (te(v) ref_idx_l0 syntax) —
-    the flicker/occlusion mode where frame t-2 beats t-1."""
+    ``refs >= 2`` enables multi-reference prediction: P slices
+    override num_ref_idx_l0_active to however many references the
+    DPB holds (up to ``refs``, encoder subset cap 4), whole-MB modes
+    compete across all of them (te(v) ref_idx_l0 syntax — ue(v) once
+    more than two are active) — the flicker/occlusion mode where an
+    older frame beats t-1."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -1154,8 +1185,8 @@ def encode_h264_p(frames: list[np.ndarray],
         raise ValueError("qp outside the implemented 0..29 subset")
     if gop < 1:
         raise ValueError("gop must be >= 1")
-    if refs not in (1, 2):
-        raise ValueError("refs must be 1 or 2 (the implemented subset)")
+    if not 1 <= refs <= 4:
+        raise ValueError("refs must be 1..4 (the implemented subset)")
     h, w = np.asarray(frames[0]).shape[:2]
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     out = bytearray()
@@ -1177,14 +1208,15 @@ def encode_h264_p(frames: list[np.ndarray],
             mb_w, mb_h,
             prev[0] if prev else (np.zeros_like(y), np.zeros_like(u),
                                   np.zeros_like(v)),
-            prev[1] if len(prev) > 1 else None)
+            prev[1] if len(prev) > 1 else None,
+            more=prev[2:])
         pic.qp = qp
         pic.n_ref0 = max(n_ref0, 1)
         if wp and not is_idr:
             pic.wp = _estimate_wp((y, u, v), prev[0])
             if n_ref0 > 1:
-                pic.wp["l0x"] = [_estimate_wp((y, u, v),
-                                              prev[1])["l0"]]
+                pic.wp["l0x"] = [_estimate_wp((y, u, v), pr)["l0"]
+                                 for pr in prev[1:n_ref0]]
         bw = _BitWriter()
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, 7 if is_idr else 5)   # slice_type: I / P (all)

@@ -1,8 +1,9 @@
-"""H.264 multi-reference P prediction (2-entry L0 list): te(v) /
-CABAC-unary ref_idx_l0 syntax, refIdx-keyed MV prediction
-(8.4.1.3.1), the P_Skip ref-0 condition, flicker-corpus compression
-wins in both entropy lanes, and the >2-reference refusals.  Closes
-the "multi-reference prediction" refusal of the video family.
+"""H.264 multi-reference P prediction: te(v) / ue(v) / CABAC-unary
+ref_idx_l0 syntax, refIdx-keyed MV prediction (8.4.1.3.1), the
+P_Skip ref-0 condition, flicker-corpus compression wins in both
+entropy lanes, and the DPB-general L0 list (r5 s17: up to 16 active
+references decode, the encoder subset emits up to 4).  Closes the
+"multi-reference prediction" refusal of the video family.
 
 Reference parity note: rmlint hashes media as opaque bytes
 (lib/checksum.c); this lane serves the multimodal training-data
@@ -157,11 +158,99 @@ def test_multiref_with_weighted_prediction():
     assert len(e) < len(e_plain)
 
 
-def test_three_references_refused():
-    with pytest.raises(ValueError, match="refs must be 1 or 2"):
-        encode_h264_p(_flicker(3), refs=3)
-    # a crafted P slice activating 3 L0 refs (appended to a real IDR
-    # so header parsing is reached) refuses at decode
+def _flicker3(n: int = 13):
+    """Period-3 scene cycle with slight per-cycle evolution: frame t
+    resembles t-3 far better than t-1 or t-2 — the refIdx-2 use case
+    (needs a 3-deep DPB to win)."""
+    a, b = _scenes()
+    c = np.roll(a[..., [1, 2, 0]], 13, axis=0)  # smooth, far from a & b
+    cyc = [a, b, c.astype(np.uint8)]
+    return [np.roll(cyc[i % 3], i // 3, axis=1) for i in range(n)]
+
+
+def test_ref_l0_syntax_regimes_pinned():
+    """_write_ref_l0/_read_ref_l0 mirror te(v) (9.1.1): absent at 1
+    active ref, one inverted bit at 2, plain ue(v) beyond — and an
+    out-of-range index refuses at read."""
+    from rmlint_spark.operators.h264 import _write_ue
+
+    flat = (np.zeros((48, 48), np.uint8), np.zeros((24, 24), np.uint8),
+            np.zeros((24, 24), np.uint8))
+    pic = InterPicture(np.zeros((48, 48), np.uint8),
+                       np.zeros((24, 24), np.uint8),
+                       np.zeros((24, 24), np.uint8), 3, 3, flat, flat,
+                       more=[flat, flat])
+    for n_ref0, vals in ((1, [0]), (2, [0, 1]), (3, [0, 1, 2]),
+                         (4, [3, 0, 2, 1])):
+        pic.n_ref0 = n_ref0
+        w = _BitWriter()
+        for v in vals:
+            pic._write_ref_l0(w, v)
+        w.write(1, 1)                   # stop marker for n_ref0 == 1
+        w.pad_to_byte()
+        r = _BitReader(w.bytes())
+        assert [pic._read_ref_l0(r) for _ in vals] == vals
+    # ue(v) value at/above the active count refuses
+    pic.n_ref0 = 3
+    w = _BitWriter()
+    _write_ue(w, 3)
+    w.pad_to_byte()
+    with pytest.raises(ValueError, match="beyond num_ref_idx"):
+        pic._read_ref_l0(_BitReader(w.bytes()))
+
+
+@pytest.mark.parametrize("enc", [encode_h264_p, encode_h264_cabac_p],
+                         ids=["cavlc", "cabac"])
+def test_period3_flicker_three_refs_win(enc):
+    """Three references on the period-3 corpus: the ue(v)/unary bin-2
+    syntax carries refIdx 2 and the stream shrinks >= 1.5x vs refs=2
+    at the same decoded quality."""
+    flick = _flicker3()
+    e2 = enc(flick, gop=13, qp=12, refs=2)
+    e3 = enc(flick, gop=13, qp=12, refs=3)
+    d2 = decode_h264(e2)[1]
+    d3 = decode_h264(e3)[1]
+    p2 = min(_psnr(a, b) for a, b in zip(flick, d2))
+    p3 = min(_psnr(a, b) for a, b in zip(flick, d3))
+    assert len(e3) * 1.5 <= len(e2)
+    assert p3 >= p2 - 0.3 and p3 >= 26.0
+
+
+def test_four_refs_cross_entropy_pixel_identity():
+    """refs=4 (the full encoder subset; DPB ramps 1->4 within the
+    GOP): both entropy lanes decode pixel-identically, partitions
+    composed in."""
+    flick = _flicker3(9)
+    e_cavlc = encode_h264_p(flick, gop=9, qp=12, refs=4,
+                            partitions=True)
+    e_cabac = encode_h264_cabac_p(flick, gop=9, qp=12, refs=4,
+                                  partitions=True)
+    d1 = decode_h264(e_cavlc)[1]
+    d2 = decode_h264(e_cabac)[1]
+    assert len(d1) == 9
+    assert all((a == b).all() for a, b in zip(d1, d2))
+    assert min(_psnr(a, b) for a, b in zip(flick, d1)) >= 26.0
+
+
+def test_three_refs_with_weighted_prediction():
+    """refs=3 + wp: pred_weight_table carries one entry per active
+    reference (l0 + two l0x extras) and the fading period-3 corpus
+    still clears the quality bar."""
+    flick = [np.clip(f.astype(np.float64) * (1 - 0.05 * i), 0,
+                     255).astype(np.uint8)
+             for i, f in enumerate(_flicker3(8))]
+    e = encode_h264_p(flick, gop=8, qp=12, refs=3, wp=True)
+    d = decode_h264(e)[1]
+    assert min(_psnr(a, b) for a, b in zip(flick, d)) >= 26.0
+
+
+def test_refs_beyond_subset_refused():
+    with pytest.raises(ValueError, match="refs must be 1..4"):
+        encode_h264_p(_flicker(3), refs=5)
+    with pytest.raises(ValueError, match="refs must be 1..4"):
+        encode_h264_cabac_p(_flicker(3), refs=0)
+    # a crafted P slice activating 17 L0 refs (7.4.3 caps frame
+    # coding at 16) refuses at header parse
     from rmlint_spark.operators.h264 import (
         _escape_rbsp,
         _trailing_bits,
@@ -176,10 +265,10 @@ def test_three_references_refused():
     _write_ue(w, 0)                 # pps id
     w.write(1, 4)                   # frame_num
     w.write(1, 1)                   # num_ref_idx_active_override
-    _write_ue(w, 2)                 # l0_active_minus1 = 2 -> 3 refs
+    _write_ue(w, 16)                # l0_active_minus1 = 16 -> 17 refs
     _trailing_bits(w)
     payload = base + b"\x00\x00\x00\x01\x41" + _escape_rbsp(w.bytes())
-    with pytest.raises(ValueError, match="num_ref_idx_l0_active > 2"):
+    with pytest.raises(ValueError, match="out of the spec range"):
         decode_h264(payload)
 
 
