@@ -310,10 +310,10 @@ def _check_wp_range(*vals: int) -> None:
 
 
 def _parse_pred_weight_table(r: "_BitReader", is_b: bool,
-                             n_l0: int = 1) -> dict:
+                             n_l0: int = 1, n_l1: int = 1) -> dict:
     """pred_weight_table() (7.3.3.2): one entry per ACTIVE reference
     of each list (entry 0 in "l0"/"l1", higher refIdx entries in
-    "l0x", one per extra active reference)."""
+    "l0x"/"l1x", one per extra active reference)."""
     logwd_y = _read_ue(r)
     logwd_c = _read_ue(r)
     if logwd_y > 7 or logwd_c > 7:
@@ -338,11 +338,14 @@ def _parse_pred_weight_table(r: "_BitReader", is_b: bool,
         wp["l0x"] = [one_entry() for _ in range(n_l0 - 1)]
     if is_b:
         wp["l1"] = one_entry()
+        if n_l1 > 1:
+            wp["l1x"] = [one_entry() for _ in range(n_l1 - 1)]
     return wp
 
 
 def _write_pred_weight_table(w: "_BitWriter", wp: dict,
-                             is_b: bool, n_l0: int = 1) -> None:
+                             is_b: bool, n_l0: int = 1,
+                             n_l1: int = 1) -> None:
     """Write-side twin of :func:`_parse_pred_weight_table`; weight
     flags are emitted only when an entry deviates from its defaults."""
     logwd_y, logwd_c = wp["logwd_y"], wp["logwd_c"]
@@ -371,6 +374,8 @@ def _write_pred_weight_table(w: "_BitWriter", wp: dict,
         one_entry(extra)
     if is_b:
         one_entry(wp["l1"])
+        for extra in wp.get("l1x", [])[:n_l1 - 1]:
+            one_entry(extra)
 
 
 def _implicit_wp(poc_cur: int, poc_past: int, poc_future: int) -> dict:
@@ -775,34 +780,44 @@ class _H264Layout:
             self._parse_slice_header(_BitReader(rbsp0), typ0, ridc0,
                                      sps, pps)
             cur = self.poc[idx]
-            past = [r for r in refs if self.poc[r] < cur]
-            future = [r for r in refs if self.poc[r] > cur]
+            # default list initialization (8.2.4.2.3/8.2.4.2.4): L0 =
+            # past references by DESCENDING POC (nearest first), L1 =
+            # future references by ASCENDING POC (nearest first) —
+            # entry 0 of each is the classic anchor pair, the rest
+            # back refIdx 1.. in multi-reference B slices
+            past = sorted((r for r in refs if self.poc[r] < cur),
+                          key=lambda r: -self.poc[r])
+            future = sorted((r for r in refs if self.poc[r] > cur),
+                            key=lambda r: self.poc[r])
             if not past or not future:
                 raise ValueError(
                     "H.264 B picture lacks a past or future reference")
-            p_idx = max(past, key=lambda r: self.poc[r])
-            f_idx = min(future, key=lambda r: self.poc[r])
+            p_idx, f_idx = past[0], future[0]
             if pps["weighted_bipred_idc"] == 2:
                 implicit_wp = _implicit_wp(cur, self.poc[p_idx],
                                            self.poc[f_idx])
             col = self._mvinfo[f_idx]
+            more0 = [self._cache[r] for r in past[1:]]
+            more1 = [self._cache[r] for r in future[1:]]
             if pps["entropy_coding_mode"]:
                 from rmlint_spark.operators.h264_cabac_b import \
                     CabacBInterPicture
 
                 cavlc_pic = CabacBInterPicture(
                     y, u, v, mb_w, mb_h,
-                    self._cache[p_idx], self._cache[f_idx], col)
+                    self._cache[p_idx], self._cache[f_idx], col,
+                    more0=more0, more1=more1)
             else:
                 from rmlint_spark.operators.h264_b import BInterPicture
 
                 cavlc_pic = BInterPicture(
                     y, u, v, mb_w, mb_h,
-                    self._cache[p_idx], self._cache[f_idx], col)
+                    self._cache[p_idx], self._cache[f_idx], col,
+                    more0=more0, more1=more1)
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
             (first_mb, qp_delta, slice_type, wp, direct_spatial,
-             n_ref0) = self._parse_slice_header(
+             n_ref0, n_ref1) = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
             slice_qp = pps["pic_init_qp"] + qp_delta
             if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
@@ -815,10 +830,28 @@ class _H264Layout:
                 cavlc_pic.n_ref0 = n_ref0
                 cavlc_pic.decode_slice_p(r, first_mb, covered)
                 continue
-            if slice_type % 5 == 1:         # B slice (CAVLC)
+            if slice_type % 5 == 1:         # B slice (CAVLC or CABAC)
+                if (n_ref0 > len(cavlc_pic.refs)
+                        or n_ref1 > len(cavlc_pic.refs1)):
+                    raise ValueError(
+                        "H.264 slice activates more references than "
+                        "the decoder holds")
+                multi = n_ref0 > 1 or n_ref1 > 1
+                if multi and not direct_spatial:
+                    raise ValueError(
+                        "H.264 temporal direct over multi-reference "
+                        "lists is not in the implemented subset "
+                        "(colocated refIdx mapping)")
+                if multi and wp == "implicit":
+                    raise ValueError(
+                        "H.264 implicit weights over multi-reference "
+                        "lists are not in the implemented subset "
+                        "(per-pair POC weights)")
                 cavlc_pic.qp = slice_qp
                 cavlc_pic.wp = implicit_wp if wp == "implicit" else wp
                 cavlc_pic.direct_spatial = direct_spatial
+                cavlc_pic.n_ref0 = n_ref0
+                cavlc_pic.n_ref1 = n_ref1
                 cavlc_pic.direct_tbtd = (
                     self.poc[idx] - self.poc[p_idx],
                     self.poc[f_idx] - self.poc[p_idx])
@@ -892,12 +925,14 @@ class _H264Layout:
     def _parse_slice_header(self, r: _BitReader, nal_type: int,
                             ref_idc: int, sps: dict, pps: dict
                             ) -> tuple[int, int, int,
-                                       dict | str | None, bool, int]:
+                                       dict | str | None, bool, int,
+                                       int]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
         wp: dict | str | None = None
         direct_spatial = True
         n_ref0 = 1
+        n_ref1 = 1
         if slice_type % 5 not in (0, 1, 2):
             raise NotImplementedError(
                 "H.264 SP/SI slice decode not implemented "
@@ -927,13 +962,9 @@ class _H264Layout:
                 n_ref0 = _read_ue(r) + 1
                 if is_b:
                     n_ref1 = _read_ue(r) + 1
-            if is_b and (n_ref0 > 1 or n_ref1 > 1):
+            if n_ref0 > 16 or n_ref1 > 16:
                 raise ValueError(
-                    "H.264 multi-reference B slices unsupported "
-                    "(one reference per list is the B subset)")
-            if n_ref0 > 16:
-                raise ValueError(
-                    "H.264 num_ref_idx_l0_active out of the spec "
+                    "H.264 num_ref_idx_lX_active out of the spec "
                     "range (7.4.3: at most 16 for frame coding)")
             # ref_pic_list_modification: l0, plus l1 for B
             if r.read(1) or (is_b and r.read(1)):
@@ -943,7 +974,9 @@ class _H264Layout:
                 wp = _parse_pred_weight_table(r, is_b=False,
                                               n_l0=n_ref0)
             elif is_b and pps["weighted_bipred_idc"] == 1:
-                wp = _parse_pred_weight_table(r, is_b=True)
+                wp = _parse_pred_weight_table(r, is_b=True,
+                                              n_l0=n_ref0,
+                                              n_l1=n_ref1)
             elif is_b and pps["weighted_bipred_idc"] == 2:
                 wp = "implicit"         # resolved from POCs per picture
         # dec_ref_pic_marking is present only when the slice is a
@@ -972,7 +1005,7 @@ class _H264Layout:
             if _read_ue(r) != 1:            # disable_deblocking_filter_idc
                 _read_se(r), _read_se(r)
         return (first_mb, qp_delta, slice_type, wp, direct_spatial,
-                n_ref0)
+                n_ref0, n_ref1)
 
 
 def parse_h264(payload: bytes) -> dict:

@@ -91,7 +91,15 @@ class BiMotionMixin:
     def _init_bimotion(
             self,
             ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
-            col: tuple[np.ndarray, np.ndarray]) -> None:
+            col: tuple[np.ndarray, np.ndarray],
+            more1: list[tuple[np.ndarray, np.ndarray, np.ndarray]]
+            | None = None) -> None:
+        # L1 reference list, nearest future anchor first (8.2.4.2.4
+        # ascending POC past the current picture); ``more1`` holds the
+        # farther future anchors backing refIdx 1.. (r5 s17 makes
+        # both B lists DPB-general; L0 rides MotionMixin.refs)
+        self.refs1 = [ref1] + list(more1 or [])
+        self.n_ref1 = 1
         self.ref1_y, self.ref1_u, self.ref1_v = ref1
         self.col_mvs, self.col_state = col
         # direct-mode selection: spatial (8.4.1.2.2, the default) or
@@ -101,24 +109,32 @@ class BiMotionMixin:
         self.direct_tbtd = (0, 0)
         mb_h, mb_w = self.mb_h, self.mb_w
         # per-list motion state: lmv[my, mx, lst] = (mvy, mvx),
-        # luse[my, mx, lst] = this MB predicts from list lst
+        # luse[my, mx, lst] = this MB predicts from list lst,
+        # lref[my, mx, lst] = its refIdx in that list
         self.lmv = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
         self.luse = np.zeros((mb_h, mb_w, 2), dtype=bool)
+        self.lref = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
 
     # ---- per-list neighbors and MV prediction (8.4.1.3) ----
 
     def _neighbor_b(self, my: int, mx: int, lst: int):
-        """(available, uses-this-list, mv) of macroblock (my, mx)."""
+        """(available, uses-this-list, mv, refIdx) of MB (my, mx)."""
         if not (0 <= my < self.mb_h and 0 <= mx < self.mb_w):
-            return False, False, (0, 0)
+            return False, False, (0, 0), -1
         st = int(self.mb_state[my, mx])
         if st == 0:
-            return False, False, (0, 0)
+            return False, False, (0, 0), -1
         uses = st == 2 and bool(self.luse[my, mx, lst])
         return True, uses, (int(self.lmv[my, mx, lst, 0]),
-                            int(self.lmv[my, mx, lst, 1]))
+                            int(self.lmv[my, mx, lst, 1])), \
+            (int(self.lref[my, mx, lst]) if uses else -1)
 
-    def _mv_pred_b(self, my: int, mx: int, lst: int) -> tuple[int, int]:
+    def _mv_pred_b(self, my: int, mx: int, lst: int,
+                   ref: int = 0) -> tuple[int, int]:
+        """Median MV predictor per list (8.4.1.3): the exactly-one-
+        match shortcut is keyed by (list, refIdx) equality, while the
+        median uses every neighbor predicting from this list
+        regardless of refIdx — the same split as the P lane."""
         a = self._neighbor_b(my, mx - 1, lst)
         b = self._neighbor_b(my - 1, mx, lst)
         c = self._neighbor_b(my - 1, mx + 1, lst)
@@ -126,7 +142,8 @@ class BiMotionMixin:
             c = self._neighbor_b(my - 1, mx - 1, lst)   # D fallback
         if a[0] and not b[0] and not c[0]:
             return a[2]                                 # 8.4.1.3.1 rule 1
-        matches = [n for n in (a, b, c) if n[0] and n[1]]
+        matches = [n for n in (a, b, c) if n[0] and n[1]
+                   and n[3] == ref]
         if len(matches) == 1:
             return matches[0][2]
         mvy = sorted(n[2][0] if n[1] else 0 for n in (a, b, c))[1]
@@ -154,133 +171,205 @@ class BiMotionMixin:
         return int(col_blk[0, 0, 0]), int(col_blk[0, 0, 1])
 
     def _direct_mv(self, my: int, mx: int):
-        """Returns (mv0, mv1, use0, use1) for B_Skip/B_Direct:
-        spatial (8.4.1.2.2) or temporal (8.4.1.2.3) derivation per
-        the slice header's direct_spatial_mv_pred_flag."""
+        """Returns (mv0, mv1, use0, use1, ref0, ref1) for B_Skip /
+        B_Direct: spatial (8.4.1.2.2) or temporal (8.4.1.2.3)
+        derivation per the slice header's
+        direct_spatial_mv_pred_flag."""
         if not self.direct_spatial:
             return self._direct_mv_temporal(my, mx)
         use = []
+        refidx = []
         for lst in (0, 1):
             a = self._neighbor_b(my, mx - 1, lst)
             b = self._neighbor_b(my - 1, mx, lst)
             c = self._neighbor_b(my - 1, mx + 1, lst)
             if not c[0]:
                 c = self._neighbor_b(my - 1, mx - 1, lst)
-            use.append(any(n[0] and n[1] for n in (a, b, c)))
+            # refIdxLX = MinPositive over the neighbors' refIdx in
+            # this list (8.4.1.2.2; unavailable / intra / other-list
+            # neighbors contribute -1)
+            cand = [n[3] for n in (a, b, c) if n[3] >= 0]
+            use.append(bool(cand))
+            refidx.append(min(cand) if cand else 0)
         use0, use1 = use
+        ref0, ref1 = refidx
         if not use0 and not use1:
-            # directZeroPredictionFlag: both lists, zero motion
-            return (0, 0), (0, 0), True, True
+            # directZeroPredictionFlag: both lists, refIdx 0, zero mv
+            return (0, 0), (0, 0), True, True, 0, 0
         # colZeroFlag: the colocated MB of RefPicList1[0] is inter
         # (refIdxCol == 0 by construction) with |mv| <= 1 quarter-pel
-        # (_col_mv also surfaces the partitioned-colocated refusal)
+        # (_col_mv also surfaces the partitioned-colocated refusal);
+        # per 8.4.1.2.2 it zeroes only the list whose derived refIdx
+        # is 0
         cmvy, cmvx = self._col_mv(my, mx)
         col_zero = (int(self.col_state[my, mx]) == 2
                     and abs(cmvy) <= 1 and abs(cmvx) <= 1)
         mv0 = (0, 0)
         mv1 = (0, 0)
-        if use0 and not col_zero:
-            mv0 = self._mv_pred_b(my, mx, 0)
-        if use1 and not col_zero:
-            mv1 = self._mv_pred_b(my, mx, 1)
-        return mv0, mv1, use0, use1
+        if use0 and not (col_zero and ref0 == 0):
+            mv0 = self._mv_pred_b(my, mx, 0, ref0)
+        if use1 and not (col_zero and ref1 == 0):
+            mv1 = self._mv_pred_b(my, mx, 1, ref1)
+        return mv0, mv1, use0, use1, ref0, ref1
 
     def _direct_mv_temporal(self, my: int, mx: int):
         """Temporal direct (8.4.1.2.3): scale the colocated motion by
         the POC-distance ratio — mvL0 = (DistScaleFactor * mvCol +
-        128) >> 8, mvL1 = mvL0 - mvCol; both lists always predict.
-        With td == 0 (degenerate anchors) mvL0 = mvCol, mvL1 = 0."""
+        128) >> 8, mvL1 = mvL0 - mvCol; both lists always predict
+        from refIdx 0 (the single-ref-per-list subset this mode is
+        exact for; multi-ref slices refuse temporal direct at the
+        header).  With td == 0 (degenerate anchors) mvL0 = mvCol,
+        mvL1 = 0."""
         cmvy, cmvx = self._col_mv(my, mx)
         tb, td = self.direct_tbtd
         tb = max(-128, min(127, tb))
         td = max(-128, min(127, td))
         if td == 0:
-            return (cmvy, cmvx), (0, 0), True, True
+            return (cmvy, cmvx), (0, 0), True, True, 0, 0
         tx = (16384 + abs(td) // 2) // td
         dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
         mv0 = ((dsf * cmvy + 128) >> 8, (dsf * cmvx + 128) >> 8)
         mv1 = (mv0[0] - cmvy, mv0[1] - cmvx)
-        return mv0, mv1, True, True
+        return mv0, mv1, True, True, 0, 0
 
     # ---- prediction ----
 
-    def _ref_planes(self, lst: int):
+    def _ref_planes(self, lst: int, ref: int = 0):
         if lst == 0:
-            return self.ref_y, self.ref_u, self.ref_v
-        return self.ref1_y, self.ref1_u, self.ref1_v
+            return self.refs[ref]
+        return self.refs1[ref]
 
-    def _search_ref_list(self, lst: int) -> np.ndarray:
-        """Luma search plane for list ``lst``: weighted under explicit
-        WP (so candidate ranking matches the decoder's weighted
-        prediction), raw otherwise — implicit weights never apply to
-        mono predictions, and the bi candidate is scored through
-        :meth:`_pred_b` which weights for real."""
+    def _search_ref_list(self, lst: int, ref: int = 0) -> np.ndarray:
+        """Luma search plane for reference ``ref`` of list ``lst``:
+        weighted under explicit WP (so candidate ranking matches the
+        decoder's weighted prediction), raw otherwise — implicit
+        weights never apply to mono predictions, and the bi candidate
+        is scored through :meth:`_pred_b` which weights for real."""
         wp = self.wp
-        ry = self.ref_y if lst == 0 else self.ref1_y
+        ry = self._ref_planes(lst, ref)[0]
         if wp is None or wp.get("implicit"):
             return ry
-        key = "_wp_bref0" if lst == 0 else "_wp_bref1"
-        if getattr(self, key, None) is None:
-            vals = wp["l0" if lst == 0 else "l1"]
-            setattr(self, key, self._wp_plane(
+        cache = getattr(self, "_wp_bref_cache", None)
+        if cache is None:
+            cache = self._wp_bref_cache = {}
+        if (lst, ref) not in cache:
+            vals = self._wp_entry("l0" if lst == 0 else "l1", ref)
+            cache[(lst, ref)] = self._wp_plane(
                 ry.astype(np.int64), vals[0], vals[1],
-                wp["logwd_y"]).astype(np.uint8))
-        return getattr(self, key)
+                wp["logwd_y"]).astype(np.uint8)
+        return cache[(lst, ref)]
 
     def _mc_pred_list(self, my: int, mx: int, mv: tuple[int, int],
-                      lst: int):
-        ry, ru, rv = self._ref_planes(lst)
+                      lst: int, ref: int = 0):
+        ry, ru, rv = self._ref_planes(lst, ref)
         mvy, mvx = mv
         return (_interp_luma(ry, my * 16, mx * 16, 16, 16, mvy, mvx),
                 _interp_chroma(ru, my * 8, mx * 8, 8, 8, mvy, mvx),
                 _interp_chroma(rv, my * 8, mx * 8, 8, 8, mvy, mvx))
 
     def _pred_b(self, my: int, mx: int, mv0, mv1, use0: bool,
-                use1: bool):
+                use1: bool, ref0: int = 0, ref1: int = 0):
         """Combined (possibly bi-) prediction: the default rounded
         average when both lists predict (8.4.2.3.2), or the weighted
         combination (8.4.2.3.3) when the slice carries explicit
         weights / the PPS selects implicit mode.  Implicit weights
         apply only to bi-predicted blocks; explicit weights apply to
-        mono predictions too (via :meth:`_wp_mono`)."""
+        mono predictions too (via :meth:`_wp_mono`); explicit entries
+        are looked up per (list, refIdx)."""
         wp = self.wp
         if use0 and use1:
-            p0 = self._mc_pred_list(my, mx, mv0, 0)
-            p1 = self._mc_pred_list(my, mx, mv1, 1)
+            p0 = self._mc_pred_list(my, mx, mv0, 0, ref0)
+            p1 = self._mc_pred_list(my, mx, mv1, 1, ref1)
             if wp is None:
                 return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
             lg = (wp["logwd_y"], wp["logwd_c"], wp["logwd_c"])
+            e0 = (wp["l0"] if wp.get("implicit")
+                  else self._wp_entry("l0", ref0))
+            e1 = (wp["l1"] if wp.get("implicit")
+                  else self._wp_entry("l1", ref1))
             out = []
             for i, (a, b) in enumerate(zip(p0, p1)):
-                w0, o0 = wp["l0"][2 * i], wp["l0"][2 * i + 1]
-                w1, o1 = wp["l1"][2 * i], wp["l1"][2 * i + 1]
+                w0, o0 = e0[2 * i], e0[2 * i + 1]
+                w1, o1 = e1[2 * i], e1[2 * i + 1]
                 out.append(np.clip(
                     ((a * w0 + b * w1 + (1 << lg[i])) >> (lg[i] + 1))
                     + ((o0 + o1 + 1) >> 1), 0, 255))
             return tuple(out)
         if use0:
-            return self._wp_mono(self._mc_pred_list(my, mx, mv0, 0),
-                                 "l0")
-        return self._wp_mono(self._mc_pred_list(my, mx, mv1, 1), "l1")
+            return self._wp_mono(
+                self._mc_pred_list(my, mx, mv0, 0, ref0), "l0", ref0)
+        return self._wp_mono(
+            self._mc_pred_list(my, mx, mv1, 1, ref1), "l1", ref1)
 
     def _commit_b(self, addr: int, mv0, mv1, use0: bool,
-                  use1: bool) -> None:
+                  use1: bool, ref0: int = 0, ref1: int = 0) -> None:
         my, mx = divmod(addr, self.mb_w)
         self.lmv[my, mx, 0] = mv0
         self.lmv[my, mx, 1] = mv1
         self.luse[my, mx, 0] = use0
         self.luse[my, mx, 1] = use1
+        self.lref[my, mx, 0] = ref0 if use0 else 0
+        self.lref[my, mx, 1] = ref1 if use1 else 0
         self.mb_state[my, mx] = 2
         # later intra MBs predict mode DC from inter neighbors (8.3.1)
         self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+
+    # ---- encode-side mode competition (shared by both lanes) ----
+
+    def _b_candidates(self, src: np.ndarray, my: int, mx: int,
+                      search: int):
+        """Mode competition for one B macroblock: direct, the best
+        per-reference L0 and L1 mono candidates (older references
+        carry the P lane's ref_idx bit bias: +16 for refIdx 1, +8
+        per further step), and the bi combination of the two mono
+        winners.  BOTH entropy lanes call this, so CAVLC and CABAC
+        encodes make identical decisions and stay pixel-identical.
+        Returns (cost, mode, mv0, mv1, use0, use1, ref0, ref1,
+        mvp0, mvp1) with each mvp derived for the chosen refIdx."""
+        d_mv0, d_mv1, d_use0, d_use1, d_r0, d_r1 = \
+            self._direct_mv(my, mx)
+        d_pred = self._pred_b(my, mx, d_mv0, d_mv1, d_use0, d_use1,
+                              d_r0, d_r1)
+        cands = [(int(np.abs(src - d_pred[0]).sum()),
+                  _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1,
+                  d_r0, d_r1, (0, 0), (0, 0))]
+        monos = []
+        for lst, n_act, pool in ((0, self.n_ref0, self.refs),
+                                 (1, self.n_ref1, self.refs1)):
+            best = None
+            for ref in range(min(n_act, len(pool))):
+                mvp = self._mv_pred_b(my, mx, lst, ref)
+                mv, cost = self._motion_search(
+                    src, my, mx, search,
+                    ref_y=self._search_ref_list(lst, ref), mvp=mvp)
+                if ref:
+                    cost += 16 + 8 * (ref - 1)
+                if best is None or cost < best[0]:
+                    best = (cost, mv, ref, mvp)
+            monos.append(best)
+        l0, l1 = monos
+        cands.append((l0[0], _B_L0_16x16, l0[1], (0, 0), True, False,
+                      l0[2], 0, l0[3], (0, 0)))
+        cands.append((l1[0], _B_L1_16x16, (0, 0), l1[1], False, True,
+                      0, l1[2], (0, 0), l1[3]))
+        bi = self._pred_b(my, mx, l0[1], l1[1], True, True,
+                          l0[2], l1[2])
+        bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
+            abs(l0[1][0] - l0[3][0]) + abs(l0[1][1] - l0[3][1])
+            + abs(l1[1][0] - l1[3][0]) + abs(l1[1][1] - l1[3][1])) \
+            + (16 + 8 * (l0[2] - 1) if l0[2] else 0) \
+            + (16 + 8 * (l1[2] - 1) if l1[2] else 0)
+        cands.append((bi_cost, _B_BI_16x16, l0[1], l1[1], True, True,
+                      l0[2], l1[2], l0[3], l1[3]))
+        return min(cands)
 
     # ---- decode ----
 
     def _decode_skip_b(self, addr: int) -> None:
         my, mx = divmod(addr, self.mb_w)
-        mv0, mv1, use0, use1 = self._direct_mv(my, mx)
+        mv0, mv1, use0, use1, ref0, ref1 = self._direct_mv(my, mx)
         pred_y, pred_u, pred_v = self._pred_b(my, mx, mv0, mv1,
-                                              use0, use1)
+                                              use0, use1, ref0, ref1)
         self.y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
             pred_y.astype(np.uint8)
         self.u[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8] = \
@@ -290,7 +379,7 @@ class BiMotionMixin:
         self.nc_y[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
         self.nc_u[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
         self.nc_v[my * 2:(my + 1) * 2, mx * 2:(mx + 1) * 2] = 0
-        self._commit_b(addr, mv0, mv1, use0, use1)
+        self._commit_b(addr, mv0, mv1, use0, use1, ref0, ref1)
 
 
 class BInterPicture(BiMotionMixin, InterPicture):
@@ -300,35 +389,47 @@ class BInterPicture(BiMotionMixin, InterPicture):
                  mb_w: int, mb_h: int,
                  ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
                  ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
-                 col: tuple[np.ndarray, np.ndarray]) -> None:
-        InterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0)
-        self._init_bimotion(ref1, col)
+                 col: tuple[np.ndarray, np.ndarray],
+                 more0: list[tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] | None = None,
+                 more1: list[tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] | None = None) -> None:
+        InterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0,
+                              more=more0)
+        self._init_bimotion(ref1, col, more1)
 
     def _decode_mb_b16(self, r: _BitReader, addr: int,
                        mb_type: int) -> None:
         from rmlint_spark.operators.h264 import _read_se
 
         my, mx = divmod(addr, self.mb_w)
+        ref0 = ref1 = 0
         if mb_type == _B_DIRECT_16x16:
-            mv0, mv1, use0, use1 = self._direct_mv(my, mx)
+            mv0, mv1, use0, use1, ref0, ref1 = self._direct_mv(my, mx)
         else:
             use0 = mb_type in (_B_L0_16x16, _B_BI_16x16)
             use1 = mb_type in (_B_L1_16x16, _B_BI_16x16)
             mv0 = mv1 = (0, 0)
+            # mb_pred syntax order (7.3.5.1): every ref_idx field of
+            # both lists first, then the mvd pairs
+            if use0:
+                ref0 = self._read_ref_idx(r, self.n_ref0)
+            if use1:
+                ref1 = self._read_ref_idx(r, self.n_ref1)
             if use0:
                 mvd_x = _read_se(r)         # compIdx 0 = horizontal
                 mvd_y = _read_se(r)
-                p = self._mv_pred_b(my, mx, 0)
+                p = self._mv_pred_b(my, mx, 0, ref0)
                 mv0 = (p[0] + mvd_y, p[1] + mvd_x)
             if use1:
                 mvd_x = _read_se(r)
                 mvd_y = _read_se(r)
-                p = self._mv_pred_b(my, mx, 1)
+                p = self._mv_pred_b(my, mx, 1, ref1)
                 mv1 = (p[0] + mvd_y, p[1] + mvd_x)
         pred_y, pred_u, pred_v = self._pred_b(my, mx, mv0, mv1,
-                                              use0, use1)
+                                              use0, use1, ref0, ref1)
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
-        self._commit_b(addr, mv0, mv1, use0, use1)
+        self._commit_b(addr, mv0, mv1, use0, use1, ref0, ref1)
 
     def decode_slice_b(self, r: _BitReader, first_mb: int,
                        covered: np.ndarray) -> None:
@@ -386,27 +487,11 @@ class BInterPicture(BiMotionMixin, InterPicture):
         my, mx = divmod(addr, self.mb_w)
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
-        d_mv0, d_mv1, d_use0, d_use1 = self._direct_mv(my, mx)
-        d_pred = self._pred_b(my, mx, d_mv0, d_mv1, d_use0, d_use1)
-        cands = [(int(np.abs(src - d_pred[0]).sum()),
-                  _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1)]
-        mvp0 = self._mv_pred_b(my, mx, 0)
-        mv0, cost0 = self._motion_search(src, my, mx, search,
-                                         ref_y=self._search_ref_list(0),
-                                         mvp=mvp0)
-        cands.append((cost0, _B_L0_16x16, mv0, (0, 0), True, False))
-        mvp1 = self._mv_pred_b(my, mx, 1)
-        mv1, cost1 = self._motion_search(src, my, mx, search,
-                                         ref_y=self._search_ref_list(1),
-                                         mvp=mvp1)
-        cands.append((cost1, _B_L1_16x16, (0, 0), mv1, False, True))
-        bi = self._pred_b(my, mx, mv0, mv1, True, True)
-        bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
-            abs(mv0[0] - mvp0[0]) + abs(mv0[1] - mvp0[1])
-            + abs(mv1[0] - mvp1[0]) + abs(mv1[1] - mvp1[1]))
-        cands.append((bi_cost, _B_BI_16x16, mv0, mv1, True, True))
-        cost, mode, cmv0, cmv1, use0, use1 = min(cands)
-        preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1)
+        best = self._b_candidates(src, my, mx, search)
+        cost, mode, cmv0, cmv1, use0, use1, ref0, ref1, mvp0, mvp1 \
+            = best
+        preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1,
+                             ref0, ref1)
         (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
          cbp) = self._quantize_inter(addr, cmv0, y_src, u_src, v_src,
                                      preds=preds)
@@ -414,15 +499,21 @@ class BInterPicture(BiMotionMixin, InterPicture):
             self._decode_skip_b(addr)       # recon == decoder's skip
             return True
         _write_ue(w, mode)
-        if use0 and mode != _B_DIRECT_16x16:
-            _write_se(w, cmv0[1] - mvp0[1])
-            _write_se(w, cmv0[0] - mvp0[0])
-        if use1 and mode != _B_DIRECT_16x16:
-            _write_se(w, cmv1[1] - mvp1[1])
-            _write_se(w, cmv1[0] - mvp1[0])
+        if mode != _B_DIRECT_16x16:
+            # 7.3.5.1 order: ref_idx fields of both lists, then mvds
+            if use0:
+                self._write_ref_idx(w, ref0, self.n_ref0)
+            if use1:
+                self._write_ref_idx(w, ref1, self.n_ref1)
+            if use0:
+                _write_se(w, cmv0[1] - mvp0[1])
+                _write_se(w, cmv0[0] - mvp0[0])
+            if use1:
+                _write_se(w, cmv1[1] - mvp1[1])
+                _write_se(w, cmv1[0] - mvp1[0])
         self._write_inter_residual(w, addr, pred_y, pred_u, pred_v,
                                    luma_q, dc_q, ac_q, cbp)
-        self._commit_b(addr, cmv0, cmv1, use0, use1)
+        self._commit_b(addr, cmv0, cmv1, use0, use1, ref0, ref1)
         return False
 
 
@@ -435,7 +526,8 @@ def encode_h264_b(frames: list[np.ndarray],
                   seg: int = 12,
                   search: int = 4,
                   wp: str | None = None,
-                  direct: str = "spatial") -> bytes:
+                  direct: str = "spatial",
+                  refs: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments and CAVLC entropy.  Display structure per
     ``seg``-frame segment: anchors every ``bgroup + 1`` frames (plus
@@ -453,7 +545,14 @@ def encode_h264_b(frames: list[np.ndarray],
     ``direct`` selects the B_Skip/B_Direct motion derivation:
     ``"spatial"`` (8.4.1.2.2, the default) or ``"temporal"``
     (8.4.1.2.3 — colocated motion scaled by POC distances, the
-    constant-velocity-pan mode)."""
+    constant-velocity-pan mode).
+
+    ``refs = 2`` makes L0 two-deep for B AND P slices (the anchor
+    before the previous anchor backs refIdx 1 — the occlusion mode
+    where content hidden in the near anchor is visible in the older
+    one); requires ``direct="spatial"`` and excludes ``wp=
+    "implicit"`` (both derivations are exact only for single-ref
+    lists; the decoder enforces the same pairing)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -473,6 +572,17 @@ def encode_h264_b(frames: list[np.ndarray],
         raise ValueError("wp must be None, 'implicit' or 'explicit'")
     if direct not in ("spatial", "temporal"):
         raise ValueError("direct must be 'spatial' or 'temporal'")
+    if refs not in (1, 2):
+        raise ValueError("refs must be 1 or 2 (the implemented "
+                         "B-encoder subset)")
+    if refs > 1 and direct == "temporal":
+        raise ValueError("temporal direct is exact only for "
+                         "single-reference lists; use direct="
+                         "'spatial' with refs=2")
+    if refs > 1 and wp == "implicit":
+        raise ValueError("implicit weights are derived per anchor "
+                         "pair; refs=2 requires wp=None or "
+                         "'explicit'")
     bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
     direct_flag = 1 if direct == "spatial" else 0
     if not frames:
@@ -493,14 +603,15 @@ def encode_h264_b(frames: list[np.ndarray],
                        _pad_to_mb(v, 8)))
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
-        _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=2,
+        _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=refs + 1,
                     poc_type=0))
     out += _START4 + b"\x68" + _escape_rbsp(
         _encode_pps(weighted_bipred_idc=bipred_idc))
 
     def header(bw: _BitWriter, slice_type: int, frame_num: int,
                poc_lsb: int, is_idr: bool, idr_id: int,
-               slice_wp: dict | None = None) -> None:
+               slice_wp: dict | None = None, n_l0: int = 1,
+               n_l1: int = 1) -> None:
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, slice_type)
         _write_ue(bw, 0)                    # pic_parameter_set_id
@@ -510,13 +621,23 @@ def encode_h264_b(frames: list[np.ndarray],
         bw.write(poc_lsb & 255, 8)          # pic_order_cnt_lsb
         if slice_type == 6:                 # B
             bw.write(direct_flag, 1)        # direct_spatial_mv_pred
-            bw.write(0, 1)                  # num_ref_idx_active_override
+            if n_l0 > 1 or n_l1 > 1:        # num_ref_idx_active_override
+                bw.write(1, 1)
+                _write_ue(bw, n_l0 - 1)
+                _write_ue(bw, n_l1 - 1)
+            else:
+                bw.write(0, 1)
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             bw.write(0, 1)                  # ref_pic_list_modification_l1
             if bipred_idc == 1:             # pred_weight_table (7.3.3)
-                _write_pred_weight_table(bw, slice_wp, is_b=True)
+                _write_pred_weight_table(bw, slice_wp, is_b=True,
+                                         n_l0=n_l0, n_l1=n_l1)
         elif slice_type == 5:               # P
-            bw.write(0, 1)                  # num_ref_idx_active_override
+            if n_l0 > 1:                    # num_ref_idx_active_override
+                bw.write(1, 1)
+                _write_ue(bw, n_l0 - 1)
+            else:
+                bw.write(0, 1)
             bw.write(0, 1)                  # ref_pic_list_modification_l0
         if is_idr:
             bw.write(0, 2)                  # no_output / long_term flags
@@ -549,8 +670,10 @@ def encode_h264_b(frames: list[np.ndarray],
         anchors = list(range(s0, s1, bgroup + 1))
         if anchors[-1] != s1 - 1:
             anchors.append(s1 - 1)
-        # decode order: IDR anchor, then per gap (next anchor, B...)
-        prev_anchor: tuple | None = None    # (planes, mvinfo)
+        # decode order: IDR anchor, then per gap (next anchor, B...);
+        # ``past`` holds reconstructed anchors newest-first — entry 0
+        # is the previous anchor, entry 1 (refs=2) the one before it
+        past: list[tuple] = []              # [(planes, mvinfo), ...]
         for j, disp in enumerate(anchors):
             y, u, v = planes[disp]
             is_idr = j == 0
@@ -575,11 +698,15 @@ def encode_h264_b(frames: list[np.ndarray],
                     pic.note_intra(addr)
                 nal = b"\x65"
             else:
+                n_l0 = min(refs, len(past))
                 pic = InterPicture(
                     np.zeros_like(y), np.zeros_like(u),
-                    np.zeros_like(v), mb_w, mb_h, prev_anchor[0])
+                    np.zeros_like(v), mb_w, mb_h, past[0][0],
+                    past[1][0] if n_l0 > 1 else None)
                 pic.qp = qp
-                header(bw, 5, frame_num, 2 * (disp - s0), False, 0)
+                pic.n_ref0 = n_l0
+                header(bw, 5, frame_num, 2 * (disp - s0), False, 0,
+                       n_l0=n_l0)
                 inter_slice_body(
                     bw, pic,
                     lambda pb, addr: pic.encode_mb_p(pb, addr, y, u,
@@ -592,15 +719,18 @@ def encode_h264_b(frames: list[np.ndarray],
                           (pic.mv4.copy(), pic.mb_state.copy()))
             # B frames between the previous and this anchor, display
             # order, decode-order AFTER this anchor
-            if prev_anchor is not None:
+            if past:
                 prev_disp = anchors[j - 1]
+                n_l0 = min(refs, len(past))
                 for bdisp in range(prev_disp + 1, disp):
                     by, bu, bv = planes[bdisp]
                     bpic = BInterPicture(
                         np.zeros_like(by), np.zeros_like(bu),
                         np.zeros_like(bv), mb_w, mb_h,
-                        prev_anchor[0], cur_anchor[0], cur_anchor[1])
+                        past[0][0], cur_anchor[0], cur_anchor[1],
+                        more0=[p[0] for p in past[1:n_l0]])
                     bpic.qp = qp
+                    bpic.n_ref0 = n_l0
                     bpic.direct_spatial = direct == "spatial"
                     bpic.direct_tbtd = (2 * (bdisp - prev_disp),
                                         2 * (disp - prev_disp))
@@ -610,11 +740,19 @@ def encode_h264_b(frames: list[np.ndarray],
                                                2 * (disp - s0))
                     elif wp == "explicit":
                         bpic.wp = _estimate_wp_bi(
-                            (by, bu, bv), prev_anchor[0],
+                            (by, bu, bv), past[0][0],
                             cur_anchor[0])
+                        if n_l0 > 1:
+                            from rmlint_spark.operators.h264_inter \
+                                import _estimate_wp
+
+                            bpic.wp["l0x"] = [
+                                _estimate_wp((by, bu, bv),
+                                             p[0])["l0"]
+                                for p in past[1:n_l0]]
                     bw = _BitWriter()
                     header(bw, 6, frame_num, 2 * (bdisp - s0),
-                           False, 0, slice_wp=bpic.wp)
+                           False, 0, slice_wp=bpic.wp, n_l0=n_l0)
                     inter_slice_body(
                         bw, bpic,
                         lambda pb, addr: bpic.encode_mb_b(
@@ -622,7 +760,8 @@ def encode_h264_b(frames: list[np.ndarray],
                     _trailing_bits(bw)
                     # non-reference NAL: type 1, ref_idc 0
                     out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())
-            prev_anchor = cur_anchor
+            past.insert(0, cur_anchor)
+            del past[refs:]
     return bytes(out)
 
 

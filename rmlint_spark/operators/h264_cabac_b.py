@@ -110,9 +110,14 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
     def __init__(self, y, u, v, mb_w: int, mb_h: int,
                  ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
                  ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
-                 col: tuple[np.ndarray, np.ndarray]) -> None:
-        CabacInterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0)
-        self._init_bimotion(ref1, col)
+                 col: tuple[np.ndarray, np.ndarray],
+                 more0: list[tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] | None = None,
+                 more1: list[tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] | None = None) -> None:
+        CabacInterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0,
+                                   more=more0)
+        self._init_bimotion(ref1, col, more1)
         # per-list per-component |mvd| for the context increments
         self.bmvd = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
         # 1 = this coded MB is B_Skip or B_Direct (9.3.3.1.1.3)
@@ -138,6 +143,51 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         b = abs(int(self.bmvd[my - 1, mx, lst, comp])) if my > 0 else 0
         s = a + b
         return 0 if s < 3 else (1 if s <= 32 else 2)
+
+    def _bref_inc(self, my: int, mx: int, lst: int) -> int:
+        """ref_idx_lX bin-0 ctxIdxInc (9.3.3.1.1.6) per list:
+        condTermFlagN is 1 when the neighbor MB predicts from this
+        list with refIdx > 0; inc = condTermA + 2 * condTermB."""
+        def cond(ny: int, nx: int) -> int:
+            if not (0 <= ny < self.mb_h and 0 <= nx < self.mb_w):
+                return 0
+            return 1 if (int(self.mb_state[ny, nx]) == 2
+                         and bool(self.luse[ny, nx, lst])
+                         and int(self.lref[ny, nx, lst]) > 0) else 0
+
+        return cond(my, mx - 1) + 2 * cond(my - 1, mx)
+
+    def _dec_ref_b(self, dec: CabacDecoder, my: int, mx: int,
+                   lst: int, n_act: int) -> int:
+        """Unary ref_idx_lX (Table 9-34; both lists share the spec's
+        ctxIdxOffset-54 context set): bin 0 by neighbors, bin 1 inc
+        4, later bins inc 5 — terminated by a 0 bin."""
+        if n_act <= 1:
+            return 0
+        cx = self.cab.ref_idx
+        if not dec.decision(cx[self._bref_inc(my, mx, lst)]):
+            return 0
+        v = 1
+        while dec.decision(cx[4 if v == 1 else 5]):
+            v += 1
+            if v >= n_act:
+                raise ValueError(
+                    "H.264 CABAC ref_idx beyond "
+                    "num_ref_idx_lX_active")
+        return v
+
+    def _enc_ref_b(self, enc: CabacEncoder, my: int, mx: int,
+                   lst: int, ref: int, n_act: int) -> None:
+        if n_act <= 1:
+            return
+        cx = self.cab.ref_idx
+        enc.decision(cx[self._bref_inc(my, mx, lst)],
+                     1 if ref > 0 else 0)
+        k = 1
+        while k <= ref:
+            enc.decision(cx[4 if k == 1 else 5],
+                         1 if ref > k else 0)
+            k += 1
 
     def _note_skip_b(self, addr: int) -> None:
         my, mx = divmod(addr, self.mb_w)
@@ -231,31 +281,38 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             self.note_intra(addr)
             return
         mvds = np.zeros((2, 2), dtype=np.int64)
+        ref0 = ref1 = 0
         if mode == _B_DIRECT_16x16:
-            mv0, mv1, use0, use1 = self._direct_mv(my, mx)
+            mv0, mv1, use0, use1, ref0, ref1 = self._direct_mv(my, mx)
         else:
             use0 = mode in (_B_L0_16x16, _B_BI_16x16)
             use1 = mode in (_B_L1_16x16, _B_BI_16x16)
             mv0 = mv1 = (0, 0)
             cx = self.cab.mvd
+            # mb_pred order (7.3.5.1): ref_idx fields of both lists
+            # first, then the mvd pairs
+            if use0:
+                ref0 = self._dec_ref_b(dec, my, mx, 0, self.n_ref0)
+            if use1:
+                ref1 = self._dec_ref_b(dec, my, mx, 1, self.n_ref1)
             if use0:
                 dx = _dec_mvd_ueg3(dec, cx[0], self._bmvd_inc(my, mx, 0, 0))
                 dy = _dec_mvd_ueg3(dec, cx[1], self._bmvd_inc(my, mx, 0, 1))
-                p = self._mv_pred_b(my, mx, 0)
+                p = self._mv_pred_b(my, mx, 0, ref0)
                 mv0 = (p[0] + dy, p[1] + dx)
                 mvds[0] = (dx, dy)
             if use1:
                 dx = _dec_mvd_ueg3(dec, cx[0], self._bmvd_inc(my, mx, 1, 0))
                 dy = _dec_mvd_ueg3(dec, cx[1], self._bmvd_inc(my, mx, 1, 1))
-                p = self._mv_pred_b(my, mx, 1)
+                p = self._mv_pred_b(my, mx, 1, ref1)
                 mv1 = (p[0] + dy, p[1] + dx)
                 mvds[1] = (dx, dy)
         pred_y, pred_u, pred_v = self._pred_b(my, mx, mv0, mv1,
-                                              use0, use1)
+                                              use0, use1, ref0, ref1)
         self._read_inter_residual_cabac(dec, addr, pred_y, pred_u,
                                         pred_v)
         self._note_inter_b(addr, mvds, mode == _B_DIRECT_16x16)
-        self._commit_b(addr, mv0, mv1, use0, use1)
+        self._commit_b(addr, mv0, mv1, use0, use1, ref0, ref1)
 
     def _read_inter_residual_cabac(self, dec: CabacDecoder, addr: int,
                                    pred_y, pred_u, pred_v) -> None:
@@ -332,26 +389,8 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         my, mx = divmod(addr, self.mb_w)
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
-        d_mv0, d_mv1, d_use0, d_use1 = self._direct_mv(my, mx)
-        d_pred = self._pred_b(my, mx, d_mv0, d_mv1, d_use0, d_use1)
-        cands = [(int(np.abs(src - d_pred[0]).sum()),
-                  _B_DIRECT_16x16, d_mv0, d_mv1, d_use0, d_use1)]
-        mvp0 = self._mv_pred_b(my, mx, 0)
-        mv0, cost0 = self._motion_search(src, my, mx, search,
-                                         ref_y=self._search_ref_list(0),
-                                         mvp=mvp0)
-        cands.append((cost0, _B_L0_16x16, mv0, (0, 0), True, False))
-        mvp1 = self._mv_pred_b(my, mx, 1)
-        mv1, cost1 = self._motion_search(src, my, mx, search,
-                                         ref_y=self._search_ref_list(1),
-                                         mvp=mvp1)
-        cands.append((cost1, _B_L1_16x16, (0, 0), mv1, False, True))
-        bi = self._pred_b(my, mx, mv0, mv1, True, True)
-        bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
-            abs(mv0[0] - mvp0[0]) + abs(mv0[1] - mvp0[1])
-            + abs(mv1[0] - mvp1[0]) + abs(mv1[1] - mvp1[1]))
-        cands.append((bi_cost, _B_BI_16x16, mv0, mv1, True, True))
-        cost, mode, cmv0, cmv1, use0, use1 = min(cands)
+        (cost, mode, cmv0, cmv1, use0, use1, ref0, ref1, mvp0,
+         mvp1) = self._b_candidates(src, my, mx, search)
         # intra fallback (scene cut inside a B slice)
         intra_best = None
         for pm in (0, 1, 2, 3):
@@ -370,7 +409,8 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             self.encode_mb(enc, addr, y_src, u_src, v_src)
             self.note_intra(addr)
             return
-        preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1)
+        preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1,
+                             ref0, ref1)
         (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
          cbp) = self._quantize_inter(addr, cmv0, y_src, u_src, v_src,
                                      preds=preds)
@@ -383,6 +423,11 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         self._enc_b_mb_type(enc, my, mx, mode)
         mvds = np.zeros((2, 2), dtype=np.int64)
         if mode != _B_DIRECT_16x16:
+            # 7.3.5.1 order: ref_idx fields of both lists, then mvds
+            if use0:
+                self._enc_ref_b(enc, my, mx, 0, ref0, self.n_ref0)
+            if use1:
+                self._enc_ref_b(enc, my, mx, 1, ref1, self.n_ref1)
             if use0:
                 dx, dy = cmv0[1] - mvp0[1], cmv0[0] - mvp0[0]
                 _enc_mvd_ueg3(enc, cx.mvd[0],
@@ -401,7 +446,7 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
                                          pred_v, luma_q, dc_q, ac_q,
                                          cbp)
         self._note_inter_b(addr, mvds, mode == _B_DIRECT_16x16)
-        self._commit_b(addr, cmv0, cmv1, use0, use1)
+        self._commit_b(addr, cmv0, cmv1, use0, use1, ref0, ref1)
 
     def _write_inter_residual_cabac(self, enc: CabacEncoder, addr: int,
                                     pred_y, pred_u, pred_v,
@@ -441,12 +486,14 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         seg: int = 12,
                         search: int = 4,
                         wp: str | None = None,
-                        direct: str = "spatial") -> bytes:
+                        direct: str = "spatial",
+                        refs: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments under CABAC entropy (the B twin of
     h264_b.encode_h264_b; same segment/POC structure and the same
     ``wp`` modes — the slice header, pred_weight_table included,
-    stays Exp-Golomb under CABAC)."""
+    stays Exp-Golomb under CABAC; ``refs = 2`` makes L0 two-deep
+    for B and P slices, mirroring encode_h264_b's subset rules)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -471,6 +518,17 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         raise ValueError("wp must be None, 'implicit' or 'explicit'")
     if direct not in ("spatial", "temporal"):
         raise ValueError("direct must be 'spatial' or 'temporal'")
+    if refs not in (1, 2):
+        raise ValueError("refs must be 1 or 2 (the implemented "
+                         "B-encoder subset)")
+    if refs > 1 and direct == "temporal":
+        raise ValueError("temporal direct is exact only for "
+                         "single-reference lists; use direct="
+                         "'spatial' with refs=2")
+    if refs > 1 and wp == "implicit":
+        raise ValueError("implicit weights are derived per anchor "
+                         "pair; refs=2 requires wp=None or "
+                         "'explicit'")
     bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
     direct_flag = 1 if direct == "spatial" else 0
     h, w_px = np.asarray(frames[0]).shape[:2]
@@ -485,14 +543,15 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                        _pad_to_mb(v, 8)))
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
-        _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=2,
+        _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=refs + 1,
                     poc_type=0))
     out += _START4 + b"\x68" + _escape_rbsp(
         _encode_pps(entropy_coding=1, weighted_bipred_idc=bipred_idc))
 
     def header(bw: _BitWriter, slice_type: int, frame_num: int,
                poc_lsb: int, is_idr: bool, idr_id: int,
-               slice_wp: dict | None = None) -> None:
+               slice_wp: dict | None = None, n_l0: int = 1,
+               n_l1: int = 1) -> None:
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, slice_type)
         _write_ue(bw, 0)                    # pic_parameter_set_id
@@ -502,13 +561,23 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         bw.write(poc_lsb & 255, 8)          # pic_order_cnt_lsb
         if slice_type == 6:                 # B
             bw.write(direct_flag, 1)        # direct_spatial_mv_pred
-            bw.write(0, 1)                  # num_ref_idx_active_override
+            if n_l0 > 1 or n_l1 > 1:        # num_ref_idx_active_override
+                bw.write(1, 1)
+                _write_ue(bw, n_l0 - 1)
+                _write_ue(bw, n_l1 - 1)
+            else:
+                bw.write(0, 1)
             bw.write(0, 1)                  # ref_pic_list_modification_l0
             bw.write(0, 1)                  # ref_pic_list_modification_l1
             if bipred_idc == 1:             # pred_weight_table (7.3.3)
-                _write_pred_weight_table(bw, slice_wp, is_b=True)
+                _write_pred_weight_table(bw, slice_wp, is_b=True,
+                                         n_l0=n_l0, n_l1=n_l1)
         elif slice_type == 5:               # P
-            bw.write(0, 1)                  # num_ref_idx_active_override
+            if n_l0 > 1:                    # num_ref_idx_active_override
+                bw.write(1, 1)
+                _write_ue(bw, n_l0 - 1)
+            else:
+                bw.write(0, 1)
             bw.write(0, 1)                  # ref_pic_list_modification_l0
         if is_idr:
             bw.write(0, 2)                  # no_output / long_term flags
@@ -529,7 +598,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         anchors = list(range(s0, s1, bgroup + 1))
         if anchors[-1] != s1 - 1:
             anchors.append(s1 - 1)
-        prev_anchor: tuple | None = None
+        past: list[tuple] = []              # recon anchors, newest first
         for j, disp in enumerate(anchors):
             y, u, v = planes[disp]
             is_idr = j == 0
@@ -551,11 +620,15 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                     enc.terminate(1 if addr == n_mbs - 1 else 0)
                 nal = b"\x65"
             else:
+                n_l0 = min(refs, len(past))
                 pic = CabacInterPicture(
                     np.zeros_like(y), np.zeros_like(u),
-                    np.zeros_like(v), mb_w, mb_h, prev_anchor[0])
+                    np.zeros_like(v), mb_w, mb_h, past[0][0],
+                    past[1][0] if n_l0 > 1 else None)
                 pic.qp = qp
-                header(bw, 5, frame_num, 2 * (disp - s0), False, 0)
+                pic.n_ref0 = n_l0
+                header(bw, 5, frame_num, 2 * (disp - s0), False, 0,
+                       n_l0=n_l0)
                 enc = CabacEncoder(bw)
                 for addr in range(n_mbs):
                     pic.encode_mb_p(enc, addr, y, u, v, search)
@@ -566,15 +639,18 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
             frame_num = (frame_num + 1) % 16
             cur_anchor = ((pic.y, pic.u, pic.v),
                           (pic.mv4.copy(), pic.mb_state.copy()))
-            if prev_anchor is not None:
+            if past:
                 prev_disp = anchors[j - 1]
+                n_l0 = min(refs, len(past))
                 for bdisp in range(prev_disp + 1, disp):
                     by, bu, bv = planes[bdisp]
                     bpic = CabacBInterPicture(
                         np.zeros_like(by), np.zeros_like(bu),
                         np.zeros_like(bv), mb_w, mb_h,
-                        prev_anchor[0], cur_anchor[0], cur_anchor[1])
+                        past[0][0], cur_anchor[0], cur_anchor[1],
+                        more0=[p[0] for p in past[1:n_l0]])
                     bpic.qp = qp
+                    bpic.n_ref0 = n_l0
                     bpic.direct_spatial = direct == "spatial"
                     bpic.direct_tbtd = (2 * (bdisp - prev_disp),
                                         2 * (disp - prev_disp))
@@ -584,18 +660,27 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                                                2 * (disp - s0))
                     elif wp == "explicit":
                         bpic.wp = _estimate_wp_bi(
-                            (by, bu, bv), prev_anchor[0],
+                            (by, bu, bv), past[0][0],
                             cur_anchor[0])
+                        if n_l0 > 1:
+                            from rmlint_spark.operators.h264_inter \
+                                import _estimate_wp
+
+                            bpic.wp["l0x"] = [
+                                _estimate_wp((by, bu, bv),
+                                             p[0])["l0"]
+                                for p in past[1:n_l0]]
                     bw = _BitWriter()
                     header(bw, 6, frame_num, 2 * (bdisp - s0),
-                           False, 0, slice_wp=bpic.wp)
+                           False, 0, slice_wp=bpic.wp, n_l0=n_l0)
                     enc = CabacEncoder(bw)
                     for addr in range(n_mbs):
                         bpic.encode_mb_b(enc, addr, by, bu, bv, search)
                         enc.terminate(1 if addr == n_mbs - 1 else 0)
                     bw.pad_to_byte()
                     out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())
-            prev_anchor = cur_anchor
+            past.insert(0, cur_anchor)
+            del past[refs:]
     return bytes(out)
 
 

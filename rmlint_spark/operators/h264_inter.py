@@ -880,33 +880,40 @@ class InterPicture(MotionMixin, CavlcPicture):
 
     # ---- encode side ----
 
-    def _read_ref_l0(self, r: _BitReader) -> int:
-        """ref_idx_l0 for the active count, te(v) per 9.1.1: absent
+    def _read_ref_idx(self, r: _BitReader, n_act: int) -> int:
+        """ref_idx_lX for an active count, te(v) per 9.1.1: absent
         (0) when one reference is active, one INVERTED bit when
         exactly two are, plain ue(v) beyond that."""
-        if self.n_ref0 <= 1:
+        if n_act <= 1:
             return 0
-        if self.n_ref0 == 2:
+        if n_act == 2:
             return _read_te1(r)
         from rmlint_spark.operators.h264 import _read_ue
 
         v = _read_ue(r)
-        if v >= self.n_ref0:
+        if v >= n_act:
             raise ValueError(
-                "H.264 ref_idx_l0 beyond num_ref_idx_l0_active")
+                "H.264 ref_idx beyond num_ref_idx_lX_active")
         return v
 
-    def _write_ref_l0(self, w: _BitWriter, ref: int) -> None:
-        """Encode-side twin of :meth:`_read_ref_l0` (same te(v)
-        regimes keyed on the slice's active count)."""
-        if self.n_ref0 <= 1:
+    def _write_ref_idx(self, w: _BitWriter, ref: int,
+                       n_act: int) -> None:
+        """Encode-side twin of :meth:`_read_ref_idx` (same te(v)
+        regimes keyed on the list's active count)."""
+        if n_act <= 1:
             return
-        if self.n_ref0 == 2:
+        if n_act == 2:
             _write_te1(w, ref)
             return
         from rmlint_spark.operators.h264 import _write_ue
 
         _write_ue(w, ref)
+
+    def _read_ref_l0(self, r: _BitReader) -> int:
+        return self._read_ref_idx(r, self.n_ref0)
+
+    def _write_ref_l0(self, w: _BitWriter, ref: int) -> None:
+        self._write_ref_idx(w, ref, self.n_ref0)
 
     def decode_mb_p16(self, r: _BitReader, addr: int) -> None:
         """P_L0_16x16: ref_idx_l0 (if >1 active), mvd pair, CBP,

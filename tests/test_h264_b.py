@@ -300,13 +300,13 @@ def test_temporal_direct_scaling_pinned():
     pic.direct_spatial = False
     # midpoint B: tb=2, td=4 -> DistScaleFactor = 128 -> exact halves
     pic.direct_tbtd = (2, 4)
-    mv0, mv1, use0, use1 = pic._direct_mv(0, 0)
+    mv0, mv1, use0, use1, _, _ = pic._direct_mv(0, 0)
     assert (use0, use1) == (True, True)
     assert mv0 == ((128 * -12 + 128) >> 8, (128 * 20 + 128) >> 8)
     assert mv1 == (mv0[0] + 12, mv0[1] - 20)
     # asymmetric B (bgroup=2, first B): tb=2, td=6 -> dsf=85
     pic.direct_tbtd = (2, 6)
-    mv0, mv1, _, _ = pic._direct_mv(0, 0)
+    mv0, mv1, _, _, _, _ = pic._direct_mv(0, 0)
     tx = (16384 + 3) // 6
     dsf = (2 * tx + 32) >> 6
     assert dsf == 85
@@ -314,7 +314,7 @@ def test_temporal_direct_scaling_pinned():
     assert mv1 == (mv0[0] + 12, mv0[1] - 20)
     # degenerate anchors: td=0 -> mvL0 = mvCol, mvL1 = 0
     pic.direct_tbtd = (2, 0)
-    mv0, mv1, _, _ = pic._direct_mv(0, 0)
+    mv0, mv1, _, _, _, _ = pic._direct_mv(0, 0)
     assert mv0 == (-12, 20) and mv1 == (0, 0)
     # intra colocated -> mvCol = 0
     pic2 = BInterPicture(np.zeros((16, 16), np.uint8),
@@ -325,7 +325,7 @@ def test_temporal_direct_scaling_pinned():
                           np.ones((1, 1), np.int64)))
     pic2.direct_spatial = False
     pic2.direct_tbtd = (2, 4)
-    mv0, mv1, use0, use1 = pic2._direct_mv(0, 0)
+    mv0, mv1, use0, use1, _, _ = pic2._direct_mv(0, 0)
     assert mv0 == (0, 0) and mv1 == (0, 0) and use0 and use1
 
 
