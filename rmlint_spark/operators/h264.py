@@ -41,10 +41,13 @@ and implicit POC-distance weights (weighted_bipred_idc == 2,
 crossfade weight fitting), and BOTH direct modes derive B_Skip /
 B_Direct motion (spatial 8.4.1.2.2, temporal 8.4.1.2.3 POC-scaled
 colocated motion); P macroblocks split down to the full Table 7-17
-sub-8x8 family (8x4/4x8/4x4), and P slices predict from up to 16
-active references (8.2.5.3 sliding-window DPB; encoder subset emits
-up to 4); the refusal surface is down to reference (pyramid) B
-pictures, SP/SI slices and sub-16x16 B partitions.
+sub-8x8 family (8x4/4x8/4x4) and B macroblocks down to the full
+Table 7-14 / 7-18 family (16x8/8x16 with per-partition L0/L1/Bi,
+B_8x8 with direct/L0/L1/Bi at 8x8/8x4/4x8/4x4), and both slice
+types predict from up to 16 active references (8.2.5.3
+sliding-window DPB; encoder subset emits up to 4); the refusal
+surface is down to reference (pyramid) B pictures and SP/SI
+slices.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -1029,15 +1032,15 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     I_PCM, Intra_4x4/Intra_16x16 and P-slice (P_Skip / P_L0_16x16 /
     intra-in-P) macroblocks decode under BOTH entropy modes, and so
     do B slices (B_Skip / direct / L0 / L1 / bi, displayed in POC
-    order — operators/h264_b.py and h264_cabac_b.py); 16x8 / 8x16 /
-    P_8x8 P partitions (with the full Table 7-17 sub-8x8 family)
-    decode in both entropy lanes, and weighted prediction (explicit
-    pred_weight_table on P and B, implicit POC-distance B weights)
-    and both direct modes (spatial / temporal) apply in both too.
-    SP/SI slices raise ``NotImplementedError``; sub-16x16 B
-    partitions and reference B pictures raise ``ValueError`` (the
-    documented refusal surface); malformed streams raise
-    ``ValueError``.
+    order — operators/h264_b.py and h264_cabac_b.py); P AND B
+    macroblocks partition below 16x16 in both entropy lanes (the
+    full Table 7-17 P family and Table 7-14/7-18 B family), and
+    weighted prediction (explicit pred_weight_table on P and B,
+    implicit POC-distance B weights) and both direct modes
+    (spatial / temporal) apply in both too.  SP/SI slices raise
+    ``NotImplementedError``; reference B pictures raise
+    ``ValueError`` (the documented refusal surface); malformed
+    streams raise ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -42,10 +42,18 @@ least-squares fitting against the 8.4.2.3.3 bi formula) and implicit
 POC-distance weights (wp="implicit", 8.4.2.3.1 — the crossfade
 mode).  Temporal direct mode too (direct="temporal", 8.4.1.2.3:
 colocated motion scaled by the POC-distance ratio — the
-constant-velocity mode).  Refusal surface after this module:
-reference (pyramid) B pictures, B partitions below 16x16, SP/SI
-slices, multi-reference B lists (P multi-ref is DPB-general since
-r5 s17).  CABAC-coded B slices decode too, via
+constant-velocity mode).  Both reference lists are DPB-general since
+r5 s17 (multi-reference decode up to 16 active refs per list; the
+GOP encoder emits a two-deep L0 via ``refs=2``, and picture-level
+encodes exercise the two-deep L1 grammar).  Sub-16x16 B partitions
+decode and encode since r5 s17 too: the full Table 7-14 16x8/8x16
+family (per-partition L0/L1/Bi modes, mb_types 4..21) and B_8x8
+with the COMPLETE Table 7-18 sub_mb_type set (B_Direct_8x8 and
+L0/L1/Bi at 8x8/8x4/4x8/4x4) — per-list motion state lives at the
+spec's 4x4-block granularity; the encoder emits 16x8/8x16 and the
+8x8-level B_8x8 subset behind ``partitions=True``.  Refusal surface
+after this module: reference (pyramid) B pictures and SP/SI slices.
+CABAC-coded B slices decode too, via
 h264_cabac_b.py composing this module's BiMotionMixin with the
 arithmetic engine.
 
@@ -71,12 +79,49 @@ from rmlint_spark.operators.h264_inter import (
     _interp_luma,
 )
 
-# B-slice mb_type table (7-14): the 16x16 subset plus the intra rename
+# B-slice mb_type table (7-14): the 16x16 modes, the partitioned
+# family (4..21 = 16x8/8x16 with per-partition prediction modes,
+# 22 = B_8x8 with Table 7-18 sub_mb_types) and the intra rename
 _B_DIRECT_16x16 = 0
 _B_L0_16x16 = 1
 _B_L1_16x16 = 2
 _B_BI_16x16 = 3
+_B_8x8 = 22
 _B_INTRA_OFFSET = 23
+
+# Table 7-14 partitioned B mb_types: (mb_type - 4) >> 1 indexes the
+# (partition 0, partition 1) prediction-mode pair; even mb_type is
+# the 16x8 split, odd the 8x16 split
+_B_PART_MODES = (
+    ("l0", "l0"), ("l1", "l1"), ("l0", "l1"), ("l1", "l0"),
+    ("l0", "bi"), ("l1", "bi"), ("bi", "l0"), ("bi", "l1"),
+    ("bi", "bi"),
+)
+
+# Table 7-18 B sub_mb_types: prediction mode + _SUB_RECTS shape key
+# (0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4); sub_mb_type 0 = B_Direct_8x8
+_B_SUB_MODES = {
+    1: ("l0", 0), 2: ("l1", 0), 3: ("bi", 0),
+    4: ("l0", 1), 5: ("l0", 2), 6: ("l1", 1), 7: ("l1", 2),
+    8: ("bi", 1), 9: ("bi", 2),
+    10: ("l0", 3), 11: ("l1", 3), 12: ("bi", 3),
+}
+
+
+def _mode_uses(mode: str) -> tuple[bool, bool]:
+    """(use0, use1) for a Table 7-14/7-18 prediction mode name."""
+    return mode != "l1", mode != "l0"
+
+
+def _b_part_geometry(mb_type: int, my: int, mx: int):
+    """(partition list, per-partition mode pair) for the two-partition
+    B mb_types 4..21 — geometry shared with the P lane's 16x8/8x16
+    splits (h264_inter._p_parts)."""
+    from rmlint_spark.operators.h264_inter import _p_parts
+
+    shape_t = 1 if (mb_type - 4) % 2 == 0 else 2
+    return (_p_parts(shape_t, my, mx),
+            _B_PART_MODES[(mb_type - 4) >> 1])
 
 
 class BiMotionMixin:
@@ -108,38 +153,60 @@ class BiMotionMixin:
         self.direct_spatial = True
         self.direct_tbtd = (0, 0)
         mb_h, mb_w = self.mb_h, self.mb_w
-        # per-list motion state: lmv[my, mx, lst] = (mvy, mvx),
-        # luse[my, mx, lst] = this MB predicts from list lst,
-        # lref[my, mx, lst] = its refIdx in that list
-        self.lmv = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
-        self.luse = np.zeros((mb_h, mb_w, 2), dtype=bool)
-        self.lref = np.zeros((mb_h, mb_w, 2), dtype=np.int64)
+        # per-list motion state at the spec's 4x4-block granularity
+        # (since the sub-16x16 B partition lanes, r5 s17):
+        # lmv4[by, bx, lst] = (mvy, mvx), luse4[by, bx, lst] = the
+        # block predicts from list lst, lref4[by, bx, lst] = its
+        # refIdx, ldec4 = 0 undecoded / 1 intra / 2 inter.  The
+        # MB-granular names stay as strided views onto each MB's
+        # top-left block (unpartitioned MBs fill the region
+        # uniformly, so the views read the whole-MB value).
+        self.lmv4 = np.zeros((mb_h * 4, mb_w * 4, 2, 2), dtype=np.int64)
+        self.luse4 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=bool)
+        self.lref4 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int64)
+        self.ldec4 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int64)
+        self.lmv = self.lmv4[::4, ::4]
+        self.luse = self.luse4[::4, ::4]
+        self.lref = self.lref4[::4, ::4]
 
     # ---- per-list neighbors and MV prediction (8.4.1.3) ----
 
-    def _neighbor_b(self, my: int, mx: int, lst: int):
-        """(available, uses-this-list, mv, refIdx) of MB (my, mx)."""
-        if not (0 <= my < self.mb_h and 0 <= mx < self.mb_w):
+    def _nb4_b(self, by: int, bx: int, lst: int):
+        """(available, uses-this-list, mv, refIdx) of 4x4 block
+        (by, bx) — the partition-granular neighbor the spec's
+        derivations read."""
+        if not (0 <= by < self.mb_h * 4 and 0 <= bx < self.mb_w * 4):
             return False, False, (0, 0), -1
-        st = int(self.mb_state[my, mx])
+        st = int(self.ldec4[by, bx])
         if st == 0:
             return False, False, (0, 0), -1
-        uses = st == 2 and bool(self.luse[my, mx, lst])
-        return True, uses, (int(self.lmv[my, mx, lst, 0]),
-                            int(self.lmv[my, mx, lst, 1])), \
-            (int(self.lref[my, mx, lst]) if uses else -1)
+        uses = st == 2 and bool(self.luse4[by, bx, lst])
+        return True, uses, (int(self.lmv4[by, bx, lst, 0]),
+                            int(self.lmv4[by, bx, lst, 1])), \
+            (int(self.lref4[by, bx, lst]) if uses else -1)
 
-    def _mv_pred_b(self, my: int, mx: int, lst: int,
-                   ref: int = 0) -> tuple[int, int]:
-        """Median MV predictor per list (8.4.1.3): the exactly-one-
-        match shortcut is keyed by (list, refIdx) equality, while the
-        median uses every neighbor predicting from this list
-        regardless of refIdx — the same split as the P lane."""
-        a = self._neighbor_b(my, mx - 1, lst)
-        b = self._neighbor_b(my - 1, mx, lst)
-        c = self._neighbor_b(my - 1, mx + 1, lst)
+    def _mv_pred_b_part(self, by: int, bx: int, w4: int, h4: int,
+                        lst: int, ref: int = 0,
+                        shape: str | None = None) -> tuple[int, int]:
+        """Median MV predictor per list (8.4.1.3) for the partition
+        whose top-left 4x4 block is (by, bx) spanning w4 x h4 blocks.
+        ``shape`` selects the 8.4.1.3.2 directional shortcuts
+        ('16x8_top' -> B, '16x8_bottom' -> A, '8x16_left' -> A,
+        '8x16_right' -> C), applied when that neighbor predicts from
+        the SAME (list, refIdx); the exactly-one-match shortcut is
+        keyed by (list, refIdx) equality, while the median uses every
+        neighbor predicting from this list regardless of refIdx —
+        the same split as the P lane."""
+        a = self._nb4_b(by, bx - 1, lst)
+        b = self._nb4_b(by - 1, bx, lst)
+        c = self._nb4_b(by - 1, bx + w4, lst)
         if not c[0]:
-            c = self._neighbor_b(my - 1, mx - 1, lst)   # D fallback
+            c = self._nb4_b(by - 1, bx - 1, lst)        # D fallback
+        directional = {"16x8_top": b, "16x8_bottom": a,
+                       "8x16_left": a, "8x16_right": c}.get(shape)
+        if (directional is not None and directional[0]
+                and directional[1] and directional[3] == ref):
+            return directional[2]
         if a[0] and not b[0] and not c[0]:
             return a[2]                                 # 8.4.1.3.1 rule 1
         matches = [n for n in (a, b, c) if n[0] and n[1]
@@ -149,6 +216,10 @@ class BiMotionMixin:
         mvy = sorted(n[2][0] if n[1] else 0 for n in (a, b, c))[1]
         mvx = sorted(n[2][1] if n[1] else 0 for n in (a, b, c))[1]
         return mvy, mvx
+
+    def _mv_pred_b(self, my: int, mx: int, lst: int,
+                   ref: int = 0) -> tuple[int, int]:
+        return self._mv_pred_b_part(my * 4, mx * 4, 4, 4, lst, ref)
 
     # ---- spatial direct derivation (8.4.1.2.2) ----
 
@@ -177,14 +248,15 @@ class BiMotionMixin:
         direct_spatial_mv_pred_flag."""
         if not self.direct_spatial:
             return self._direct_mv_temporal(my, mx)
+        by, bx = my * 4, mx * 4
         use = []
         refidx = []
         for lst in (0, 1):
-            a = self._neighbor_b(my, mx - 1, lst)
-            b = self._neighbor_b(my - 1, mx, lst)
-            c = self._neighbor_b(my - 1, mx + 1, lst)
+            a = self._nb4_b(by, bx - 1, lst)
+            b = self._nb4_b(by - 1, bx, lst)
+            c = self._nb4_b(by - 1, bx + 4, lst)
             if not c[0]:
-                c = self._neighbor_b(my - 1, mx - 1, lst)
+                c = self._nb4_b(by - 1, bx - 1, lst)
             # refIdxLX = MinPositive over the neighbors' refIdx in
             # this list (8.4.1.2.2; unavailable / intra / other-list
             # neighbors contribute -1)
@@ -259,27 +331,45 @@ class BiMotionMixin:
                 wp["logwd_y"]).astype(np.uint8)
         return cache[(lst, ref)]
 
+    def _mc_pred_rect(self, lrect, crect, mv: tuple[int, int],
+                      lst: int, ref: int = 0):
+        """Mono prediction of one list over arbitrary luma/chroma
+        rects ((py, px, bh, bw) / (cy, cx, ch, cw)) — the partition-
+        general form of the whole-MB prediction."""
+        ry, ru, rv = self._ref_planes(lst, ref)
+        py, px, bh, bw = lrect
+        cy, cx, ch, cw = crect
+        mvy, mvx = mv
+        return (_interp_luma(ry, py, px, bh, bw, mvy, mvx),
+                _interp_chroma(ru, cy, cx, ch, cw, mvy, mvx),
+                _interp_chroma(rv, cy, cx, ch, cw, mvy, mvx))
+
     def _mc_pred_list(self, my: int, mx: int, mv: tuple[int, int],
                       lst: int, ref: int = 0):
-        ry, ru, rv = self._ref_planes(lst, ref)
-        mvy, mvx = mv
-        return (_interp_luma(ry, my * 16, mx * 16, 16, 16, mvy, mvx),
-                _interp_chroma(ru, my * 8, mx * 8, 8, 8, mvy, mvx),
-                _interp_chroma(rv, my * 8, mx * 8, 8, 8, mvy, mvx))
+        return self._mc_pred_rect((my * 16, mx * 16, 16, 16),
+                                  (my * 8, mx * 8, 8, 8), mv, lst, ref)
 
     def _pred_b(self, my: int, mx: int, mv0, mv1, use0: bool,
                 use1: bool, ref0: int = 0, ref1: int = 0):
-        """Combined (possibly bi-) prediction: the default rounded
-        average when both lists predict (8.4.2.3.2), or the weighted
-        combination (8.4.2.3.3) when the slice carries explicit
-        weights / the PPS selects implicit mode.  Implicit weights
-        apply only to bi-predicted blocks; explicit weights apply to
-        mono predictions too (via :meth:`_wp_mono`); explicit entries
-        are looked up per (list, refIdx)."""
+        return self._pred_b_rect((my * 16, mx * 16, 16, 16),
+                                 (my * 8, mx * 8, 8, 8), mv0, mv1,
+                                 use0, use1, ref0, ref1)
+
+    def _pred_b_rect(self, lrect, crect, mv0, mv1, use0: bool,
+                     use1: bool, ref0: int = 0, ref1: int = 0):
+        """Combined (possibly bi-) prediction over arbitrary rects:
+        the default rounded average when both lists predict
+        (8.4.2.3.2), or the weighted combination (8.4.2.3.3) when the
+        slice carries explicit weights / the PPS selects implicit
+        mode.  Implicit weights apply only to bi-predicted blocks;
+        explicit weights apply to mono predictions too (via
+        :meth:`_wp_mono`); explicit entries are looked up per
+        (list, refIdx).  Weighting is pointwise, so per-partition
+        application equals whole-MB application on uniform MBs."""
         wp = self.wp
         if use0 and use1:
-            p0 = self._mc_pred_list(my, mx, mv0, 0, ref0)
-            p1 = self._mc_pred_list(my, mx, mv1, 1, ref1)
+            p0 = self._mc_pred_rect(lrect, crect, mv0, 0, ref0)
+            p1 = self._mc_pred_rect(lrect, crect, mv1, 1, ref1)
             if wp is None:
                 return tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
             lg = (wp["logwd_y"], wp["logwd_c"], wp["logwd_c"])
@@ -297,22 +387,65 @@ class BiMotionMixin:
             return tuple(out)
         if use0:
             return self._wp_mono(
-                self._mc_pred_list(my, mx, mv0, 0, ref0), "l0", ref0)
+                self._mc_pred_rect(lrect, crect, mv0, 0, ref0),
+                "l0", ref0)
         return self._wp_mono(
-            self._mc_pred_list(my, mx, mv1, 1, ref1), "l1", ref1)
+            self._mc_pred_rect(lrect, crect, mv1, 1, ref1),
+            "l1", ref1)
+
+    def _pred_b_split(self, my: int, mx: int, parts, infos):
+        """Assembled MB prediction from per-partition two-list motion;
+        ``infos`` carries (mv0, mv1, use0, use1, ref0, ref1) per
+        partition in the same order as ``parts``."""
+        pred_y = np.zeros((16, 16), dtype=np.int64)
+        pred_u = np.zeros((8, 8), dtype=np.int64)
+        pred_v = np.zeros((8, 8), dtype=np.int64)
+        for part, (mv0, mv1, use0, use1, ref0, ref1) in zip(parts,
+                                                            infos):
+            _, _, _, _, _, (py, px, bh, bw), (cy, cx, ch, cw) = part
+            piece = self._pred_b_rect((py, px, bh, bw),
+                                      (cy, cx, ch, cw), mv0, mv1,
+                                      use0, use1, ref0, ref1)
+            oy, ox = py - my * 16, px - mx * 16
+            pred_y[oy:oy + bh, ox:ox + bw] = piece[0]
+            ou, ov = cy - my * 8, cx - mx * 8
+            pred_u[ou:ou + ch, ov:ov + cw] = piece[1]
+            pred_v[ou:ou + ch, ov:ov + cw] = piece[2]
+        return pred_y, pred_u, pred_v
+
+    def _commit_b_part(self, by: int, bx: int, w4: int, h4: int,
+                       mv0, mv1, use0: bool, use1: bool,
+                       ref0: int = 0, ref1: int = 0) -> None:
+        """Record one partition's two-list motion at block
+        granularity (later partitions of the same MB predict from
+        earlier ones, so this runs per partition)."""
+        self.lmv4[by:by + h4, bx:bx + w4, 0] = mv0
+        self.lmv4[by:by + h4, bx:bx + w4, 1] = mv1
+        self.luse4[by:by + h4, bx:bx + w4, 0] = use0
+        self.luse4[by:by + h4, bx:bx + w4, 1] = use1
+        self.lref4[by:by + h4, bx:bx + w4, 0] = ref0 if use0 else 0
+        self.lref4[by:by + h4, bx:bx + w4, 1] = ref1 if use1 else 0
+        self.ldec4[by:by + h4, bx:bx + w4] = 2
+
+    def _finish_b_mb(self, addr: int) -> None:
+        my, mx = divmod(addr, self.mb_w)
+        self.mb_state[my, mx] = 2
+        # later intra MBs predict mode DC from inter neighbors (8.3.1)
+        self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+
+    def _note_intra_b(self, addr: int) -> None:
+        """Mark an intra-coded MB in the per-list block grids:
+        available-but-not-inter to later MV prediction (8.4.1.3)."""
+        my, mx = divmod(addr, self.mb_w)
+        self.ldec4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 1
+        self.luse4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = False
 
     def _commit_b(self, addr: int, mv0, mv1, use0: bool,
                   use1: bool, ref0: int = 0, ref1: int = 0) -> None:
         my, mx = divmod(addr, self.mb_w)
-        self.lmv[my, mx, 0] = mv0
-        self.lmv[my, mx, 1] = mv1
-        self.luse[my, mx, 0] = use0
-        self.luse[my, mx, 1] = use1
-        self.lref[my, mx, 0] = ref0 if use0 else 0
-        self.lref[my, mx, 1] = ref1 if use1 else 0
-        self.mb_state[my, mx] = 2
-        # later intra MBs predict mode DC from inter neighbors (8.3.1)
-        self.modes[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 2
+        self._commit_b_part(my * 4, mx * 4, 4, 4, mv0, mv1,
+                            use0, use1, ref0, ref1)
+        self._finish_b_mb(addr)
 
     # ---- encode-side mode competition (shared by both lanes) ----
 
@@ -362,6 +495,164 @@ class BiMotionMixin:
         cands.append((bi_cost, _B_BI_16x16, l0[1], l1[1], True, True,
                       l0[2], l1[2], l0[3], l1[3]))
         return min(cands)
+
+    # ---- sub-16x16 partitions: shared derive + search machinery ----
+
+    def _derive_b_parts(self, parts, shapes, uses, refs, mvds):
+        """Per-partition two-list motion derivation in coding order:
+        each partition's predictor sees every earlier partition's
+        committed block-grid motion (mvd values were already read —
+        they are plain numbers, so bit order and derivation order are
+        independent).  Returns the (mv0, mv1, use0, use1, ref0, ref1)
+        info list matching ``parts``."""
+        infos = []
+        for (by, bx, w4, h4, _, _, _), shape, (use0, use1), \
+                (r0, r1), (d0, d1) in zip(parts, shapes, uses, refs,
+                                          mvds):
+            mv0 = mv1 = (0, 0)
+            if use0:
+                p = self._mv_pred_b_part(by, bx, w4, h4, 0, r0, shape)
+                mv0 = (p[0] + d0[0], p[1] + d0[1])
+            if use1:
+                p = self._mv_pred_b_part(by, bx, w4, h4, 1, r1, shape)
+                mv1 = (p[0] + d1[0], p[1] + d1[1])
+            self._commit_b_part(by, bx, w4, h4, mv0, mv1, use0, use1,
+                                r0 if use0 else 0, r1 if use1 else 0)
+            infos.append((mv0, mv1, use0, use1,
+                          r0 if use0 else 0, r1 if use1 else 0))
+        return infos
+
+    def _save_b_region(self, by: int, bx: int, w4: int, h4: int):
+        return (by, bx, w4, h4,
+                self.lmv4[by:by + h4, bx:bx + w4].copy(),
+                self.luse4[by:by + h4, bx:bx + w4].copy(),
+                self.lref4[by:by + h4, bx:bx + w4].copy(),
+                self.ldec4[by:by + h4, bx:bx + w4].copy())
+
+    def _restore_b_regions(self, saved) -> None:
+        for by, bx, w4, h4, m4, u4, r4, d4 in reversed(saved):
+            self.lmv4[by:by + h4, bx:bx + w4] = m4
+            self.luse4[by:by + h4, bx:bx + w4] = u4
+            self.lref4[by:by + h4, bx:bx + w4] = r4
+            self.ldec4[by:by + h4, bx:bx + w4] = d4
+
+    def _b_search_part(self, y_src: np.ndarray, part, search: int):
+        """Mode competition for one B partition: the best of L0 / L1
+        (ref 0 each — partitions search reference 0, like the P
+        lane) and their bi combination, costed by SAD + mvd-bit
+        bias.  Returns (cost, mode, info, mvp0, mvp1) where info is
+        the (mv0, mv1, use0, use1, ref0, ref1) commit tuple."""
+        by, bx, w4, h4, shape, (py, px, bh, bw), crect = part
+        src = y_src[py:py + bh, px:px + bw].astype(np.int64)
+        monos = []
+        for lst in (0, 1):
+            mvp = self._mv_pred_b_part(by, bx, w4, h4, lst, 0, shape)
+            mv, cost = self._search_rect(
+                src, py, px, bh, bw, search,
+                self._search_ref_list(lst, 0), mvp)
+            monos.append((mv, mvp, cost))
+        (mv0, mvp0, c0), (mv1, mvp1, c1) = monos
+        cands = [
+            (c0, "l0", (mv0, (0, 0), True, False, 0, 0)),
+            (c1, "l1", ((0, 0), mv1, False, True, 0, 0)),
+        ]
+        bi = self._pred_b_rect((py, px, bh, bw), crect, mv0, mv1,
+                               True, True, 0, 0)
+        bi_cost = int(np.abs(src - bi[0]).sum()) + 2 * (
+            abs(mv0[0] - mvp0[0]) + abs(mv0[1] - mvp0[1])
+            + abs(mv1[0] - mvp1[0]) + abs(mv1[1] - mvp1[1])) + 32
+        cands.append((bi_cost, "bi", (mv0, mv1, True, True, 0, 0)))
+        cost, mode, info = min(cands, key=lambda c: c[0])
+        return cost, mode, info, mvp0, mvp1
+
+    def _b_search_split(self, y_src: np.ndarray, my: int, mx: int,
+                        shape_t: int, search: int):
+        """Search both partitions of a B 16x8/8x16 split, each
+        partition choosing its own L0/L1/Bi mode (tentative commits
+        so the second predictor sees the first's motion; all commits
+        rolled back).  Returns (mb_type, parts, infos, mvps, cost)."""
+        from rmlint_spark.operators.h264_inter import _p_parts
+
+        parts = _p_parts(shape_t, my, mx)
+        saved, modes, infos, mvps = [], [], [], []
+        total = 0
+        try:
+            for part in parts:
+                by, bx, w4, h4 = part[0], part[1], part[2], part[3]
+                cost, mode, info, mvp0, mvp1 = self._b_search_part(
+                    y_src, part, search)
+                saved.append(self._save_b_region(by, bx, w4, h4))
+                self._commit_b_part(by, bx, w4, h4, *info)
+                modes.append(mode)
+                infos.append(info)
+                mvps.append((mvp0, mvp1))
+                total += cost
+        finally:
+            self._restore_b_regions(saved)
+        mb_type = 4 + 2 * _B_PART_MODES.index(tuple(modes)) \
+            + (0 if shape_t == 1 else 1)
+        return mb_type, parts, infos, mvps, total
+
+    def _b_search_8x8(self, y_src: np.ndarray, my: int, mx: int,
+                      search: int):
+        """Greedy per-quadrant competition for B_8x8: each 8x8
+        sub-macroblock picks the best of B_Direct_8x8 / B_L0_8x8 /
+        B_L1_8x8 / B_Bi_8x8 (the encoder's emitted Table 7-18
+        subset; the DECODER accepts the full table incl. 8x4/4x8/4x4
+        splits).  Returns (subs, parts, infos, mvps, cost)."""
+        from rmlint_spark.operators.h264_inter import _sub_parts
+
+        d_info = self._direct_mv(my, mx)
+        saved, subs, parts, infos, mvps = [], [], [], [], []
+        total = 0
+        try:
+            for i in range(4):
+                part = _sub_parts(i, 0, my, mx)[0]
+                by, bx, w4, h4, _, (py, px, bh, bw), crect = part
+                src = y_src[py:py + bh, px:px + bw].astype(np.int64)
+                d_pred = self._pred_b_rect((py, px, bh, bw), crect,
+                                           *d_info)
+                cands = [(int(np.abs(src - d_pred[0]).sum()), 0,
+                          d_info, (0, 0), (0, 0))]
+                cost, mode, info, mvp0, mvp1 = self._b_search_part(
+                    y_src, part, search)
+                st = {"l0": 1, "l1": 2, "bi": 3}[mode]
+                cands.append((cost + 24, st, info, mvp0, mvp1))
+                cost, st, info, mvp0, mvp1 = min(cands,
+                                                 key=lambda c: c[0])
+                saved.append(self._save_b_region(by, bx, w4, h4))
+                self._commit_b_part(by, bx, w4, h4, *info)
+                subs.append(st)
+                parts.append(part)
+                infos.append(info)
+                mvps.append((mvp0, mvp1))
+                total += cost
+        finally:
+            self._restore_b_regions(saved)
+        return subs, parts, infos, mvps, total
+
+    def _b_split_candidates(self, y_src: np.ndarray, my: int,
+                            mx: int, search: int):
+        """The partitioned-mode competition both entropy lanes share
+        (so their mode decisions — and pixels — stay identical):
+        16x8, 8x16 and B_8x8, each with the P lane's bit-cost
+        biases.  Returns (cost, mb_type, subs, parts, infos, mvps)
+        or None when direct derivation refuses (partitioned
+        colocated under spatial direct never happens with our own
+        encoder's unpartitioned anchors)."""
+        best = None
+        for shape_t in (1, 2):
+            mb_type, parts, infos, mvps, cost = self._b_search_split(
+                y_src, my, mx, shape_t, search)
+            cost += 96              # bit-cost bias: extra mvd pairs
+            if best is None or cost < best[0]:
+                best = (cost, mb_type, None, parts, infos, mvps)
+        subs, parts, infos, mvps, cost = self._b_search_8x8(
+            y_src, my, mx, search)
+        cost += 320                 # four sub codes + mvd baseline
+        if cost < best[0]:
+            best = (cost, _B_8x8, subs, parts, infos, mvps)
+        return best
 
     # ---- decode ----
 
@@ -431,6 +722,97 @@ class BInterPicture(BiMotionMixin, InterPicture):
         self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
         self._commit_b(addr, mv0, mv1, use0, use1, ref0, ref1)
 
+    def _decode_mb_b2(self, r: _BitReader, addr: int,
+                      mb_type: int) -> None:
+        """Partitioned B macroblock (Table 7-14, 16x8/8x16): mb_pred
+        syntax order (7.3.5.1) is all ref_idx_l0 fields, all
+        ref_idx_l1, all mvd_l0 pairs, all mvd_l1 — then per-partition
+        derivation in coding order, one CBP + residual over the
+        assembled prediction."""
+        from rmlint_spark.operators.h264 import _read_se
+
+        my, mx = divmod(addr, self.mb_w)
+        parts, modes = _b_part_geometry(mb_type, my, mx)
+        uses = [_mode_uses(m) for m in modes]
+        shapes = [p[4] for p in parts]
+        refs = [[0, 0] for _ in parts]
+        for lst, n_act in ((0, self.n_ref0), (1, self.n_ref1)):
+            for i, u in enumerate(uses):
+                if u[lst]:
+                    refs[i][lst] = self._read_ref_idx(r, n_act)
+        mvds = [[(0, 0), (0, 0)] for _ in parts]
+        for lst in (0, 1):
+            for i, u in enumerate(uses):
+                if u[lst]:
+                    mvd_x = _read_se(r)     # compIdx 0 = horizontal
+                    mvd_y = _read_se(r)
+                    mvds[i][lst] = (mvd_y, mvd_x)
+        infos = self._derive_b_parts(parts, shapes, uses, refs, mvds)
+        pred_y, pred_u, pred_v = self._pred_b_split(my, mx, parts,
+                                                    infos)
+        self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
+        self._finish_b_mb(addr)
+
+    def _decode_mb_b8x8(self, r: _BitReader, addr: int) -> None:
+        """B_8x8 (7.3.5.2): four Table 7-18 sub_mb_type codes — the
+        FULL table decodes (direct / L0 / L1 / Bi at 8x8, 8x4, 4x8,
+        4x4) — then ref_idx_l0 per non-direct 8x8 using L0, then
+        ref_idx_l1, then mvd_l0 per sub-partition in coding order,
+        then mvd_l1.  B_Direct_8x8 applies the MB-level spatial /
+        temporal derivation to its quadrant (exact in our subset:
+        the refIdx derivation reads MB neighbors and the colocated
+        MB is uniform — partitioned colocated refuses)."""
+        from rmlint_spark.operators.h264 import _read_se, _read_ue
+        from rmlint_spark.operators.h264_inter import _sub_parts
+
+        my, mx = divmod(addr, self.mb_w)
+        subs = [_read_ue(r) for _ in range(4)]
+        for s in subs:
+            if s > 12:
+                raise ValueError(f"invalid B sub_mb_type {s}")
+        refs8 = [[0, 0] for _ in range(4)]
+        for lst, n_act in ((0, self.n_ref0), (1, self.n_ref1)):
+            for i, s in enumerate(subs):
+                if s and _mode_uses(_B_SUB_MODES[s][0])[lst]:
+                    refs8[i][lst] = self._read_ref_idx(r, n_act)
+        mvds: dict[tuple[int, int, int], tuple[int, int]] = {}
+        for lst in (0, 1):
+            for i, s in enumerate(subs):
+                if not s or not _mode_uses(_B_SUB_MODES[s][0])[lst]:
+                    continue
+                for j in range(len(_sub_parts(
+                        i, _B_SUB_MODES[s][1], my, mx))):
+                    mvd_x = _read_se(r)
+                    mvd_y = _read_se(r)
+                    mvds[(i, j, lst)] = (mvd_y, mvd_x)
+        d_info = None
+        parts_all, infos_all = [], []
+        for i, s in enumerate(subs):
+            if s == 0:                       # B_Direct_8x8
+                if d_info is None:
+                    d_info = self._direct_mv(my, mx)
+                part = _sub_parts(i, 0, my, mx)[0]
+                by, bx, w4, h4 = part[0], part[1], part[2], part[3]
+                self._commit_b_part(by, bx, w4, h4, *d_info)
+                parts_all.append(part)
+                infos_all.append(d_info)
+                continue
+            mode, shape_key = _B_SUB_MODES[s]
+            use0, use1 = _mode_uses(mode)
+            r0, r1 = refs8[i]
+            ps = _sub_parts(i, shape_key, my, mx)
+            infos_all.extend(self._derive_b_parts(
+                ps, [None] * len(ps), [(use0, use1)] * len(ps),
+                [(r0, r1)] * len(ps),
+                [(mvds.get((i, j, 0), (0, 0)),
+                  mvds.get((i, j, 1), (0, 0)))
+                 for j in range(len(ps))]))
+            parts_all.extend(ps)
+        pred_y, pred_u, pred_v = self._pred_b_split(my, mx, parts_all,
+                                                    infos_all)
+        self._read_inter_residual(r, addr, pred_y, pred_u, pred_v)
+        self._finish_b_mb(addr)
+
     def decode_slice_b(self, r: _BitReader, first_mb: int,
                        covered: np.ndarray) -> None:
         """slice_data() for a CAVLC B slice (7.3.4): alternating
@@ -457,10 +839,10 @@ class BInterPicture(BiMotionMixin, InterPicture):
             my, mx = divmod(addr, self.mb_w)
             if mb_type <= _B_BI_16x16:
                 self._decode_mb_b16(r, addr, mb_type)
-            elif mb_type < _B_INTRA_OFFSET:
-                raise ValueError(
-                    f"H.264 B partition mb_type {mb_type} "
-                    "(16x8/8x16/8x8) not in the 16x16 subset")
+            elif mb_type < _B_8x8:
+                self._decode_mb_b2(r, addr, mb_type)
+            elif mb_type == _B_8x8:
+                self._decode_mb_b8x8(r, addr)
             else:
                 it = mb_type - _B_INTRA_OFFSET
                 if it == 25:
@@ -472,16 +854,60 @@ class BInterPicture(BiMotionMixin, InterPicture):
                 else:
                     raise ValueError(f"invalid B-slice mb_type {mb_type}")
                 self.mb_state[my, mx] = 1
+                self._note_intra_b(addr)
             covered[addr] = True
             addr += 1
 
     # ---- encode ----
 
+    def _encode_b_split(self, w: _BitWriter, addr: int, split,
+                        y_src: np.ndarray, u_src: np.ndarray,
+                        v_src: np.ndarray) -> None:
+        """Emit one partitioned B macroblock (16x8/8x16/B_8x8) in
+        7.3.5 syntax order: mb_type, sub_mb_types (B_8x8), ref_idx
+        fields of both lists, mvd_l0 pairs, mvd_l1 pairs, residual."""
+        from rmlint_spark.operators.h264 import _write_se, _write_ue
+
+        my, mx = divmod(addr, self.mb_w)
+        _, mb_type, subs, parts, infos, mvps = split
+        _write_ue(w, mb_type)
+        if subs is not None:
+            for st in subs:
+                _write_ue(w, st)
+        # ref_idx fields: all l0 then all l1 (partitions search ref 0;
+        # B_Direct_8x8 sub-macroblocks carry no ref/mvd syntax)
+        for lst, n_act in ((0, self.n_ref0), (1, self.n_ref1)):
+            for i, info in enumerate(infos):
+                if subs is not None and subs[i] == 0:
+                    continue
+                if info[2 + lst]:
+                    self._write_ref_idx(w, 0, n_act)
+        for lst in (0, 1):
+            for i, (info, mvp2) in enumerate(zip(infos, mvps)):
+                if subs is not None and subs[i] == 0:
+                    continue
+                if info[2 + lst]:
+                    mv, mvp = info[lst], mvp2[lst]
+                    _write_se(w, mv[1] - mvp[1])
+                    _write_se(w, mv[0] - mvp[0])
+        for part, info in zip(parts, infos):
+            self._commit_b_part(part[0], part[1], part[2], part[3],
+                                *info)
+        preds = self._pred_b_split(my, mx, parts, infos)
+        (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
+         cbp) = self._quantize_inter(addr, infos[0][0], y_src, u_src,
+                                     v_src, preds=preds)
+        self._write_inter_residual(w, addr, pred_y, pred_u, pred_v,
+                                   luma_q, dc_q, ac_q, cbp)
+        self._finish_b_mb(addr)
+
     def encode_mb_b(self, w: _BitWriter, addr: int, y_src: np.ndarray,
                     u_src: np.ndarray, v_src: np.ndarray,
-                    search: int) -> bool:
+                    search: int, partitions: bool = False) -> bool:
         """Encode one B-slice macroblock; returns True when it became
-        a B_Skip (folded into mb_skip_run by the caller)."""
+        a B_Skip (folded into mb_skip_run by the caller).  With
+        ``partitions`` the 16x8/8x16/B_8x8 splits compete with the
+        whole-MB modes by SAD + mvd-bits cost."""
         from rmlint_spark.operators.h264 import _write_se, _write_ue
 
         my, mx = divmod(addr, self.mb_w)
@@ -490,6 +916,12 @@ class BInterPicture(BiMotionMixin, InterPicture):
         best = self._b_candidates(src, my, mx, search)
         cost, mode, cmv0, cmv1, use0, use1, ref0, ref1, mvp0, mvp1 \
             = best
+        if partitions:
+            split = self._b_split_candidates(y_src, my, mx, search)
+            if split[0] < cost:
+                self._encode_b_split(w, addr, split, y_src, u_src,
+                                     v_src)
+                return False
         preds = self._pred_b(my, mx, cmv0, cmv1, use0, use1,
                              ref0, ref1)
         (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
@@ -527,7 +959,8 @@ def encode_h264_b(frames: list[np.ndarray],
                   search: int = 4,
                   wp: str | None = None,
                   direct: str = "spatial",
-                  refs: int = 1) -> bytes:
+                  refs: int = 1,
+                  partitions: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments and CAVLC entropy.  Display structure per
     ``seg``-frame segment: anchors every ``bgroup + 1`` frames (plus
@@ -552,7 +985,13 @@ def encode_h264_b(frames: list[np.ndarray],
     where content hidden in the near anchor is visible in the older
     one); requires ``direct="spatial"`` and excludes ``wp=
     "implicit"`` (both derivations are exact only for single-ref
-    lists; the decoder enforces the same pairing)."""
+    lists; the decoder enforces the same pairing).
+
+    ``partitions`` lets B macroblocks split below 16x16: the
+    16x8/8x16 pairs and B_8x8 (direct/L0/L1/Bi quadrants) compete
+    with the whole-MB modes.  Anchor P slices stay unpartitioned so
+    spatial direct's colocated derivation remains exact (the decoder
+    refuses partitioned colocated MBs)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -756,7 +1195,8 @@ def encode_h264_b(frames: list[np.ndarray],
                     inter_slice_body(
                         bw, bpic,
                         lambda pb, addr: bpic.encode_mb_b(
-                            pb, addr, by, bu, bv, search))
+                            pb, addr, by, bu, bv, search,
+                            partitions=partitions))
                     _trailing_bits(bw)
                     # non-reference NAL: type 1, ref_idc 0
                     out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())

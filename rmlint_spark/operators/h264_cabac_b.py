@@ -9,12 +9,15 @@ exactly the way h264_cabac_p.py composed it with MotionMixin:
   offsets 24..26), neighbor increment from non-skipped coded
   neighbors; a skipped B macroblock reconstructs through spatial
   direct, like the CAVLC lane;
-- **B mb_type** (Table 9-37): '0' = B_Direct_16x16, '100' / '101' =
-  B_L0_16x16 / B_L1_16x16, '110000' = B_Bi_16x16, '111101' + I
-  suffix = intra-in-B; bin0's context increment counts neighbors
-  that are coded and NOT direct/skipped (9.3.3.1.1.3).  Any other
-  path through the tree is a sub-16x16 partition and raises the
-  documented ValueError without needing the full partition table;
+- **B mb_type** (Table 9-37, COMPLETE since r5 s17): '0' =
+  B_Direct_16x16, '100' / '101' = B_L0_16x16 / B_L1_16x16, '110' +
+  3 bins = mb_types 3..10, '111' + 3 bins resolving the intra
+  escape ('111101'), mb_type 11 ('111110'), B_8x8 ('111111') and —
+  with one more bin — mb_types 12..21; bin0's context increment
+  counts neighbors that are coded and NOT direct/skipped
+  (9.3.3.1.1.3).  B_8x8 carries four Table 9-38 sub_mb_type codes
+  (the full 13-value B half decodes: direct / L0 / L1 / Bi at
+  8x8 / 8x4 / 4x8 / 4x4);
 - **mvd_l0 / mvd_l1 UEG3** (9.3.2.3): the same truncated-unary +
   k=3 Exp-Golomb machinery as the P lane, context increments from
   PER-LIST neighbor |mvd| grids, context variables shared between
@@ -31,11 +34,11 @@ follow clause 9.3; encoder and decoder share every table, so the
 pair is self-consistent by construction.
 
 The refusal surface for video after this module: reference (pyramid)
-B pictures, SP/SI slices, sub-16x16 B partitions, multi-reference B
-lists (P multi-ref is DPB-general since r5 s17; weighted prediction
-— explicit and implicit — and temporal direct decode since r5 s10;
-the header, pred_weight_table included, stays Exp-Golomb under
-CABAC).
+B pictures and SP/SI slices (P and B multi-ref are DPB-general and
+sub-16x16 partitions decode in both slice types since r5 s17;
+weighted prediction — explicit and implicit — and temporal direct
+decode since r5 s10; the header, pred_weight_table included, stays
+Exp-Golomb under CABAC).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -69,6 +72,7 @@ _B_DIRECT_16x16 = 0
 _B_L0_16x16 = 1
 _B_L1_16x16 = 2
 _B_BI_16x16 = 3
+_B_8x8 = 22
 
 
 def _enc_mvd_ueg3(enc: CabacEncoder, cx, inc: int, v: int) -> None:
@@ -118,8 +122,11 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         CabacInterPicture.__init__(self, y, u, v, mb_w, mb_h, ref0,
                                    more=more0)
         self._init_bimotion(ref1, col, more1)
-        # per-list per-component |mvd| for the context increments
-        self.bmvd = np.zeros((mb_h, mb_w, 2, 2), dtype=np.int64)
+        # per-list per-component |mvd| for the context increments, at
+        # the spec's 4x4-block (partition) granularity since the
+        # sub-16x16 B lanes (r5 s17)
+        self.bmvd4 = np.zeros((mb_h * 4, mb_w * 4, 2, 2),
+                              dtype=np.int64)
         # 1 = this coded MB is B_Skip or B_Direct (9.3.3.1.1.3)
         self.bdirect = np.zeros((mb_h, mb_w), dtype=np.int64)
 
@@ -138,26 +145,32 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             return 0 if int(self.bdirect[ny, nx]) else 1
         return term(my, mx - 1) + term(my - 1, mx)
 
-    def _bmvd_inc(self, my: int, mx: int, lst: int, comp: int) -> int:
-        a = abs(int(self.bmvd[my, mx - 1, lst, comp])) if mx > 0 else 0
-        b = abs(int(self.bmvd[my - 1, mx, lst, comp])) if my > 0 else 0
+    def _bmvd_inc(self, by: int, bx: int, lst: int, comp: int) -> int:
+        """bin-0 ctxIdxInc from the neighbor |mvd| sum (9.3.3.1.1.7)
+        at 4x4-block (partition) granularity, per list."""
+        a = abs(int(self.bmvd4[by, bx - 1, lst, comp])) if bx > 0 else 0
+        b = abs(int(self.bmvd4[by - 1, bx, lst, comp])) if by > 0 else 0
         s = a + b
         return 0 if s < 3 else (1 if s <= 32 else 2)
 
-    def _bref_inc(self, my: int, mx: int, lst: int) -> int:
+    def _note_bmvd(self, by: int, bx: int, w4: int, h4: int,
+                   lst: int, mvd: tuple[int, int]) -> None:
+        self.bmvd4[by:by + h4, bx:bx + w4, lst] = mvd
+
+    def _bref_inc(self, by: int, bx: int, lst: int) -> int:
         """ref_idx_lX bin-0 ctxIdxInc (9.3.3.1.1.6) per list:
-        condTermFlagN is 1 when the neighbor MB predicts from this
-        list with refIdx > 0; inc = condTermA + 2 * condTermB."""
+        condTermFlagN is 1 when the neighbor partition predicts from
+        this list with refIdx > 0; inc = condTermA + 2 * condTermB."""
         def cond(ny: int, nx: int) -> int:
-            if not (0 <= ny < self.mb_h and 0 <= nx < self.mb_w):
+            if ny < 0 or nx < 0:
                 return 0
-            return 1 if (int(self.mb_state[ny, nx]) == 2
-                         and bool(self.luse[ny, nx, lst])
-                         and int(self.lref[ny, nx, lst]) > 0) else 0
+            return 1 if (int(self.ldec4[ny, nx]) == 2
+                         and bool(self.luse4[ny, nx, lst])
+                         and int(self.lref4[ny, nx, lst]) > 0) else 0
 
-        return cond(my, mx - 1) + 2 * cond(my - 1, mx)
+        return cond(by, bx - 1) + 2 * cond(by - 1, bx)
 
-    def _dec_ref_b(self, dec: CabacDecoder, my: int, mx: int,
+    def _dec_ref_b(self, dec: CabacDecoder, by: int, bx: int,
                    lst: int, n_act: int) -> int:
         """Unary ref_idx_lX (Table 9-34; both lists share the spec's
         ctxIdxOffset-54 context set): bin 0 by neighbors, bin 1 inc
@@ -165,7 +178,7 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         if n_act <= 1:
             return 0
         cx = self.cab.ref_idx
-        if not dec.decision(cx[self._bref_inc(my, mx, lst)]):
+        if not dec.decision(cx[self._bref_inc(by, bx, lst)]):
             return 0
         v = 1
         while dec.decision(cx[4 if v == 1 else 5]):
@@ -176,12 +189,12 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
                     "num_ref_idx_lX_active")
         return v
 
-    def _enc_ref_b(self, enc: CabacEncoder, my: int, mx: int,
+    def _enc_ref_b(self, enc: CabacEncoder, by: int, bx: int,
                    lst: int, ref: int, n_act: int) -> None:
         if n_act <= 1:
             return
         cx = self.cab.ref_idx
-        enc.decision(cx[self._bref_inc(my, mx, lst)],
+        enc.decision(cx[self._bref_inc(by, bx, lst)],
                      1 if ref > 0 else 0)
         k = 1
         while k <= ref:
@@ -193,7 +206,7 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         my, mx = divmod(addr, self.mb_w)
         self.skipped[my, mx] = 1
         self.bdirect[my, mx] = 1
-        self.bmvd[my, mx] = 0
+        self.bmvd4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
         self.mbt[my, mx] = 3
         self.dc_cbf[my, mx] = 0
         self.cdc_u[my, mx] = 0
@@ -202,10 +215,13 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         self.cbp_c[my, mx] = 0
 
     def _note_inter_b(self, addr: int, mvds, direct: bool) -> None:
+        """``mvds`` is the whole-MB (lst, comp) |mvd| fill, or None
+        when the partition paths already noted per-part mvds."""
         my, mx = divmod(addr, self.mb_w)
         self.skipped[my, mx] = 0
         self.bdirect[my, mx] = 1 if direct else 0
-        self.bmvd[my, mx] = mvds
+        if mvds is not None:
+            self.bmvd4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = mvds
         self.mbt[my, mx] = 3
         self.dc_cbf[my, mx] = 0
 
@@ -213,14 +229,16 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
         super().note_intra(addr)
         my, mx = divmod(addr, self.mb_w)
         self.bdirect[my, mx] = 0
-        self.bmvd[my, mx] = 0
+        self.bmvd4[my * 4:(my + 1) * 4, mx * 4:(mx + 1) * 4] = 0
+        self._note_intra_b(addr)
 
-    # ---- mb_type tree (Table 9-37, emitted subset) ----
+    # ---- mb_type tree (Table 9-37, complete) ----
 
     def _dec_b_mb_type(self, dec: CabacDecoder, my: int,
                        mx: int) -> int:
-        """Returns 0..3 for the 16x16 modes or -1 for the intra
-        escape ('111101'); any other path is a sub-16x16 partition."""
+        """Full Table 9-37: returns 0..3 for the 16x16 modes, 4..21
+        for the 16x8/8x16 partitions, 22 for B_8x8, or -1 for the
+        intra escape ('111101')."""
         cx = self.cab.b_pre
         if not dec.decision(cx[self._btype_inc(my, mx)]):
             return _B_DIRECT_16x16
@@ -231,20 +249,19 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             bits = 0
             for _ in range(3):
                 bits = (bits << 1) | dec.decision(cx[5])
-            if bits == 0:
-                return _B_BI_16x16
-            raise ValueError(
-                "H.264 CABAC B partition (16x8/8x16) not in the "
-                "16x16 subset")
-        # '111' prefix: '101' tail = intra escape, rest = partitions
+            return _B_BI_16x16 + bits               # 3..10
+        # '111' prefix + 3 bins: '101' = intra escape, '110' =
+        # mb_type 11, '111' = B_8x8, else one more bin -> 12..21
         bits = 0
         for _ in range(3):
             bits = (bits << 1) | dec.decision(cx[5])
         if bits == 0b101:
             return -1
-        raise ValueError(
-            "H.264 CABAC B partition (8x8/16x8/8x16) not in the "
-            "16x16 subset")
+        if bits == 0b110:
+            return 11
+        if bits == 0b111:
+            return _B_8x8
+        return 12 + 2 * bits + dec.decision(cx[5])  # 12..21
 
     def _enc_b_mb_type(self, enc: CabacEncoder, my: int, mx: int,
                        mode: int) -> None:
@@ -258,18 +275,66 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             enc.decision(cx[3], 0)
             enc.decision(cx[4], 1 if mode == _B_L1_16x16 else 0)
             return
-        if mode == _B_BI_16x16:
+        if _B_BI_16x16 <= mode <= 10:               # '110' + 3 bins
             enc.decision(cx[3], 1)
             enc.decision(cx[4], 0)
-            for _ in range(3):
-                enc.decision(cx[5], 0)
+            bits = mode - _B_BI_16x16
+            for i in (2, 1, 0):
+                enc.decision(cx[5], (bits >> i) & 1)
             return
-        # intra escape '111101'; caller then runs the I-slice path
         enc.decision(cx[3], 1)
         enc.decision(cx[4], 1)
-        enc.decision(cx[5], 1)
-        enc.decision(cx[5], 0)
-        enc.decision(cx[5], 1)
+        if mode == -1:                              # intra '111101'
+            bits, extra = 0b101, None
+        elif mode == 11:
+            bits, extra = 0b110, None
+        elif mode == _B_8x8:
+            bits, extra = 0b111, None
+        else:                                       # 12..21
+            bits, extra = (mode - 12) >> 1, (mode - 12) & 1
+        for i in (2, 1, 0):
+            enc.decision(cx[5], (bits >> i) & 1)
+        if extra is not None:
+            enc.decision(cx[5], extra)
+
+    # ---- sub_mb_type (Table 9-38, B half: 13 codes) ----
+
+    def _dec_b_sub_type(self, dec: CabacDecoder) -> int:
+        cx = self.cab.b_sub
+        if not dec.decision(cx[0]):
+            return 0                                # B_Direct_8x8
+        if not dec.decision(cx[1]):
+            return 1 + dec.decision(cx[2])          # '10x'
+        if not dec.decision(cx[2]):                 # '110' + 2 bins
+            return 3 + 2 * dec.decision(cx[3]) + dec.decision(cx[3])
+        if not dec.decision(cx[3]):                 # '1110' + 2 bins
+            return 7 + 2 * dec.decision(cx[3]) + dec.decision(cx[3])
+        return 11 + dec.decision(cx[3])             # '1111x'
+
+    def _enc_b_sub_type(self, enc: CabacEncoder, st: int) -> None:
+        cx = self.cab.b_sub
+        if st == 0:
+            enc.decision(cx[0], 0)
+            return
+        enc.decision(cx[0], 1)
+        if st <= 2:
+            enc.decision(cx[1], 0)
+            enc.decision(cx[2], st - 1)
+            return
+        enc.decision(cx[1], 1)
+        if st <= 6:
+            enc.decision(cx[2], 0)
+            enc.decision(cx[3], (st - 3) >> 1)
+            enc.decision(cx[3], (st - 3) & 1)
+            return
+        enc.decision(cx[2], 1)
+        if st <= 10:
+            enc.decision(cx[3], 0)
+            enc.decision(cx[3], (st - 7) >> 1)
+            enc.decision(cx[3], (st - 7) & 1)
+            return
+        enc.decision(cx[3], 1)
+        enc.decision(cx[3], st - 11)
 
     # ---- decode side ----
 
@@ -280,6 +345,13 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             self.decode_mb_cabac(dec, addr)
             self.note_intra(addr)
             return
+        if 4 <= mode < _B_8x8:
+            self._decode_b2_cabac(dec, addr, mode)
+            return
+        if mode == _B_8x8:
+            self._decode_b8x8_cabac(dec, addr)
+            return
+        by4, bx4 = my * 4, mx * 4
         mvds = np.zeros((2, 2), dtype=np.int64)
         ref0 = ref1 = 0
         if mode == _B_DIRECT_16x16:
@@ -292,18 +364,22 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             # mb_pred order (7.3.5.1): ref_idx fields of both lists
             # first, then the mvd pairs
             if use0:
-                ref0 = self._dec_ref_b(dec, my, mx, 0, self.n_ref0)
+                ref0 = self._dec_ref_b(dec, by4, bx4, 0, self.n_ref0)
             if use1:
-                ref1 = self._dec_ref_b(dec, my, mx, 1, self.n_ref1)
+                ref1 = self._dec_ref_b(dec, by4, bx4, 1, self.n_ref1)
             if use0:
-                dx = _dec_mvd_ueg3(dec, cx[0], self._bmvd_inc(my, mx, 0, 0))
-                dy = _dec_mvd_ueg3(dec, cx[1], self._bmvd_inc(my, mx, 0, 1))
+                dx = _dec_mvd_ueg3(dec, cx[0],
+                                   self._bmvd_inc(by4, bx4, 0, 0))
+                dy = _dec_mvd_ueg3(dec, cx[1],
+                                   self._bmvd_inc(by4, bx4, 0, 1))
                 p = self._mv_pred_b(my, mx, 0, ref0)
                 mv0 = (p[0] + dy, p[1] + dx)
                 mvds[0] = (dx, dy)
             if use1:
-                dx = _dec_mvd_ueg3(dec, cx[0], self._bmvd_inc(my, mx, 1, 0))
-                dy = _dec_mvd_ueg3(dec, cx[1], self._bmvd_inc(my, mx, 1, 1))
+                dx = _dec_mvd_ueg3(dec, cx[0],
+                                   self._bmvd_inc(by4, bx4, 1, 0))
+                dy = _dec_mvd_ueg3(dec, cx[1],
+                                   self._bmvd_inc(by4, bx4, 1, 1))
                 p = self._mv_pred_b(my, mx, 1, ref1)
                 mv1 = (p[0] + dy, p[1] + dx)
                 mvds[1] = (dx, dy)
@@ -313,6 +389,117 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
                                         pred_v)
         self._note_inter_b(addr, mvds, mode == _B_DIRECT_16x16)
         self._commit_b(addr, mv0, mv1, use0, use1, ref0, ref1)
+
+    def _read_b_part_mvds(self, dec: CabacDecoder, entries):
+        """Read mvd pairs in 7.3.5 syntax order (all L0, then all
+        L1), noting each into the block grid so later increments see
+        earlier mvds — the encoder mirrors this order exactly.
+        ``entries`` is [(key, lst, by, bx, w4, h4), ...] already in
+        syntax order; returns {key: (mvd_y, mvd_x)}."""
+        cx = self.cab.mvd
+        out = {}
+        for key, lst, by, bx, w4, h4 in entries:
+            dx = _dec_mvd_ueg3(dec, cx[0],
+                               self._bmvd_inc(by, bx, lst, 0))
+            dy = _dec_mvd_ueg3(dec, cx[1],
+                               self._bmvd_inc(by, bx, lst, 1))
+            out[key] = (dy, dx)
+            self._note_bmvd(by, bx, w4, h4, lst, (dx, dy))
+        return out
+
+    def _decode_b2_cabac(self, dec: CabacDecoder, addr: int,
+                         mb_type: int) -> None:
+        """Partitioned B macroblock (16x8/8x16) under CABAC: the
+        CAVLC lane's syntax order with arithmetic ref_idx/mvd bins."""
+        from rmlint_spark.operators.h264_b import (
+            _b_part_geometry,
+            _mode_uses,
+        )
+
+        my, mx = divmod(addr, self.mb_w)
+        parts, modes = _b_part_geometry(mb_type, my, mx)
+        uses = [_mode_uses(m) for m in modes]
+        shapes = [p[4] for p in parts]
+        refs = [[0, 0] for _ in parts]
+        for lst, n_act in ((0, self.n_ref0), (1, self.n_ref1)):
+            for i, u in enumerate(uses):
+                if u[lst]:
+                    refs[i][lst] = self._dec_ref_b(
+                        dec, parts[i][0], parts[i][1], lst, n_act)
+        entries = [((i, lst), lst, parts[i][0], parts[i][1],
+                    parts[i][2], parts[i][3])
+                   for lst in (0, 1)
+                   for i, u in enumerate(uses) if u[lst]]
+        got = self._read_b_part_mvds(dec, entries)
+        mvds = [[got.get((i, 0), (0, 0)), got.get((i, 1), (0, 0))]
+                for i in range(len(parts))]
+        infos = self._derive_b_parts(parts, shapes, uses, refs, mvds)
+        pred_y, pred_u, pred_v = self._pred_b_split(my, mx, parts,
+                                                    infos)
+        self._read_inter_residual_cabac(dec, addr, pred_y, pred_u,
+                                        pred_v)
+        self._note_inter_b(addr, None, False)
+        self._finish_b_mb(addr)
+
+    def _decode_b8x8_cabac(self, dec: CabacDecoder,
+                           addr: int) -> None:
+        """B_8x8 under CABAC: four Table 9-38 sub_mb_type codes (the
+        FULL B half decodes), then ref_idx/mvd fields in 7.3.5.2
+        order, then the shared derivation."""
+        from rmlint_spark.operators.h264_b import (
+            _B_SUB_MODES,
+            _mode_uses,
+        )
+        from rmlint_spark.operators.h264_inter import _sub_parts
+
+        my, mx = divmod(addr, self.mb_w)
+        subs = [self._dec_b_sub_type(dec) for _ in range(4)]
+        refs8 = [[0, 0] for _ in range(4)]
+        for lst, n_act in ((0, self.n_ref0), (1, self.n_ref1)):
+            for i, s in enumerate(subs):
+                if s and _mode_uses(_B_SUB_MODES[s][0])[lst]:
+                    ps = _sub_parts(i, _B_SUB_MODES[s][1], my, mx)
+                    refs8[i][lst] = self._dec_ref_b(
+                        dec, ps[0][0], ps[0][1], lst, n_act)
+        entries = []
+        for lst in (0, 1):
+            for i, s in enumerate(subs):
+                if not s or not _mode_uses(_B_SUB_MODES[s][0])[lst]:
+                    continue
+                for j, p in enumerate(_sub_parts(
+                        i, _B_SUB_MODES[s][1], my, mx)):
+                    entries.append(((i, j, lst), lst, p[0], p[1],
+                                    p[2], p[3]))
+        got = self._read_b_part_mvds(dec, entries)
+        d_info = None
+        parts_all, infos_all = [], []
+        for i, s in enumerate(subs):
+            if s == 0:                       # B_Direct_8x8
+                if d_info is None:
+                    d_info = self._direct_mv(my, mx)
+                part = _sub_parts(i, 0, my, mx)[0]
+                self._commit_b_part(part[0], part[1], part[2],
+                                    part[3], *d_info)
+                parts_all.append(part)
+                infos_all.append(d_info)
+                continue
+            mode, shape_key = _B_SUB_MODES[s]
+            use0, use1 = _mode_uses(mode)
+            r0, r1 = refs8[i]
+            ps = _sub_parts(i, shape_key, my, mx)
+            infos_all.extend(self._derive_b_parts(
+                ps, [None] * len(ps), [(use0, use1)] * len(ps),
+                [(r0, r1)] * len(ps),
+                [(got.get((i, j, 0), (0, 0)),
+                  got.get((i, j, 1), (0, 0)))
+                 for j in range(len(ps))]))
+            parts_all.extend(ps)
+        pred_y, pred_u, pred_v = self._pred_b_split(my, mx, parts_all,
+                                                    infos_all)
+        self._read_inter_residual_cabac(dec, addr, pred_y, pred_u,
+                                        pred_v)
+        self._note_inter_b(addr, None, False)
+        self._finish_b_mb(addr)
 
     def _read_inter_residual_cabac(self, dec: CabacDecoder, addr: int,
                                    pred_y, pred_u, pred_v) -> None:
@@ -382,15 +569,71 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
 
     # ---- encode side ----
 
+    def _encode_b_split_cabac(self, enc: CabacEncoder, addr: int,
+                              split, y_src: np.ndarray,
+                              u_src: np.ndarray,
+                              v_src: np.ndarray) -> None:
+        """Emit one partitioned B macroblock under CABAC in 7.3.5
+        syntax order — the arithmetic twin of
+        h264_b.BInterPicture._encode_b_split."""
+        cx = self.cab
+        my, mx = divmod(addr, self.mb_w)
+        _, mb_type, subs, parts, infos, mvps = split
+        enc.decision(cx.b_skip[self._skip_inc(my, mx)], 0)
+        self._enc_b_mb_type(enc, my, mx, mb_type)
+        if subs is not None:
+            for st in subs:
+                self._enc_b_sub_type(enc, st)
+        for lst, n_act in ((0, self.n_ref0), (1, self.n_ref1)):
+            for i, info in enumerate(infos):
+                if subs is not None and subs[i] == 0:
+                    continue
+                if info[2 + lst]:
+                    self._enc_ref_b(enc, parts[i][0], parts[i][1],
+                                    lst, 0, n_act)
+        for lst in (0, 1):
+            for i, (info, mvp2) in enumerate(zip(infos, mvps)):
+                if subs is not None and subs[i] == 0:
+                    continue
+                if info[2 + lst]:
+                    by, bx, w4, h4 = (parts[i][0], parts[i][1],
+                                      parts[i][2], parts[i][3])
+                    mv, mvp = info[lst], mvp2[lst]
+                    dx, dy = mv[1] - mvp[1], mv[0] - mvp[0]
+                    _enc_mvd_ueg3(enc, cx.mvd[0],
+                                  self._bmvd_inc(by, bx, lst, 0), dx)
+                    _enc_mvd_ueg3(enc, cx.mvd[1],
+                                  self._bmvd_inc(by, bx, lst, 1), dy)
+                    self._note_bmvd(by, bx, w4, h4, lst, (dx, dy))
+        for part, info in zip(parts, infos):
+            self._commit_b_part(part[0], part[1], part[2], part[3],
+                                *info)
+        preds = self._pred_b_split(my, mx, parts, infos)
+        (pred_y, pred_u, pred_v, luma_q, dc_q, ac_q,
+         cbp) = self._quantize_inter(addr, infos[0][0], y_src, u_src,
+                                     v_src, preds=preds)
+        self._write_inter_residual_cabac(enc, addr, pred_y, pred_u,
+                                         pred_v, luma_q, dc_q, ac_q,
+                                         cbp)
+        self._note_inter_b(addr, None, False)
+        self._finish_b_mb(addr)
+
     def encode_mb_b(self, enc: CabacEncoder, addr: int,
                     y_src: np.ndarray, u_src: np.ndarray,
-                    v_src: np.ndarray, search: int) -> None:
+                    v_src: np.ndarray, search: int,
+                    partitions: bool = False) -> None:
         cx = self.cab
         my, mx = divmod(addr, self.mb_w)
         py, px = my * 16, mx * 16
         src = y_src[py:py + 16, px:px + 16].astype(np.int64)
         (cost, mode, cmv0, cmv1, use0, use1, ref0, ref1, mvp0,
          mvp1) = self._b_candidates(src, my, mx, search)
+        if partitions:
+            split = self._b_split_candidates(y_src, my, mx, search)
+            if split[0] < cost:
+                self._encode_b_split_cabac(enc, addr, split, y_src,
+                                           u_src, v_src)
+                return
         # intra fallback (scene cut inside a B slice)
         intra_best = None
         for pm in (0, 1, 2, 3):
@@ -421,26 +664,27 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
             return
         enc.decision(cx.b_skip[self._skip_inc(my, mx)], 0)
         self._enc_b_mb_type(enc, my, mx, mode)
+        by4, bx4 = my * 4, mx * 4
         mvds = np.zeros((2, 2), dtype=np.int64)
         if mode != _B_DIRECT_16x16:
             # 7.3.5.1 order: ref_idx fields of both lists, then mvds
             if use0:
-                self._enc_ref_b(enc, my, mx, 0, ref0, self.n_ref0)
+                self._enc_ref_b(enc, by4, bx4, 0, ref0, self.n_ref0)
             if use1:
-                self._enc_ref_b(enc, my, mx, 1, ref1, self.n_ref1)
+                self._enc_ref_b(enc, by4, bx4, 1, ref1, self.n_ref1)
             if use0:
                 dx, dy = cmv0[1] - mvp0[1], cmv0[0] - mvp0[0]
                 _enc_mvd_ueg3(enc, cx.mvd[0],
-                              self._bmvd_inc(my, mx, 0, 0), dx)
+                              self._bmvd_inc(by4, bx4, 0, 0), dx)
                 _enc_mvd_ueg3(enc, cx.mvd[1],
-                              self._bmvd_inc(my, mx, 0, 1), dy)
+                              self._bmvd_inc(by4, bx4, 0, 1), dy)
                 mvds[0] = (dx, dy)
             if use1:
                 dx, dy = cmv1[1] - mvp1[1], cmv1[0] - mvp1[0]
                 _enc_mvd_ueg3(enc, cx.mvd[0],
-                              self._bmvd_inc(my, mx, 1, 0), dx)
+                              self._bmvd_inc(by4, bx4, 1, 0), dx)
                 _enc_mvd_ueg3(enc, cx.mvd[1],
-                              self._bmvd_inc(my, mx, 1, 1), dy)
+                              self._bmvd_inc(by4, bx4, 1, 1), dy)
                 mvds[1] = (dx, dy)
         self._write_inter_residual_cabac(enc, addr, pred_y, pred_u,
                                          pred_v, luma_q, dc_q, ac_q,
@@ -487,7 +731,8 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         search: int = 4,
                         wp: str | None = None,
                         direct: str = "spatial",
-                        refs: int = 1) -> bytes:
+                        refs: int = 1,
+                        partitions: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments under CABAC entropy (the B twin of
     h264_b.encode_h264_b; same segment/POC structure and the same
@@ -675,7 +920,8 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                            False, 0, slice_wp=bpic.wp, n_l0=n_l0)
                     enc = CabacEncoder(bw)
                     for addr in range(n_mbs):
-                        bpic.encode_mb_b(enc, addr, by, bu, bv, search)
+                        bpic.encode_mb_b(enc, addr, by, bu, bv, search,
+                                         partitions=partitions)
                         enc.terminate(1 if addr == n_mbs - 1 else 0)
                     bw.pad_to_byte()
                     out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())

@@ -172,11 +172,10 @@ def test_b_picture_without_future_reference_refused():
         decode_h264(payload)
 
 
-def test_b_subpartition_mb_type_refused():
-    frames = _gradient_frames(3)
-    enc = encode_h264_b(frames, qp=8, bgroup=1, seg=3)
-    # decode with a corrupted B slice body is exercised by the fuzz
-    # test; here pin the explicit mb_type gate via the decoder class
+def test_b_invalid_sub_mb_type_refused():
+    # mb_types 4..22 DECODE since the sub-16x16 B partition lanes
+    # (r5 s17); the remaining grammar gate is Table 7-18's range —
+    # a B_8x8 whose sub_mb_type exceeds 12 must refuse, not wrap
     from rmlint_spark.operators.h264_b import BInterPicture
     from rmlint_spark.operators.flac import _BitReader
 
@@ -191,10 +190,13 @@ def test_b_subpartition_mb_type_refused():
     pic.qp = 16
     w = _BitWriter()
     _write_ue(w, 0)                 # mb_skip_run
-    _write_ue(w, 8)                 # B_L0_L0_16x8 — refused partition
-    w.write(0, 8)
+    _write_ue(w, 22)                # B_8x8
+    _write_ue(w, 13)                # sub_mb_type out of Table 7-18
+    for _ in range(3):
+        _write_ue(w, 0)             # remaining quadrants direct
+    w.write(0xFFFF, 16)
     covered = np.zeros(4, dtype=bool)
-    with pytest.raises(ValueError, match="16x16 subset"):
+    with pytest.raises(ValueError, match="sub_mb_type"):
         pic.decode_slice_b(_BitReader(w.bytes()), 0, covered)
 
 

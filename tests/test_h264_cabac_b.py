@@ -72,9 +72,12 @@ def test_cabac_b_static_scene_skips():
         assert _psnr(fr, out) > 40.0
 
 
-def test_cabac_b_subpartition_refused():
-    """Drive the Table 9-37 refusal branch directly: a '110' prefix
-    with a nonzero 3-bit tail is a 16x8/8x16 partition."""
+def test_cabac_b_mb_type_tree_complete():
+    """The full Table 9-37 tree (incl. the r5 s17 partition family)
+    and the Table 9-38 B sub_mb_type codes round-trip through the
+    arithmetic engine: every legal value encodes then decodes back
+    to itself (the two irregular short codes — mb_type 11 '111110'
+    and B_8x8 '111111' — and the intra escape included)."""
     from rmlint_spark.operators.flac import _BitReader, _BitWriter
     from rmlint_spark.operators.h264_cabac import (CabacDecoder,
                                                    CabacEncoder)
@@ -84,34 +87,31 @@ def test_cabac_b_subpartition_refused():
     u = np.zeros((16, 16), dtype=np.uint8)
     v = np.zeros((16, 16), dtype=np.uint8)
     zero = (np.zeros_like(y), np.zeros_like(u), np.zeros_like(v))
-    # colocated grid at 4x4-block granularity (2x2 MBs = 8x8 blocks)
     col = (np.zeros((8, 8, 2), dtype=np.int64),
            np.ones((2, 2), dtype=np.int64))
 
-    def craft(bits: list[int]) -> bytes:
-        pic = CabacBInterPicture(y.copy(), u.copy(), v.copy(), 2, 2,
-                                 zero, zero, col)
-        pic.qp = 16
-        w = _BitWriter()
-        enc = CabacEncoder(w)
-        cx = pic.cab.b_pre
-        slots = [pic._btype_inc(0, 0), 3, 4] + [5] * 8
-        for slot, bit in zip(slots, bits):
-            enc.decision(cx[slot], bit)
-        enc.terminate(1)
-        w.pad_to_byte()
-        return w.bytes()
+    values = list(range(23)) + [-1]          # mb_types + intra escape
+    pic = CabacBInterPicture(y.copy(), u.copy(), v.copy(), 2, 2,
+                             zero, zero, col)
+    pic.qp = 16
+    w = _BitWriter()
+    enc = CabacEncoder(w)
+    for v_ in values:
+        pic._enc_b_mb_type(enc, 0, 0, v_)
+    for st in range(13):
+        pic._enc_b_sub_type(enc, st)
+    enc.terminate(1)
+    w.pad_to_byte()
 
-    for bits, msg in [([1, 1, 0, 0, 0, 1], "16x16 subset"),
-                      ([1, 1, 1, 0, 0, 0], "16x16 subset")]:
-        data = craft(bits)
-        pic = CabacBInterPicture(y.copy(), u.copy(), v.copy(), 2, 2,
-                                 zero, zero, col)
-        pic.qp = 16
-        pic.new_slice()
-        dec = CabacDecoder(_BitReader(data))
-        with pytest.raises(ValueError, match=msg):
-            pic._decode_b_mb(dec, 0)
+    pic2 = CabacBInterPicture(y.copy(), u.copy(), v.copy(), 2, 2,
+                              zero, zero, col)
+    pic2.qp = 16
+    pic2.new_slice()
+    dec = CabacDecoder(_BitReader(w.bytes()))
+    got = [pic2._dec_b_mb_type(dec, 0, 0) for _ in values]
+    got_sub = [pic2._dec_b_sub_type(dec) for _ in range(13)]
+    assert got == values
+    assert got_sub == list(range(13))
 
 
 def test_cabac_b_bitflip_fuzz_bounded():

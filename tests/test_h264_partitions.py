@@ -203,9 +203,8 @@ def test_b_direct_refuses_partitioned_colocated():
     # the colocated MB — per spec — so MB (0,0) derives fine
     pic._direct_mv(0, 0)
     # give MB (0,1) an L0-predicting neighbor so colZero IS evaluated
-    pic.mb_state[0, 0] = 2
-    pic.luse[0, 0, 0] = True
-    pic.lmv[0, 0, 0] = (4, 4)
+    # (B motion state is block-granular since the sub-16x16 B lanes)
+    pic._commit_b(0, (4, 4), (0, 0), True, False)
     with pytest.raises(ValueError, match="partitioned colocated"):
         pic._direct_mv(0, 1)
 
