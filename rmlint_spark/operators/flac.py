@@ -99,7 +99,7 @@ class _BitReader:
         v = 0
         for _ in range(bits):
             if self.bytepos >= len(self.data):
-                raise ValueError("FLAC bitstream truncated")
+                raise ValueError("bitstream truncated")
             bit = (self.data[self.bytepos] >> (7 - self.bitpos)) & 1
             v = (v << 1) | bit
             self.bitpos += 1

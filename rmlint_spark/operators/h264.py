@@ -43,11 +43,16 @@ B_Direct motion (spatial 8.4.1.2.2, temporal 8.4.1.2.3 POC-scaled
 colocated motion); P macroblocks split down to the full Table 7-17
 sub-8x8 family (8x4/4x8/4x4) and B macroblocks down to the full
 Table 7-14 / 7-18 family (16x8/8x16 with per-partition L0/L1/Bi,
-B_8x8 with direct/L0/L1/Bi at 8x8/8x4/4x8/4x4), and both slice
+B_8x8 with direct/L0/L1/Bi at 8x8/8x4/4x8/4x4), both slice
 types predict from up to 16 active references (8.2.5.3
-sliding-window DPB; encoder subset emits up to 4); the refusal
-surface is down to reference (pyramid) B pictures and SP/SI
-slices.
+sliding-window DPB; encoder subset emits up to 4), and REFERENCE B
+pictures decode and encode (pyramid coding: a B picture with
+nal_ref_idc != 0 enters the sliding window like any reference and
+exports its 8.4.1.2.3 L0-preferred motion grid for later direct
+derivations; the encoders emit one pyramid level via
+``pyramid=True`` — the gap's middle B codes first as a reference
+and the leaves predict from their nearest anchor/mid pair); the
+refusal surface is down to SP/SI slices.
 
 Same codec-lane status as jpeg.py / flac.py / mpeg_audio.py:
 per-asset decode inside ``mapInPandas`` (multimodal.py), explicitly
@@ -646,11 +651,11 @@ class _H264Layout:
                    for _, _, rbsp in pic}
             kind = "B" if 1 in sts else ("P" if 0 in sts else "I")
             kinds.append(kind)
+            # reference B pictures (pyramid coding) are supported
+            # since r5 s17: they enter the sliding window like any
+            # other reference and export an L0-preferred motion grid
+            # for later direct derivations
             is_ref.append(ref_idc != 0)
-            if kind == "B" and ref_idc:
-                raise ValueError(
-                    "H.264 reference B pictures unsupported "
-                    "(non-reference B is the implemented subset)")
             if typ == _NAL_IDR:
                 seg += 1
                 prev_msb = prev_lsb = 0
@@ -913,10 +918,20 @@ class _H264Layout:
         if not covered.all():
             raise ValueError("H.264 picture has uncovered macroblocks")
         if self.is_ref[idx]:
-            # anchors export their motion grid (4x4-block granularity
-            # since the partition lanes): B spatial direct reads the
-            # colocated MB of RefPicList1[0] (8.4.1.2.2 colZeroFlag)
-            if cavlc_pic is not None and hasattr(cavlc_pic, "mv4"):
+            # reference pictures export their motion grid (4x4-block
+            # granularity since the partition lanes): B spatial direct
+            # reads the colocated MB of RefPicList1[0] (8.4.1.2.2
+            # colZeroFlag).  A reference B picture (pyramid coding)
+            # exports mvCol L0-preferred per 8.4.1.2.3: the L0 motion
+            # where the block predicts from list 0, else its L1
+            # motion.
+            if kind == "B" and cavlc_pic is not None:
+                col_mv = np.where(cavlc_pic.luse4[:, :, 0:1],
+                                  cavlc_pic.lmv4[:, :, 0, :],
+                                  cavlc_pic.lmv4[:, :, 1, :])
+                self._mvinfo[idx] = (col_mv.astype(np.int64),
+                                     cavlc_pic.mb_state.copy())
+            elif cavlc_pic is not None and hasattr(cavlc_pic, "mv4"):
                 self._mvinfo[idx] = (cavlc_pic.mv4.copy(),
                                      cavlc_pic.mb_state.copy())
             else:
@@ -1037,10 +1052,11 @@ def decode_h264(payload: bytes) -> tuple[tuple[int, int], list[np.ndarray]]:
     full Table 7-17 P family and Table 7-14/7-18 B family), and
     weighted prediction (explicit pred_weight_table on P and B,
     implicit POC-distance B weights) and both direct modes
-    (spatial / temporal) apply in both too.  SP/SI slices raise
-    ``NotImplementedError``; reference B pictures raise
-    ``ValueError`` (the documented refusal surface); malformed
-    streams raise ``ValueError``.
+    (spatial / temporal) apply in both too; reference B pictures
+    (pyramid coding) enter the sliding window and later Bs predict
+    from them.  SP/SI slices raise ``NotImplementedError`` (the
+    documented refusal surface); malformed streams raise
+    ``ValueError``.
     """
     lay = _H264Layout(payload)
     return lay.fps, [lay.frame_at(i) for i in range(lay.n_frames)]

@@ -51,8 +51,13 @@ family (per-partition L0/L1/Bi modes, mb_types 4..21) and B_8x8
 with the COMPLETE Table 7-18 sub_mb_type set (B_Direct_8x8 and
 L0/L1/Bi at 8x8/8x4/4x8/4x4) — per-list motion state lives at the
 spec's 4x4-block granularity; the encoder emits 16x8/8x16 and the
-8x8-level B_8x8 subset behind ``partitions=True``.  Refusal surface
-after this module: reference (pyramid) B pictures and SP/SI slices.
+8x8-level B_8x8 subset behind ``partitions=True``.  Reference
+(pyramid) B pictures code since r5 s17 too: ``pyramid=True`` makes
+each gap's middle B a reference picture (nal_ref_idc = 1, DPB
+entry, dec_ref_pic_marking in its header, L0-preferred motion
+export) and the leaf Bs predict from their nearest anchor/mid pair
+— halving the temporal prediction distance.  Refusal surface after
+this module: SP/SI slices.
 CABAC-coded B slices decode too, via
 h264_cabac_b.py composing this module's BiMotionMixin with the
 arithmetic engine.
@@ -960,7 +965,8 @@ def encode_h264_b(frames: list[np.ndarray],
                   wp: str | None = None,
                   direct: str = "spatial",
                   refs: int = 1,
-                  partitions: bool = False) -> bytes:
+                  partitions: bool = False,
+                  pyramid: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments and CAVLC entropy.  Display structure per
     ``seg``-frame segment: anchors every ``bgroup + 1`` frames (plus
@@ -991,7 +997,15 @@ def encode_h264_b(frames: list[np.ndarray],
     16x8/8x16 pairs and B_8x8 (direct/L0/L1/Bi quadrants) compete
     with the whole-MB modes.  Anchor P slices stay unpartitioned so
     spatial direct's colocated derivation remains exact (the decoder
-    refuses partitioned colocated MBs)."""
+    refuses partitioned colocated MBs).
+
+    ``pyramid`` enables one level of hierarchical B coding: the
+    middle B of each anchor gap is coded FIRST as a REFERENCE B
+    picture (nal_ref_idc = 1, it enters the DPB and exports its
+    L0-preferred motion grid), and the remaining Bs of the gap
+    predict from their nearest (anchor, mid-B) pair — halving the
+    temporal prediction distance.  Requires ``refs = 1`` (the leaf
+    list derivation is exact for single-entry lists)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -1022,6 +1036,9 @@ def encode_h264_b(frames: list[np.ndarray],
         raise ValueError("implicit weights are derived per anchor "
                          "pair; refs=2 requires wp=None or "
                          "'explicit'")
+    if pyramid and refs != 1:
+        raise ValueError("pyramid B coding requires refs=1 (leaf "
+                         "reference lists are single-entry)")
     bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
     direct_flag = 1 if direct == "spatial" else 0
     if not frames:
@@ -1042,7 +1059,8 @@ def encode_h264_b(frames: list[np.ndarray],
                        _pad_to_mb(v, 8)))
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
-        _encode_sps(mb_w, mb_h, w, h, fps, num_ref_frames=refs + 1,
+        _encode_sps(mb_w, mb_h, w, h, fps,
+                    num_ref_frames=4 if pyramid else refs + 1,
                     poc_type=0))
     out += _START4 + b"\x68" + _escape_rbsp(
         _encode_pps(weighted_bipred_idc=bipred_idc))
@@ -1050,7 +1068,7 @@ def encode_h264_b(frames: list[np.ndarray],
     def header(bw: _BitWriter, slice_type: int, frame_num: int,
                poc_lsb: int, is_idr: bool, idr_id: int,
                slice_wp: dict | None = None, n_l0: int = 1,
-               n_l1: int = 1) -> None:
+               n_l1: int = 1, ref_b: bool = False) -> None:
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, slice_type)
         _write_ue(bw, 0)                    # pic_parameter_set_id
@@ -1080,7 +1098,7 @@ def encode_h264_b(frames: list[np.ndarray],
             bw.write(0, 1)                  # ref_pic_list_modification_l0
         if is_idr:
             bw.write(0, 2)                  # no_output / long_term flags
-        elif slice_type == 5:
+        elif slice_type == 5 or ref_b:
             bw.write(0, 1)                  # adaptive_ref_pic_marking
         _write_se(bw, qp - 26)              # slice_qp_delta
 
@@ -1111,8 +1129,14 @@ def encode_h264_b(frames: list[np.ndarray],
             anchors.append(s1 - 1)
         # decode order: IDR anchor, then per gap (next anchor, B...);
         # ``past`` holds reconstructed anchors newest-first — entry 0
-        # is the previous anchor, entry 1 (refs=2) the one before it
+        # is the previous anchor, entry 1 (refs=2) the one before it.
+        # ``dec_refs`` tracks ALL reference recons decode-order
+        # newest-first (pyramid: the previous gap's mid B outranks
+        # the previous anchor in the decoder's 8.2.4.2.1 list, so a
+        # pyramid P anchor's refIdx 0 IS that mid B — temporally the
+        # closest reference)
         past: list[tuple] = []              # [(planes, mvinfo), ...]
+        dec_refs: list = []                 # [planes, ...]
         for j, disp in enumerate(anchors):
             y, u, v = planes[disp]
             is_idr = j == 0
@@ -1138,9 +1162,11 @@ def encode_h264_b(frames: list[np.ndarray],
                 nal = b"\x65"
             else:
                 n_l0 = min(refs, len(past))
+                ref0_plane = (dec_refs[0] if pyramid and dec_refs
+                              else past[0][0])
                 pic = InterPicture(
                     np.zeros_like(y), np.zeros_like(u),
-                    np.zeros_like(v), mb_w, mb_h, past[0][0],
+                    np.zeros_like(v), mb_w, mb_h, ref0_plane,
                     past[1][0] if n_l0 > 1 else None)
                 pic.qp = qp
                 pic.n_ref0 = n_l0
@@ -1156,31 +1182,56 @@ def encode_h264_b(frames: list[np.ndarray],
             frame_num = (frame_num + 1) % 16
             cur_anchor = ((pic.y, pic.u, pic.v),
                           (pic.mv4.copy(), pic.mb_state.copy()))
-            # B frames between the previous and this anchor, display
-            # order, decode-order AFTER this anchor
+            if is_idr:
+                dec_refs = []               # IDR flushes the DPB
+            dec_refs.insert(0, cur_anchor[0])
+            del dec_refs[4:]
+            # B frames between the previous and this anchor, decode
+            # order AFTER this anchor.  Plain mode: every B predicts
+            # from the two anchors, display order.  Pyramid mode: the
+            # gap's MIDDLE B codes first as a REFERENCE B (it enters
+            # the DPB), then the remaining Bs predict from their
+            # nearest (anchor, mid) pair.
             if past:
                 prev_disp = anchors[j - 1]
                 n_l0 = min(refs, len(past))
-                for bdisp in range(prev_disp + 1, disp):
+                gap = list(range(prev_disp + 1, disp))
+                mid = gap[len(gap) // 2] if pyramid and len(gap) >= 2 \
+                    else None
+                order = ([mid] + [g for g in gap if g != mid]
+                         if mid is not None else gap)
+                prev_poc = 2 * (prev_disp - s0)
+                cur_poc = 2 * (disp - s0)
+                mid_rec = None              # (planes, col, poc)
+                for bdisp in order:
                     by, bu, bv = planes[bdisp]
+                    ref_b = bdisp == mid
+                    if mid is None or ref_b:
+                        l0p, l0poc = past[0][0], prev_poc
+                        l1p, l1col, l1poc = (cur_anchor[0],
+                                             cur_anchor[1], cur_poc)
+                    elif bdisp < mid:
+                        l0p, l0poc = past[0][0], prev_poc
+                        l1p, l1col, l1poc = mid_rec
+                    else:
+                        l0p, l0poc = mid_rec[0], mid_rec[2]
+                        l1p, l1col, l1poc = (cur_anchor[0],
+                                             cur_anchor[1], cur_poc)
                     bpic = BInterPicture(
                         np.zeros_like(by), np.zeros_like(bu),
                         np.zeros_like(bv), mb_w, mb_h,
-                        past[0][0], cur_anchor[0], cur_anchor[1],
+                        l0p, l1p, l1col,
                         more0=[p[0] for p in past[1:n_l0]])
                     bpic.qp = qp
                     bpic.n_ref0 = n_l0
                     bpic.direct_spatial = direct == "spatial"
-                    bpic.direct_tbtd = (2 * (bdisp - prev_disp),
-                                        2 * (disp - prev_disp))
+                    bpoc = 2 * (bdisp - s0)
+                    bpic.direct_tbtd = (bpoc - l0poc, l1poc - l0poc)
                     if wp == "implicit":
-                        bpic.wp = _implicit_wp(2 * (bdisp - s0),
-                                               2 * (prev_disp - s0),
-                                               2 * (disp - s0))
+                        bpic.wp = _implicit_wp(bpoc, l0poc, l1poc)
                     elif wp == "explicit":
                         bpic.wp = _estimate_wp_bi(
-                            (by, bu, bv), past[0][0],
-                            cur_anchor[0])
+                            (by, bu, bv), l0p, l1p)
                         if n_l0 > 1:
                             from rmlint_spark.operators.h264_inter \
                                 import _estimate_wp
@@ -1190,16 +1241,36 @@ def encode_h264_b(frames: list[np.ndarray],
                                              p[0])["l0"]
                                 for p in past[1:n_l0]]
                     bw = _BitWriter()
-                    header(bw, 6, frame_num, 2 * (bdisp - s0),
-                           False, 0, slice_wp=bpic.wp, n_l0=n_l0)
+                    header(bw, 6, frame_num, bpoc,
+                           False, 0, slice_wp=bpic.wp, n_l0=n_l0,
+                           ref_b=ref_b)
                     inter_slice_body(
                         bw, bpic,
                         lambda pb, addr: bpic.encode_mb_b(
                             pb, addr, by, bu, bv, search,
-                            partitions=partitions))
+                            # the mid B is the leaves' colocated
+                            # source: keep it unpartitioned, like the
+                            # anchors (the decoder refuses direct over
+                            # partitioned colocated MBs)
+                            partitions=partitions and not ref_b))
                     _trailing_bits(bw)
-                    # non-reference NAL: type 1, ref_idc 0
-                    out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())
+                    # ref_idc 1 for the pyramid's reference B
+                    nal = b"\x21" if ref_b else b"\x01"
+                    out += _START4 + nal + _escape_rbsp(bw.bytes())
+                    frame_num = (frame_num + 1) % 16 if ref_b \
+                        else frame_num
+                    if ref_b:
+                        # export the decoder's 8.4.1.2.3 L0-preferred
+                        # colocated grid for the leaf Bs
+                        col_mv = np.where(
+                            bpic.luse4[:, :, 0:1],
+                            bpic.lmv4[:, :, 0, :],
+                            bpic.lmv4[:, :, 1, :]).astype(np.int64)
+                        mid_rec = ((bpic.y, bpic.u, bpic.v),
+                                   (col_mv, bpic.mb_state.copy()),
+                                   bpoc)
+                        dec_refs.insert(0, mid_rec[0])
+                        del dec_refs[4:]
             past.insert(0, cur_anchor)
             del past[refs:]
     return bytes(out)

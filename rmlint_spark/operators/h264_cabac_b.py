@@ -33,12 +33,12 @@ shapes, grammar, neighbor-increment rules and the arithmetic engine
 follow clause 9.3; encoder and decoder share every table, so the
 pair is self-consistent by construction.
 
-The refusal surface for video after this module: reference (pyramid)
-B pictures and SP/SI slices (P and B multi-ref are DPB-general and
-sub-16x16 partitions decode in both slice types since r5 s17;
-weighted prediction — explicit and implicit — and temporal direct
-decode since r5 s10; the header, pred_weight_table included, stays
-Exp-Golomb under CABAC).
+The refusal surface for video after this module: SP/SI slices
+(P and B multi-ref are DPB-general, sub-16x16 partitions decode in
+both slice types, and reference/pyramid B pictures code via
+``pyramid=True``, all since r5 s17; weighted prediction — explicit
+and implicit — and temporal direct decode since r5 s10; the header,
+pred_weight_table included, stays Exp-Golomb under CABAC).
 
 Codec-lane status: per-asset decode inside ``mapInPandas``
 (multimodal.py), NOT a Spark hot path — the same boundary as the
@@ -732,7 +732,8 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                         wp: str | None = None,
                         direct: str = "spatial",
                         refs: int = 1,
-                        partitions: bool = False) -> bytes:
+                        partitions: bool = False,
+                        pyramid: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with closed
     IDR/P/B segments under CABAC entropy (the B twin of
     h264_b.encode_h264_b; same segment/POC structure and the same
@@ -774,6 +775,9 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         raise ValueError("implicit weights are derived per anchor "
                          "pair; refs=2 requires wp=None or "
                          "'explicit'")
+    if pyramid and refs != 1:
+        raise ValueError("pyramid B coding requires refs=1 (leaf "
+                         "reference lists are single-entry)")
     bipred_idc = {"implicit": 2, "explicit": 1, None: 0}[wp]
     direct_flag = 1 if direct == "spatial" else 0
     h, w_px = np.asarray(frames[0]).shape[:2]
@@ -788,7 +792,8 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                        _pad_to_mb(v, 8)))
     out = bytearray()
     out += _START4 + b"\x67" + _escape_rbsp(
-        _encode_sps(mb_w, mb_h, w_px, h, fps, num_ref_frames=refs + 1,
+        _encode_sps(mb_w, mb_h, w_px, h, fps,
+                    num_ref_frames=4 if pyramid else refs + 1,
                     poc_type=0))
     out += _START4 + b"\x68" + _escape_rbsp(
         _encode_pps(entropy_coding=1, weighted_bipred_idc=bipred_idc))
@@ -796,7 +801,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
     def header(bw: _BitWriter, slice_type: int, frame_num: int,
                poc_lsb: int, is_idr: bool, idr_id: int,
                slice_wp: dict | None = None, n_l0: int = 1,
-               n_l1: int = 1) -> None:
+               n_l1: int = 1, ref_b: bool = False) -> None:
         _write_ue(bw, 0)                    # first_mb_in_slice
         _write_ue(bw, slice_type)
         _write_ue(bw, 0)                    # pic_parameter_set_id
@@ -826,7 +831,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
             bw.write(0, 1)                  # ref_pic_list_modification_l0
         if is_idr:
             bw.write(0, 2)                  # no_output / long_term flags
-        elif slice_type == 5:
+        elif slice_type == 5 or ref_b:
             bw.write(0, 1)                  # adaptive_ref_pic_marking
         if slice_type != 7:
             _write_ue(bw, 0)                # cabac_init_idc
@@ -844,6 +849,9 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         if anchors[-1] != s1 - 1:
             anchors.append(s1 - 1)
         past: list[tuple] = []              # recon anchors, newest first
+        # all reference recons decode-order newest-first: a pyramid P
+        # anchor's refIdx 0 is the previous gap's mid B (8.2.4.2.1)
+        dec_refs: list = []
         for j, disp in enumerate(anchors):
             y, u, v = planes[disp]
             is_idr = j == 0
@@ -866,9 +874,11 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                 nal = b"\x65"
             else:
                 n_l0 = min(refs, len(past))
+                ref0_plane = (dec_refs[0] if pyramid and dec_refs
+                              else past[0][0])
                 pic = CabacInterPicture(
                     np.zeros_like(y), np.zeros_like(u),
-                    np.zeros_like(v), mb_w, mb_h, past[0][0],
+                    np.zeros_like(v), mb_w, mb_h, ref0_plane,
                     past[1][0] if n_l0 > 1 else None)
                 pic.qp = qp
                 pic.n_ref0 = n_l0
@@ -884,29 +894,54 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
             frame_num = (frame_num + 1) % 16
             cur_anchor = ((pic.y, pic.u, pic.v),
                           (pic.mv4.copy(), pic.mb_state.copy()))
+            if is_idr:
+                dec_refs = []               # IDR flushes the DPB
+            dec_refs.insert(0, cur_anchor[0])
+            del dec_refs[4:]
+            # plain mode: every gap B predicts from the two anchors;
+            # pyramid mode: the middle B codes first as a REFERENCE B
+            # and the remaining Bs predict from their nearest
+            # (anchor, mid) pair — mirrors h264_b.encode_h264_b
             if past:
                 prev_disp = anchors[j - 1]
                 n_l0 = min(refs, len(past))
-                for bdisp in range(prev_disp + 1, disp):
+                gap = list(range(prev_disp + 1, disp))
+                mid = gap[len(gap) // 2] if pyramid and len(gap) >= 2 \
+                    else None
+                order = ([mid] + [g for g in gap if g != mid]
+                         if mid is not None else gap)
+                prev_poc = 2 * (prev_disp - s0)
+                cur_poc = 2 * (disp - s0)
+                mid_rec = None              # (planes, col, poc)
+                for bdisp in order:
                     by, bu, bv = planes[bdisp]
+                    ref_b = bdisp == mid
+                    if mid is None or ref_b:
+                        l0p, l0poc = past[0][0], prev_poc
+                        l1p, l1col, l1poc = (cur_anchor[0],
+                                             cur_anchor[1], cur_poc)
+                    elif bdisp < mid:
+                        l0p, l0poc = past[0][0], prev_poc
+                        l1p, l1col, l1poc = mid_rec
+                    else:
+                        l0p, l0poc = mid_rec[0], mid_rec[2]
+                        l1p, l1col, l1poc = (cur_anchor[0],
+                                             cur_anchor[1], cur_poc)
                     bpic = CabacBInterPicture(
                         np.zeros_like(by), np.zeros_like(bu),
                         np.zeros_like(bv), mb_w, mb_h,
-                        past[0][0], cur_anchor[0], cur_anchor[1],
+                        l0p, l1p, l1col,
                         more0=[p[0] for p in past[1:n_l0]])
                     bpic.qp = qp
                     bpic.n_ref0 = n_l0
                     bpic.direct_spatial = direct == "spatial"
-                    bpic.direct_tbtd = (2 * (bdisp - prev_disp),
-                                        2 * (disp - prev_disp))
+                    bpoc = 2 * (bdisp - s0)
+                    bpic.direct_tbtd = (bpoc - l0poc, l1poc - l0poc)
                     if wp == "implicit":
-                        bpic.wp = _implicit_wp(2 * (bdisp - s0),
-                                               2 * (prev_disp - s0),
-                                               2 * (disp - s0))
+                        bpic.wp = _implicit_wp(bpoc, l0poc, l1poc)
                     elif wp == "explicit":
                         bpic.wp = _estimate_wp_bi(
-                            (by, bu, bv), past[0][0],
-                            cur_anchor[0])
+                            (by, bu, bv), l0p, l1p)
                         if n_l0 > 1:
                             from rmlint_spark.operators.h264_inter \
                                 import _estimate_wp
@@ -916,15 +951,32 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
                                              p[0])["l0"]
                                 for p in past[1:n_l0]]
                     bw = _BitWriter()
-                    header(bw, 6, frame_num, 2 * (bdisp - s0),
-                           False, 0, slice_wp=bpic.wp, n_l0=n_l0)
+                    header(bw, 6, frame_num, bpoc,
+                           False, 0, slice_wp=bpic.wp, n_l0=n_l0,
+                           ref_b=ref_b)
                     enc = CabacEncoder(bw)
                     for addr in range(n_mbs):
-                        bpic.encode_mb_b(enc, addr, by, bu, bv, search,
-                                         partitions=partitions)
+                        bpic.encode_mb_b(
+                            enc, addr, by, bu, bv, search,
+                            # mid B is the leaves' colocated source:
+                            # keep it unpartitioned, like the anchors
+                            partitions=partitions and not ref_b)
                         enc.terminate(1 if addr == n_mbs - 1 else 0)
                     bw.pad_to_byte()
-                    out += _START4 + b"\x01" + _escape_rbsp(bw.bytes())
+                    nal = b"\x21" if ref_b else b"\x01"
+                    out += _START4 + nal + _escape_rbsp(bw.bytes())
+                    frame_num = (frame_num + 1) % 16 if ref_b \
+                        else frame_num
+                    if ref_b:
+                        col_mv = np.where(
+                            bpic.luse4[:, :, 0:1],
+                            bpic.lmv4[:, :, 0, :],
+                            bpic.lmv4[:, :, 1, :]).astype(np.int64)
+                        mid_rec = ((bpic.y, bpic.u, bpic.v),
+                                   (col_mv, bpic.mb_state.copy()),
+                                   bpoc)
+                        dec_refs.insert(0, mid_rec[0])
+                        del dec_refs[4:]
             past.insert(0, cur_anchor)
             del past[refs:]
     return bytes(out)
