@@ -161,6 +161,19 @@ def _unescape_rbsp(nal: bytes) -> bytes:
     return bytes(out)
 
 
+def _write_deblock(w: _BitWriter, idc: int = 1,
+                   a_off2: int = 0, b_off2: int = 0) -> None:
+    """Slice-header deblocking fields (7.3.3).  Every encoder signals
+    disable_deblocking_filter_idc EXPLICITLY (the PPS default carries
+    deblocking_filter_control_present = 1): idc 1 = filter off (the
+    historical behaviour, now stated in-stream instead of silently
+    non-conforming), idc 0 = the 8.7 in-loop filter applies."""
+    _write_ue(w, idc)
+    if idc != 1:
+        _write_se(w, a_off2)            # slice_alpha_c0_offset_div2
+        _write_se(w, b_off2)            # slice_beta_offset_div2
+
+
 def _trailing_bits(w: _BitWriter) -> None:
     w.write(1, 1)
     w.pad_to_byte()
@@ -273,7 +286,14 @@ def _encode_sps(mb_w: int, mb_h: int, width: int, height: int,
 
 
 def _encode_pps(entropy_coding: int = 0, weighted_pred: int = 0,
-                weighted_bipred_idc: int = 0) -> bytes:
+                weighted_bipred_idc: int = 0,
+                deblocking_control: int = 1) -> bytes:
+    """``deblocking_control`` defaults to 1 since r5 s18: every slice
+    header then states disable_deblocking_filter_idc explicitly.  A
+    PPS without per-slice control makes the decoder INFER idc 0 —
+    filter ON (7.4.3) — so the pre-s18 layout (control 0, no filter
+    applied anywhere) was only self-consistent, not conforming; a
+    third-party decoder would deblock those streams and diverge."""
     w = _BitWriter()
     _write_ue(w, 0)                     # pic_parameter_set_id
     _write_ue(w, 0)                     # seq_parameter_set_id
@@ -287,7 +307,7 @@ def _encode_pps(entropy_coding: int = 0, weighted_pred: int = 0,
     _write_se(w, 0)                     # pic_init_qp_minus26
     _write_se(w, 0)                     # pic_init_qs_minus26
     _write_se(w, 0)                     # chroma_qp_index_offset
-    w.write(0, 1)                       # deblocking_filter_control_present
+    w.write(deblocking_control, 1)      # deblocking_filter_control_present
     w.write(0, 1)                       # constrained_intra_pred_flag
     w.write(0, 1)                       # redundant_pic_cnt_present
     _trailing_bits(w)
@@ -449,6 +469,7 @@ def encode_h264_ipcm(frames: list[np.ndarray],
         bw.write(0, 1)                  # no_output_of_prior_pics_flag
         bw.write(0, 1)                  # long_term_reference_flag
         _write_se(bw, 0)                # slice_qp_delta
+        _write_deblock(bw)              # filter off (no-op at I_PCM qp 0)
         for my in range(mb_h):
             for mx in range(mb_w):
                 _write_ue(bw, _I_PCM_MB_TYPE)
@@ -822,11 +843,13 @@ class _H264Layout:
                     y, u, v, mb_w, mb_h,
                     self._cache[p_idx], self._cache[f_idx], col,
                     more0=more0, more1=more1)
+        slice_deblocks: list[tuple[int, int, int]] = []
         for nal_type, ref_idc, rbsp in self.pictures[idx]:
             r = _BitReader(rbsp)
             (first_mb, qp_delta, slice_type, wp, direct_spatial,
-             n_ref0, n_ref1) = self._parse_slice_header(
+             n_ref0, n_ref1, deblock) = self._parse_slice_header(
                 r, nal_type, ref_idc, sps, pps)
+            slice_deblocks.append(deblock)
             slice_qp = pps["pic_init_qp"] + qp_delta
             if slice_type % 5 == 0:         # P slice (CAVLC or CABAC)
                 if n_ref0 > len(cavlc_pic.refs):
@@ -913,10 +936,35 @@ class _H264Layout:
                 else:
                     raise ValueError(
                         f"invalid I-slice mb_type {mb_type} (0..25)")
+                if cavlc_pic is not None:
+                    cavlc_pic.note_qp(addr)
                 covered[addr] = True
                 addr += 1
         if not covered.all():
             raise ValueError("H.264 picture has uncovered macroblocks")
+        # in-loop deblocking (8.7): runs after the whole picture
+        # decodes (intra prediction reads unfiltered neighbours, per
+        # 8.3.1's "prior to the deblocking filter process") and
+        # mutates y/u/v IN PLACE, so the DPB entry and the output
+        # frame are the filtered picture — exactly the decoder-loop
+        # placement real decoders use
+        if any(d[0] != 1 for d in slice_deblocks):
+            if len(set(slice_deblocks)) > 1:
+                raise ValueError(
+                    "per-slice deblocking parameters differ within "
+                    "one picture (not in the implemented subset)")
+            if slice_deblocks[0][0] == 2 and len(self.pictures[idx]) > 1:
+                raise ValueError(
+                    "disable_deblocking_filter_idc 2 over a "
+                    "multi-slice picture is not in the implemented "
+                    "subset (slice-boundary exclusion); it is "
+                    "equivalent to 0 for single-slice pictures")
+            from rmlint_spark.operators.h264_deblock import (
+                deblock_picture, extract_state)
+            _, a_off, b_off = slice_deblocks[0]
+            st = extract_state(cavlc_pic, mb_w, mb_h)
+            if st is not None:
+                deblock_picture(y, u, v, st, a_off, b_off)
         if self.is_ref[idx]:
             # reference pictures export their motion grid (4x4-block
             # granularity since the partition lanes): B spatial direct
@@ -944,7 +992,7 @@ class _H264Layout:
                             ref_idc: int, sps: dict, pps: dict
                             ) -> tuple[int, int, int,
                                        dict | str | None, bool, int,
-                                       int]:
+                                       int, tuple[int, int, int]]:
         first_mb = _read_ue(r)
         slice_type = _read_ue(r)
         wp: dict | str | None = None
@@ -1019,11 +1067,29 @@ class _H264Layout:
             if _read_ue(r) > 2:             # cabac_init_idc
                 raise ValueError("cabac_init_idc out of range")
         qp_delta = _read_se(r)              # slice_qp_delta
+        # deblocking control (7.3.3): when the PPS carries no
+        # per-slice control, disable_deblocking_filter_idc is
+        # INFERRED to be 0 — the in-loop filter applies (8.7).  idc 2
+        # (filter on, but not across slice boundaries) is identical
+        # to 0 for single-slice pictures; _decode_picture refuses the
+        # multi-slice case it would actually change.
+        deblock = (0, 0, 0)                 # (idc, alphaOff, betaOff)
         if pps["deblocking_control"]:
-            if _read_ue(r) != 1:            # disable_deblocking_filter_idc
-                _read_se(r), _read_se(r)
+            idc = _read_ue(r)
+            if idc > 2:
+                raise ValueError(
+                    "disable_deblocking_filter_idc out of range")
+            a_off = b_off = 0
+            if idc != 1:
+                a_off = _read_se(r) * 2     # slice_alpha_c0_offset_div2
+                b_off = _read_se(r) * 2     # slice_beta_offset_div2
+                if not (-12 <= a_off <= 12 and -12 <= b_off <= 12):
+                    raise ValueError(
+                        "deblocking filter offsets out of range "
+                        "(7.4.3: div2 values in [-6, 6])")
+            deblock = (idc, a_off, b_off)
         return (first_mb, qp_delta, slice_type, wp, direct_spatial,
-                n_ref0, n_ref1)
+                n_ref0, n_ref1, deblock)
 
 
 def parse_h264(payload: bytes) -> dict:

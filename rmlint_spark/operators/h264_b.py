@@ -834,6 +834,7 @@ class BInterPicture(BiMotionMixin, InterPicture):
                     raise ValueError("H.264 mb_skip_run overruns "
                                      "the picture")
                 self._decode_skip_b(addr)
+                self.note_qp(addr)
                 covered[addr] = True
                 addr += 1
             if not _more_rbsp_data(r):
@@ -860,6 +861,7 @@ class BInterPicture(BiMotionMixin, InterPicture):
                     raise ValueError(f"invalid B-slice mb_type {mb_type}")
                 self.mb_state[my, mx] = 1
                 self._note_intra_b(addr)
+            self.note_qp(addr)
             covered[addr] = True
             addr += 1
 
@@ -1016,6 +1018,7 @@ def encode_h264_b(frames: list[np.ndarray],
         _rgb_to_yuv420,
         _trailing_bits,
         _write_pred_weight_table,
+        _write_deblock,
         _write_se,
         _write_ue,
     )
@@ -1101,6 +1104,7 @@ def encode_h264_b(frames: list[np.ndarray],
         elif slice_type == 5 or ref_b:
             bw.write(0, 1)                  # adaptive_ref_pic_marking
         _write_se(bw, qp - 26)              # slice_qp_delta
+        _write_deblock(bw)                  # explicit idc 1: filter off
 
     def inter_slice_body(bw: _BitWriter, pic, encode_one) -> None:
         skip_run = 0

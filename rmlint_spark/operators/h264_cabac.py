@@ -728,6 +728,7 @@ class CabacPicture(CavlcPicture):
                 raise ValueError("H.264 CABAC slice overruns the picture")
             self.decode_mb_cabac(dec, addr)
             self.note_intra(addr)           # inter-state hook (no-op here)
+            self.note_qp(addr)
             covered[addr] = True
             addr += 1
             if dec.terminate():             # end_of_slice_flag
@@ -899,7 +900,8 @@ class CabacPicture(CavlcPicture):
 def encode_h264_cabac(frames: list[np.ndarray],
                       fps: tuple[int, int] = (25, 1),
                       qp: int = 20,
-                      mb_force: str | None = None) -> bytes:
+                      mb_force: str | None = None,
+                      deblock: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB frames -> Annex-B H.264 with CABAC
     entropy (entropy_coding_mode_flag=1), every picture an IDR.
     ``mb_force``: None (per-MB smoothness decision, as the CAVLC
@@ -907,7 +909,9 @@ def encode_h264_cabac(frames: list[np.ndarray],
     terminate/flush/reinit lane). Self-consistent with
     :func:`rmlint_spark.operators.h264.decode_h264`; deviations 1-3
     in the module docstring keep it off bit-compatibility with
-    external decoders."""
+    external decoders.  ``deblock`` signals idc 0 so the decoder runs
+    the 8.7 in-loop filter (all-IDR stream: no encoder-side recon
+    filtering needed, as encode_h264_cavlc)."""
     from rmlint_spark.operators.h264 import (
         _START4,
         _encode_pps,
@@ -915,6 +919,7 @@ def encode_h264_cabac(frames: list[np.ndarray],
         _escape_rbsp,
         _pad_to_mb,
         _rgb_to_yuv420,
+        _write_deblock,
         _write_se,
         _write_ue,
     )
@@ -947,6 +952,7 @@ def encode_h264_cabac(frames: list[np.ndarray],
         bw.write(0, 1)                  # no_output_of_prior_pics_flag
         bw.write(0, 1)                  # long_term_reference_flag
         _write_se(bw, qp - 26)          # slice_qp_delta
+        _write_deblock(bw, 0 if deblock else 1)
         while bw.nbits % 8:             # cabac_alignment_one_bit
             bw.write(1, 1)
         enc = CabacEncoder(bw)

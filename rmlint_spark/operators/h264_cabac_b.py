@@ -562,6 +562,7 @@ class CabacBInterPicture(BiMotionMixin, CabacInterPicture):
                 self._note_skip_b(addr)
             else:
                 self._decode_b_mb(dec, addr)
+            self.note_qp(addr)
             covered[addr] = True
             addr += 1
             if dec.terminate():              # end_of_slice_flag
@@ -749,6 +750,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         _pad_to_mb,
         _rgb_to_yuv420,
         _write_pred_weight_table,
+        _write_deblock,
         _write_se,
         _write_ue,
     )
@@ -836,6 +838,7 @@ def encode_h264_cabac_b(frames: list[np.ndarray],
         if slice_type != 7:
             _write_ue(bw, 0)                # cabac_init_idc
         _write_se(bw, qp - 26)              # slice_qp_delta
+        _write_deblock(bw)                  # explicit idc 1: filter off
         while bw.nbits % 8:                 # cabac_alignment_one_bit
             bw.write(1, 1)
 

@@ -419,6 +419,7 @@ class CabacInterPicture(MotionMixin, CabacPicture):
                 self._note_skip(addr)
             else:
                 self._decode_p_mb(dec, addr)
+            self.note_qp(addr)
             covered[addr] = True
             addr += 1
             if dec.terminate():              # end_of_slice_flag
@@ -600,6 +601,7 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
         _pad_to_mb,
         _rgb_to_yuv420,
         _write_pred_weight_table,
+        _write_deblock,
         _write_se,
         _write_ue,
     )
@@ -664,6 +666,7 @@ def encode_h264_cabac_p(frames: list[np.ndarray],
             bw.write(0, 1)                  # adaptive_ref_pic_marking
             _write_ue(bw, 0)                # cabac_init_idc
         _write_se(bw, qp - 26)              # slice_qp_delta
+        _write_deblock(bw)                  # explicit idc 1: filter off
         while bw.nbits % 8:                 # cabac_alignment_one_bit
             bw.write(1, 1)
         enc = CabacEncoder(bw)

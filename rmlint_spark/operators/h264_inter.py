@@ -846,6 +846,7 @@ class InterPicture(MotionMixin, CavlcPicture):
                     raise ValueError("H.264 mb_skip_run overruns "
                                      "the picture")
                 self._decode_skip(addr)
+                self.note_qp(addr)
                 covered[addr] = True
                 addr += 1
             if not _more_rbsp_data(r):
@@ -875,6 +876,7 @@ class InterPicture(MotionMixin, CavlcPicture):
                 # the same semantics the CABAC lane records, so both
                 # entropy lanes derive identical predictors
                 self.note_intra(addr)
+            self.note_qp(addr)
             covered[addr] = True
             addr += 1
 
@@ -1183,6 +1185,7 @@ def encode_h264_p(frames: list[np.ndarray],
         _rgb_to_yuv420,
         _trailing_bits,
         _write_pred_weight_table,
+        _write_deblock,
         _write_se,
         _write_ue,
     )
@@ -1245,6 +1248,7 @@ def encode_h264_p(frames: list[np.ndarray],
                                          n_l0=max(n_ref0, 1))
             bw.write(0, 1)                  # adaptive_ref_pic_marking
         _write_se(bw, qp - 26)              # slice_qp_delta
+        _write_deblock(bw)                  # explicit idc 1: filter off
         if is_idr:
             for addr in range(mb_w * mb_h):
                 pic.encode_mb(bw, addr, y, u, v)

@@ -13,6 +13,7 @@ from rmlint_spark.operators.h264 import (
     _escape_rbsp,
     _H264Layout,
     _trailing_bits,
+    _write_se,
     _write_ue,
     decode_h264,
     parse_h264,
@@ -137,6 +138,8 @@ def _craft_b_slice_stream(pps_rbsp: bytes, direct_flag: int = 1,
     w.write(0, 1)                   # list mod l1
     if cabac:
         _write_ue(w, 0)             # cabac_init_idc
+    _write_se(w, 0)                 # slice_qp_delta
+    _write_ue(w, 1)                 # disable_deblocking_filter_idc (r5 s18)
     _trailing_bits(w)
     sps = sps_rbsp if sps_rbsp is not None else _encode_sps(
         2, 2, 32, 32, (25, 1), num_ref_frames=2, poc_type=0)

@@ -296,6 +296,7 @@ def test_slice_activating_more_refs_than_decoded_refused():
     w.write(0, 1)                   # ref_pic_list_modification_l0
     w.write(0, 1)                   # adaptive_ref_pic_marking
     _write_se(w, 12 - 26)           # slice_qp_delta
+    _write_ue(w, 1)                 # disable_deblocking_filter_idc (r5 s18)
     _write_ue(w, 0)                 # mb_skip_run = 0 (then stop bit)
     _trailing_bits(w)
     payload = base + b"\x00\x00\x00\x01\x41" + _escape_rbsp(w.bytes())
