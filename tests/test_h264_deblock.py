@@ -189,6 +189,90 @@ def _stream_with_deblock_tail(tail_bits) -> bytes:
             + b"\x00\x00\x00\x01\x65" + _escape_rbsp(w.bytes()))
 
 
+def _mk_state(kind: str):
+    """Minimal one-macroblock _State for the motion-bS lanes."""
+    from rmlint_spark.operators.h264_deblock import _State
+
+    st = _State()
+    st.mb_w = st.mb_h = 1
+    st.kind = kind
+    st.intra4 = np.zeros((4, 4), dtype=bool)
+    st.nz4 = np.zeros((4, 4), dtype=bool)
+    st.qpg = np.full((1, 1), 26, dtype=np.int64)
+    if kind == "P":
+        st.uid4 = np.full((4, 4), 7, dtype=np.int64)
+        st.mv4 = np.zeros((4, 4, 2), dtype=np.int64)
+        st.use4 = None
+    else:
+        st.uid4 = np.full((4, 4, 2), 7, dtype=np.int64)
+        st.mv4 = np.zeros((4, 4, 2, 2), dtype=np.int64)
+        st.use4 = np.zeros((4, 4, 2), dtype=bool)
+        st.use4[:, :, 0] = True
+    return st
+
+
+def test_bs_p_motion_rules():
+    # 8.7.2.1 inter bS: residual -> 2; ref mismatch or |mv delta|>=4
+    # quarter-pel -> 1; same ref and small delta -> 0; intra -> 4/3
+    from rmlint_spark.operators.h264_deblock import _bs
+
+    st = _mk_state("P")
+    st.mv4[:, :2, 1] = 0
+    st.mv4[:, 2:, 1] = 3            # 3 quarter-pel: below the bound
+    assert _bs(st, 0, 1, 0, 2, False) == 0
+    st.mv4[:, 2:, 1] = 4            # exactly one luma sample
+    assert _bs(st, 0, 1, 0, 2, False) == 1
+    st.mv4[:, 2:, 1] = 0
+    st.uid4[:, 2:] = 9              # different reference picture
+    assert _bs(st, 0, 1, 0, 2, False) == 1
+    st.uid4[:, 2:] = 7
+    st.nz4[0, 2] = True             # residual levels on the q side
+    assert _bs(st, 0, 1, 0, 2, False) == 2
+    st.nz4[0, 2] = False
+    st.intra4[0, 2] = True
+    assert _bs(st, 0, 1, 0, 2, True) == 4   # intra at an MB edge
+    assert _bs(st, 0, 1, 0, 2, False) == 3  # intra internal edge
+
+
+def test_bs_b_both_assignment_rule():
+    # bi-pred over the SAME picture twice: bS 0 iff SOME pairing of
+    # the two flows keeps every component delta < 4 (8.7.2.1's
+    # both-assignment clause); flow-count mismatch -> 1
+    from rmlint_spark.operators.h264_deblock import _bs
+
+    st = _mk_state("B")
+    st.use4[:, :, 1] = True
+    st.mv4[:, :2, 0, 1] = 0         # p side: flows (0, 8)
+    st.mv4[:, :2, 1, 1] = 8
+    st.mv4[:, 2:, 0, 1] = 8         # q side: flows (8, 0) — swapped
+    st.mv4[:, 2:, 1, 1] = 0
+    assert _bs(st, 0, 1, 0, 2, False) == 0  # crossed pairing works
+    st.mv4[:, 2:, 1, 1] = 5         # q flows (8, 5): no pairing fits
+    assert _bs(st, 0, 1, 0, 2, False) == 1
+    st.use4[:, 2:, 1] = False       # q mono-predicted: count differs
+    assert _bs(st, 0, 1, 0, 2, False) == 1
+
+
+def test_bs_b_distinct_refs_pair_by_identity():
+    # bi-pred over two DISTINCT pictures: flows pair by reference
+    # identity, not by list index — L0/L1 swapped mvs stay bS 0
+    from rmlint_spark.operators.h264_deblock import _bs
+
+    st = _mk_state("B")
+    st.use4[:, :, 1] = True
+    st.uid4[:, :, 0] = 7
+    st.uid4[:, :2, 1] = 9
+    st.mv4[:, :2, 0, 1] = 0         # p: ref7->0, ref9->8
+    st.mv4[:, :2, 1, 1] = 8
+    st.uid4[:, 2:, 0] = 9           # q lists swapped: ref9 in L0
+    st.uid4[:, 2:, 1] = 7
+    st.mv4[:, 2:, 0, 1] = 8         # q: ref9->8, ref7->0
+    st.mv4[:, 2:, 1, 1] = 0
+    assert _bs(st, 0, 1, 0, 2, False) == 0
+    st.mv4[:, 2:, 0, 1] = 12        # ref9 flow moved >= 4
+    assert _bs(st, 0, 1, 0, 2, False) == 1
+
+
 def test_idc_out_of_range_refused():
     def tail(w):
         _write_ue(w, 3)             # idc 3: out of range
