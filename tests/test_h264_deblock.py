@@ -273,6 +273,40 @@ def test_bs_b_distinct_refs_pair_by_identity():
     assert _bs(st, 0, 1, 0, 2, False) == 1
 
 
+def test_deblock_picture_p_motion_edge_full_path():
+    # full 8.7 pass over a one-MB P picture: a 4-quarter-pel motion
+    # step at luma column 8 makes exactly that internal edge bS 1;
+    # every other edge has identical motion (bS 0) and must stay
+    # untouched.  qp 26: alpha 15, beta 6, tc0 1 -> with flat sides
+    # ap/aq raise tc to 3; step 100|110 gives delta clip(4)->3 and
+    # p1/q1 taps +-1 (hand-computed 8.7.2.3).
+    from rmlint_spark.operators.h264_deblock import deblock_picture
+
+    st = _mk_state("P")
+    st.mv4[:, 2:, 1] = 4            # bx >= 2 moved one luma sample
+    y = np.empty((16, 16), dtype=np.uint8)
+    y[:, :8] = 100
+    y[:, 8:] = 110
+    u = np.full((8, 8), 128, dtype=np.uint8)
+    v = np.full((8, 8), 128, dtype=np.uint8)
+    deblock_picture(y, u, v, st)
+    assert np.all(y[:, 6] == 101) and np.all(y[:, 7] == 103)
+    assert np.all(y[:, 8] == 107) and np.all(y[:, 9] == 109)
+    assert np.all(y[:, :6] == 100) and np.all(y[:, 10:] == 110)
+    # uniform chroma: the two-tap filter is the identity
+    assert np.all(u == 128) and np.all(v == 128)
+    # same planes through a B state (both flows, same step): the
+    # bi-pred lane must reach the same samples, not crash
+    stb = _mk_state("B")
+    stb.use4[:, :, 1] = True
+    stb.mv4[:, 2:, :, 1] = 4
+    y2 = np.empty((16, 16), dtype=np.uint8)
+    y2[:, :8] = 100
+    y2[:, 8:] = 110
+    deblock_picture(y2, u, v, stb)
+    assert np.array_equal(y2, y)
+
+
 def test_idc_out_of_range_refused():
     def tail(w):
         _write_ue(w, 3)             # idc 3: out of range
