@@ -117,27 +117,26 @@ def simhash_batch(texts: list[str], features: str = "token", k: int = 5) -> np.n
     ``features``: "token" votes with single-token hashes; "shingle"
     votes with splitmix-spread k-token shingle hashes (the web-dedup
     variant — see config.SignatureConfig.simhash_features for the
-    measured trade-off)."""
-    toks_per_doc = [(t or "").split() for t in texts]
-    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    measured trade-off).
+
+    Tokenize + SipHash run through minhash._token_hashes_flat — the
+    Arrow C++ tokenizer + distinct-token hash pass the combined kernel
+    already uses (bit-identical to the former per-doc ``.split()`` +
+    object-array hash, which was this kernel's hot spot — guide §4.2)."""
+    from rmlint_spark.functions.minhash import _per_doc_shingles, _token_hashes_flat
+
+    h, counts = _token_hashes_flat(texts)
     out = np.zeros(len(texts), dtype=np.int64)
     nonempty = counts > 0
     if not nonempty.any():
         return out
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc if t])
-    h = pd.util.hash_array(flat).astype(np.uint64)
-    ne_counts = counts[nonempty]
-    starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(ne_counts[:-1], out=starts[1:])
     if features == "shingle":
-        from rmlint_spark.functions.minhash import shingle_hashes_from_tokens
-
-        per_doc = [
-            shingle_hashes_from_tokens(h[s : s + c], k)
-            for s, c in zip(starts, ne_counts)
-        ]
-        out[nonempty] = simhash_from_feature_arrays(per_doc, mix=True).astype(np.int64)
+        per_doc, ne = _per_doc_shingles(h, counts, k)
+        out[ne] = simhash_from_feature_arrays(per_doc, mix=True).astype(np.int64)
     else:
+        ne_counts = counts[nonempty]
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(ne_counts[:-1], out=starts[1:])
         out[nonempty] = simhash_from_token_hashes(h, starts, ne_counts).astype(np.int64)
     return out
 

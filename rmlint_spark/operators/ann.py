@@ -56,23 +56,38 @@ def _rank_topk(partial: DataFrame, k: int, id_col: str) -> DataFrame:
     return partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-def _tile_topk(q_ids, q_mat, n_ids, n_mat, k: int):
-    """Per-query top-k of one similarity tile (rows normalized here)."""
+def _tile_topk(q_ids, q_mat, n_ids, n_mat, k: int, exclude_self: bool = True):
+    """Per-query top-k of one similarity tile (rows normalized here).
+
+    Fully vectorized (guide §4.2): the former per-query Python loop
+    (argpartition row fetch + mask + list extends) ran once per query
+    per tile — ~120k iterations per pass on a 20k-vector corpus at
+    B=6 blocks — and dominated the stage. `take_along_axis` + one
+    ravel/mask pass emits the identical (qid, nid, sim) rows with zero
+    per-row Python. Top-k selection partitions the HIGH end of ``sims``
+    directly instead of ``argpartition(-sims)`` — the negation
+    materialized a full tile-sized copy and measured 2x slower
+    (210 ms -> 109 ms on a 3333^2 tile).
+
+    ``exclude_self``: build the (nq x nc) id-equality mask only when
+    the caller says the id sets can intersect — in the block self-join
+    ids collide only on diagonal tiles (same hash block on both
+    sides), so off-diagonal tiles skip the mask entirely."""
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     n_mat = n_mat / np.linalg.norm(n_mat, axis=1, keepdims=True)
     sims = q_mat @ n_mat.T
-    sims[q_ids[:, None] == n_ids[None, :]] = -np.inf  # self-match exclusion
-    kk = min(k, sims.shape[1])
-    idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-    rows = {"qid": [], "nid": [], "sim": []}
-    for qi in range(sims.shape[0]):
-        cand = idx[qi]
-        s = sims[qi, cand]
-        keep = s > -np.inf
-        rows["qid"].extend([q_ids[qi]] * int(keep.sum()))
-        rows["nid"].extend(n_ids[cand[keep]])
-        rows["sim"].extend(s[keep])
-    return rows
+    if exclude_self:
+        sims[q_ids[:, None] == n_ids[None, :]] = -np.inf  # self-match exclusion
+    nc = sims.shape[1]
+    kk = min(k, nc)
+    idx = np.argpartition(sims, nc - kk, axis=1)[:, nc - kk:]
+    s = np.take_along_axis(sims, idx, axis=1)
+    keep = (s > -np.inf).ravel()
+    return {
+        "qid": np.repeat(q_ids, kk)[keep],
+        "nid": n_ids[idx.ravel()[keep]],
+        "sim": s.ravel()[keep],
+    }
 
 
 def brute_force_topk(
@@ -149,8 +164,28 @@ def _blas_block_self_join(
     embeddings: DataFrame, k: int, id_col: str, vec_col: str, n_blocks: int | None
 ) -> DataFrame:
     spark = embeddings.sparkSession
-    b = n_blocks or max(4, int(math.ceil(math.sqrt(spark.sparkContext.defaultParallelism))))
-    base = _as_double(embeddings.select(id_col, vec_col), vec_col)
+    # B^2 tiles feed one cogroup stage whose partition count is the
+    # shuffle-partition setting (AQE may coalesce it further), so
+    # B ~ sqrt(cores) gives barely one tile per slot and a ragged tail
+    # (measured: 36 tiles over 21 coalesced partitions left a 4-deep
+    # critical path). sqrt(2x parallelism) doubles the tile count for
+    # the same total FLOPs — smaller, cache-friendlier tiles and an
+    # even tail — while replication (shuffle volume grows linearly
+    # with B) stays modest. Callers with huge corpora can still pass
+    # ``n_blocks`` explicitly to bound per-task tile memory.
+    b = n_blocks or max(
+        4, int(math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
+    )
+    # spread the (single-row-group, hence single-task) embedding scan
+    # before the B-fold replication: both replicated sides derive from
+    # this one exchange (reused across the two subtrees), so the
+    # replication + cogroup shuffle WRITE parallelizes instead of
+    # funneling 2B copies of every vector through one scan task
+    # (guide §2.5 input-skew fix; partition count follows
+    # spark.sql.shuffle.partitions)
+    base = _as_double(embeddings.select(id_col, vec_col), vec_col).repartition(
+        F.col(id_col)
+    )
     blk = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(b)).cast("int")
     # two independently-named projections (a shared lineage would trip
     # Spark's ambiguous-self-join analysis inside the cogroup); each
@@ -182,7 +217,11 @@ def _blas_block_self_join(
         q_mat = np.stack(lpdf[vec_col].to_numpy()).astype(np.float64)
         n_ids = rpdf["_nid"].to_numpy(dtype=np.int64)
         n_mat = np.stack(rpdf["_nvec"].to_numpy()).astype(np.float64)
-        rows = _tile_topk(q_ids, q_mat, n_ids, n_mat, k)
+        # ids are hash-assigned to blocks, so q/corpus id sets can only
+        # intersect on DIAGONAL tiles (query block == corpus block) —
+        # off-diagonal tiles skip the (nq x nc) self-match mask
+        diag = int(lpdf["_qb"].iloc[0]) == int(rpdf["_cb"].iloc[0])
+        rows = _tile_topk(q_ids, q_mat, n_ids, n_mat, k, exclude_self=diag)
         return pd.DataFrame(
             {id_col: rows["qid"], "neighbor_id": rows["nid"], "cos_sim": rows["sim"]}
         )

@@ -315,6 +315,19 @@ def band_buckets(signatures: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFram
     )
 
 
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """All (fid_a < fid_b) pairs from a gathered-bucket relation
+    carrying a ``_members`` array column: explode each member as the
+    pair head, pair it with every LARGER member of the same bucket via
+    a higher-order filter — pure whole-stage codegen, no join, per-row
+    memory O(bucket width) which the callers cap. NOT deduplicated
+    across buckets."""
+    return buckets.select(F.explode("_members").alias("fid_a"), "_members").select(
+        "fid_a",
+        F.explode(F.filter("_members", lambda y: y > F.col("fid_a"))).alias("fid_b"),
+    )
+
+
 def candidate_pairs(
     signatures: DataFrame, cfg: EngineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
@@ -339,13 +352,19 @@ def candidate_pairs(
     projection of the oversized members only — the escalation path
     never touches content and shrinks geometrically.
 
-    Driver-action economy: ONE limit+collect per level on the width
-    agg's over-cap slice replaces the former isEmpty probe AND the
-    later over-key join scans — the common no-escalation case costs a
-    single small aggregate, and when buckets ARE over cap the
-    collected keys drive the anti/semi joins as a broadcast local
-    relation instead of recomputing the width agg. Over sets wider
-    than ``_PROBE_CAP`` (pathological) fall back to the join path.
+    Shuffle/action economy (round 6, guide §2.3/§2.4): each level
+    gathers its buckets with ONE ``collect_list`` aggregation — the
+    bucket width is ``size(members)`` on the gathered row, so the
+    former separate width aggregation disappears, the over-cap check
+    and the member extraction for escalation become plain filters and
+    explodes of the pinned bucket relation (no anti/semi joins), and
+    candidate pairs come from an in-bucket array self-expansion
+    (``explode`` + higher-order ``filter``, pure codegen) instead of a
+    relation-vs-relation equi-join — the band relation crosses the
+    network ONCE per level instead of three times (width agg + both
+    join sides), and the per-row expansion memory is O(width), bounded
+    by the cap. The over-cap probe stays the single limit+collect
+    driver action per level.
     """
     from rmlint_spark.operators.exact import _pin
 
@@ -357,39 +376,41 @@ def candidate_pairs(
     esc_cap = min(cfg.lsh_escalate_cap, cfg.max_bucket_width)
     dropped_schema = "band_id int, band_hash bigint, width bigint, level int"
     while True:
-        cur = _pin(cur)
+        buckets = _pin(
+            cur.groupBy("band_id", "band_hash").agg(
+                F.collect_list("fid").alias("_members")
+            )
+        )
         cap = cfg.max_bucket_width if level == 0 else esc_cap
-        widths = cur.groupBy("band_id", "band_hash").agg(F.count("*").alias("width"))
-        over = widths.filter(F.col("width") > cap)
-        over_rows = over.limit(_PROBE_CAP + 1).collect()
+        over = buckets.filter(F.size("_members") > cap)
+        over_rows = (
+            over.select(
+                "band_id", "band_hash", F.size("_members").cast("long").alias("width")
+            )
+            .limit(_PROBE_CAP + 1)
+            .collect()
+        )
+        ok_levels.append(buckets.filter(F.size("_members") <= cap))
         if not over_rows:
-            ok_levels.append(cur)
             dropped = spark.createDataFrame([], dropped_schema)
             break
         if len(over_rows) <= _PROBE_CAP:
-            over_keys = F.broadcast(
-                spark.createDataFrame(
-                    [(x["band_id"], x["band_hash"]) for x in over_rows],
-                    "band_id int, band_hash bigint",
-                )
-            )
             dropped_now = spark.createDataFrame(
                 [(x["band_id"], x["band_hash"], x["width"], level) for x in over_rows],
                 dropped_schema,
             )
-        else:  # over set itself huge: keep it distributed
-            over_keys = over.select("band_id", "band_hash")
-            dropped_now = over.withColumn("level", F.lit(level))
-        ok_levels.append(
-            cur.join(over_keys, ["band_id", "band_hash"], "left_anti")
-        )
+        else:  # over set itself huge: keep the report distributed
+            dropped_now = over.select(
+                "band_id",
+                "band_hash",
+                F.size("_members").cast("long").alias("width"),
+                F.lit(level).alias("level"),
+            )
         if slice_len >= num_perm or level >= cfg.lsh_escalate_levels:
             dropped = dropped_now
             break
         over_fids = (
-            cur.join(over_keys, ["band_id", "band_hash"], "left_semi")
-            .select("fid")
-            .dropDuplicates(["fid"])
+            over.select(F.explode("_members").alias("fid")).dropDuplicates(["fid"])
         )
         level += 1
         slice_len = min(slice_len * 2, num_perm)
@@ -404,14 +425,7 @@ def candidate_pairs(
     ok = ok_levels[0]
     for extra in ok_levels[1:]:
         ok = ok.unionByName(extra)
-    a = ok.select("band_id", "band_hash", F.col("fid").alias("fid_a"))
-    b = ok.select("band_id", "band_hash", F.col("fid").alias("fid_b"))
-    pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("fid_a") < F.col("fid_b"))
-        .select("fid_a", "fid_b")
-        .dropDuplicates(["fid_a", "fid_b"])
-    )
+    pairs = _bucket_pairs(ok).dropDuplicates(["fid_a", "fid_b"])
     return pairs, dropped
 
 

@@ -69,65 +69,63 @@ def simhash_candidates(
     oversized members only.
     """
     from rmlint_spark.operators.exact import _pin
-    from rmlint_spark.operators.lsh import _PROBE_CAP
+    from rmlint_spark.operators.lsh import _PROBE_CAP, _bucket_pairs
 
     spark = sims.sparkSession
-    blocks = _pin(simhash_blocks(sims, cfg))
-    widths = blocks.groupBy("block_id", "block_value").agg(F.count("*").alias("width"))
-    oversized = widths.filter(F.col("width") > cfg.simhash_max_bucket_width)
-    # ONE limit+collect probe (same action economy as
-    # lsh.candidate_pairs): the common no-oversized case costs a single
-    # small aggregate; otherwise the collected keys drive the anti/semi
-    # joins as a broadcast local relation instead of a width-agg rescan
-    over_rows = oversized.limit(_PROBE_CAP + 1).collect()
-    none_over = not over_rows
-    if none_over or len(over_rows) > _PROBE_CAP:
-        over_keys = oversized.select("block_id", "block_value")
-    else:
-        over_keys = F.broadcast(
-            spark.createDataFrame(
-                [(x["block_id"], x["block_value"]) for x in over_rows],
-                "block_id int, block_value bigint",
-            )
+    # ONE collect_list aggregation gathers block buckets (round 6,
+    # guide §2.3/§2.4 — same restructure as lsh.candidate_pairs):
+    # width = size(members) rides the gathered row, so the separate
+    # width aggregation, the over-key anti/semi joins, and the two-
+    # sided candidate equi-join all collapse into filters + in-bucket
+    # array expansion over this one pinned relation. The block
+    # relation crosses the network once instead of three times.
+    buckets = _pin(
+        simhash_blocks(sims, cfg)
+        .groupBy("block_id", "block_value")
+        .agg(F.collect_list("fid").alias("_members"))
+    )
+    over = buckets.filter(F.size("_members") > cfg.simhash_max_bucket_width)
+    over_rows = (
+        over.select(
+            "block_id", "block_value", F.size("_members").cast("long").alias("width")
         )
-    ok = blocks if none_over else blocks.join(
-        over_keys, ["block_id", "block_value"], "left_anti"
+        .limit(_PROBE_CAP + 1)
+        .collect()
     )
-    a = ok.select("block_id", "block_value", F.col("fid").alias("fid_a"))
-    b = ok.select("block_id", "block_value", F.col("fid").alias("fid_b"))
-    cand = (
-        a.join(b, ["block_id", "block_value"])
-        .filter(F.col("fid_a") < F.col("fid_b"))
-        .select("fid_a", "fid_b")
-    )
+    none_over = not over_rows
+    ok = buckets.filter(F.size("_members") <= cfg.simhash_max_bucket_width)
+    cand = _bucket_pairs(ok)
     dropped_schema = "block_id int, block_value bigint, width bigint, level int"
     if none_over:
         dropped = spark.createDataFrame([], dropped_schema)
     elif cfg.simhash_escalate:
-        esc_members = blocks.join(over_keys, ["block_id", "block_value"], "left_semi")
-        partners = blocks.select(
-            "fid",
+        esc_members = over.select(
+            "block_id", "block_value", F.explode("_members").alias("fid")
+        )
+        # flat partner rows re-derive from the PINNED bucket arrays —
+        # never from the signature UDF again
+        partners = buckets.select(
             F.col("block_id").alias("partner_id"),
             F.col("block_value").alias("partner_value"),
-        )
-        esc = _pin(
-            esc_members.join(partners, "fid")
-            .filter(F.col("partner_id") != F.col("block_id"))
+            F.explode("_members").alias("fid"),
         )
         k2 = ["block_id", "block_value", "partner_id", "partner_value"]
         esc_cap = min(cfg.simhash_escalate_cap, cfg.simhash_max_bucket_width)
-        w2 = esc.groupBy(*k2).agg(F.count("*").alias("width"))
-        over2 = w2.filter(F.col("width") > esc_cap)
-        ok2 = esc.join(over2.select(*k2), k2, "left_anti")
-        a2 = ok2.select(*k2, F.col("fid").alias("fid_a"))
-        b2 = ok2.select(*k2, F.col("fid").alias("fid_b"))
+        esc_buckets = _pin(
+            esc_members.join(partners, "fid")
+            .filter(F.col("partner_id") != F.col("block_id"))
+            .groupBy(*k2)
+            .agg(F.collect_list("fid").alias("_members"))
+        )
+        over2 = esc_buckets.filter(F.size("_members") > esc_cap)
         cand = cand.unionByName(
-            a2.join(b2, k2)
-            .filter(F.col("fid_a") < F.col("fid_b"))
-            .select("fid_a", "fid_b")
+            _bucket_pairs(esc_buckets.filter(F.size("_members") <= esc_cap))
         )
         dropped = over2.select(
-            "block_id", "block_value", "width", F.lit(1).alias("level")
+            "block_id",
+            "block_value",
+            F.size("_members").cast("long").alias("width"),
+            F.lit(1).alias("level"),
         )
     else:
         dropped = (
@@ -136,7 +134,12 @@ def simhash_candidates(
                 dropped_schema,
             )
             if len(over_rows) <= _PROBE_CAP
-            else oversized.withColumn("level", F.lit(0))
+            else over.select(
+                "block_id",
+                "block_value",
+                F.size("_members").cast("long").alias("width"),
+                F.lit(0).alias("level"),
+            )
         )
     cand = cand.dropDuplicates(["fid_a", "fid_b"])
     s = sims.select("fid", "simhash")

@@ -70,19 +70,28 @@ def window_index(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 def clone_pairs(
     wh: DataFrame, cfg: EngineConfig = DEFAULT, min_shared: int = 2
 ) -> tuple[DataFrame, DataFrame]:
-    """Pair-join the inverted index: (pairs, oversized_report).
+    """Pair the inverted index per bucket: (pairs, oversized_report).
 
     Buckets wider than cfg.max_bucket_width (boilerplate windows
     appearing in thousands of files) are excluded and reported — the
-    same skew-cap discipline as the LSH band join."""
-    widths = wh.groupBy("whash").agg(F.count("*").alias("width"))
-    oversized = widths.filter(F.col("width") > cfg.max_bucket_width)
-    ok = wh.join(oversized.select("whash"), "whash", "left_anti")
-    a = ok.select("whash", F.col("fid").alias("fid_a"))
-    b = ok.select("whash", F.col("fid").alias("fid_b"))
+    same skew-cap discipline as the LSH band join.
+
+    Round 6 (guide §2.3/§2.4): ONE collect_list aggregation gathers
+    each window bucket; width = size(members) rides the gathered row,
+    so the former separate width aggregation, the over-key anti-join,
+    and the two-sided candidate equi-join collapse into filters plus
+    in-bucket array expansion — the 5M-row index crosses the network
+    once instead of three times. Per-row expansion memory is O(width),
+    bounded by the cap."""
+    from rmlint_spark.operators.lsh import _bucket_pairs
+
+    buckets = wh.groupBy("whash").agg(F.collect_list("fid").alias("_members"))
+    oversized = buckets.filter(F.size("_members") > cfg.max_bucket_width).select(
+        "whash", F.size("_members").cast("long").alias("width")
+    )
+    ok = buckets.filter(F.size("_members") <= cfg.max_bucket_width)
     pairs = (
-        a.join(b, "whash")
-        .filter(F.col("fid_a") < F.col("fid_b"))
+        _bucket_pairs(ok)
         .groupBy("fid_a", "fid_b")
         .agg(F.count("*").alias("shared_windows"))
         .filter(F.col("shared_windows") >= min_shared)

@@ -33,7 +33,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def documents_as_files(docs: DataFrame) -> DataFrame:
     """Map the driver's ``documents(doc_id, text, lang, source,
     n_chars)`` onto the canonical files relation. Deterministic
-    synthetic path/commit derived from doc_id (no data invented)."""
+    synthetic path/commit derived from doc_id (no data invented).
+
+    NOTE on read layout: the driver tables are single-row-group
+    parquet, so a scan is one task. An A/B at sf1.0 (round 6) measured
+    an eager ``repartition("path")`` here as a net LOSS — the corpus is
+    small enough (~170 MB text) that single-task decode costs ~0.3 s
+    while the added exchange taxes every downstream subtree — so the
+    spread happens only where per-row work is heavy (the explicit
+    repartition before the signature kernels in
+    ``lsh.representative_rows``)."""
     return docs.select(
         F.col("source").alias("repo"),
         F.format_string("docs/d%02d/doc%d.txt", F.pmod("doc_id", F.lit(50)), "doc_id").alias("path"),
