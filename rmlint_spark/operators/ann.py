@@ -182,10 +182,13 @@ def _blas_block_self_join(
     # replication + cogroup shuffle WRITE parallelizes instead of
     # funneling 2B copies of every vector through one scan task
     # (guide §2.5 input-skew fix; partition count follows
-    # spark.sql.shuffle.partitions)
-    base = _as_double(embeddings.select(id_col, vec_col), vec_col).repartition(
-        F.col(id_col)
-    )
+    # spark.sql.shuffle.partitions).
+    # NO _as_double before the shuffle (guide §2.3 "narrower types"):
+    # the vectors replicate 2B-fold in their SOURCE element type
+    # (float for the driver tables — half the bytes) and widen to
+    # float64 inside the tile kernel via numpy astype, which is
+    # bit-identical to Spark's float->double cast.
+    base = embeddings.select(id_col, vec_col).repartition(F.col(id_col))
     blk = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(b)).cast("int")
     # two independently-named projections (a shared lineage would trip
     # Spark's ambiguous-self-join analysis inside the cogroup); each

@@ -155,11 +155,15 @@ def connected_components(
             os.replace(tmp, fp_file)
     _pre = persistent_rdd_ids(spark)
     if labels is None:
+        # lazy: iteration 1's convergence action materializes the init
+        # labels together with its own work (one driver job saved; the
+        # checkpoint storage still computes each partition once across
+        # the three references inside that job)
         labels = (
             sym.select(F.col("u").alias("fid"))
             .distinct()
             .withColumn("component", F.col("fid"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     # storage discipline: each iteration's checkpoint supersedes the
     # previous one; freeing superseded ids keeps a long CC run at one

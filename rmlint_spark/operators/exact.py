@@ -45,6 +45,7 @@ from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rmlint_spark.config import DEFAULT, EngineConfig
@@ -396,17 +397,23 @@ def exact_clusters(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     # with match keys active, same-content files under different keys
     # are DIFFERENT clusters (rmlint emits separate groups), so the
     # cluster identity extends from checksum to (checksum, keys) — the
-    # id stays content-derived and partition-independent either way
-    sizes = clustered.groupBy("checksum", *mk_names).agg(
-        F.count("*").alias("cluster_size")
-    )
-    out = clustered.join(sizes, ["checksum", *mk_names]).withColumn(
+    # id stays content-derived and partition-independent either way.
+    # cluster_size rides the SAME cluster_id window partitioning the
+    # rank already needs (an unordered count window whose required sort
+    # is a prefix of the rank window's), so the former size aggregation
+    # + re-join exchange disappears (round 6, guide §2.4 "window
+    # functions partitioned by the same key as a preceding aggregation
+    # do not need a second shuffle").
+    out = clustered.withColumn(
         "cluster_id",
         F.sha2(F.concat_ws("\x1f", "checksum", *mk_names), 256)
         if mk_names
         else F.col("checksum"),
     )
-    return tag_originals(out, cfg.rank_criteria).select(
+    out = tag_originals(out, cfg.rank_criteria).withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+    )
+    return out.select(
         "repo", "path", "commit", "size", "checksum",
         "cluster_id", "cluster_size", "rank", "is_original",
         # optional ranking/storage columns survive for post-processing

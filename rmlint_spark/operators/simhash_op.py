@@ -72,6 +72,12 @@ def simhash_candidates(
     from rmlint_spark.operators.lsh import _PROBE_CAP, _bucket_pairs
 
     spark = sims.sparkSession
+    # the narrow (fid, simhash) projection is referenced by the block
+    # explode AND both verification fetch joins below — pin it so an
+    # UNCACHED ``sims`` lineage (bench lane: representative_rows + the
+    # signature UDF) runs once, not three times (round 6; the
+    # jaccard_verify signature-prune discipline)
+    s = _pin(sims.select("fid", "simhash"))
     # ONE collect_list aggregation gathers block buckets (round 6,
     # guide §2.3/§2.4 — same restructure as lsh.candidate_pairs):
     # width = size(members) rides the gathered row, so the separate
@@ -80,7 +86,7 @@ def simhash_candidates(
     # array expansion over this one pinned relation. The block
     # relation crosses the network once instead of three times.
     buckets = _pin(
-        simhash_blocks(sims, cfg)
+        simhash_blocks(s, cfg)
         .groupBy("block_id", "block_value")
         .agg(F.collect_list("fid").alias("_members"))
     )
@@ -142,7 +148,6 @@ def simhash_candidates(
             )
         )
     cand = cand.dropDuplicates(["fid_a", "fid_b"])
-    s = sims.select("fid", "simhash")
     joined = (
         cand.join(s.withColumnRenamed("fid", "fid_a").withColumnRenamed("simhash", "sh_a"), "fid_a")
         .join(s.withColumnRenamed("fid", "fid_b").withColumnRenamed("simhash", "sh_b"), "fid_b")

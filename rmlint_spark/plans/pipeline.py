@@ -118,8 +118,14 @@ def run_pipeline(
         .filter(F.col("cluster_id").isNotNull())
     )
     members = idx.join(rep_comp, "sha", "inner")
-    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    near = tag_originals(members.join(sizes, "cluster_id"), cfg.rank_criteria).select(
-        *KEY, "fid", "cluster_id", "cluster_size", "rank", "is_original"
+    # cluster_size rides the same cluster_id window partitioning the
+    # rank already needs — no separate size aggregation + re-join
+    # exchange (round 6; same fusion as exact_clusters)
+    from pyspark.sql import Window as W
+
+    near = (
+        tag_originals(members, cfg.rank_criteria)
+        .withColumn("cluster_size", F.count("*").over(W.partitionBy("cluster_id")))
+        .select(*KEY, "fid", "cluster_id", "cluster_size", "rank", "is_original")
     )
     return PipelineResult(exact, edges, near, oversized)
