@@ -50,11 +50,16 @@ def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # lazy checkpoint (round 6): the physical plan — and with it
+        # the stored hashpartitioning(u) — is fixed HERE under AQE-off;
+        # materialization folds into the first downstream action (the
+        # edges fingerprint when checkpointing, else iteration 1's
+        # convergence action), saving one driver job per CC call.
         return (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
             .repartition(n_parts, "u")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

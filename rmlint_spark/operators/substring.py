@@ -26,7 +26,13 @@ from rmlint_spark.operators.lsh import file_id
 
 
 def window_hashes_batch(texts: list[str], window: int, stride: int) -> list[np.ndarray]:
-    """Per-text int64 hashes of each char window [i*stride, +window)."""
+    """Per-text int64 hashes of each char window [i*stride, +window).
+
+    Round-6 note: a fully numpy-vectorized SipHash-2-4 replacement for
+    ``pd.util.hash_array`` was implemented and measured 3x SLOWER than
+    the pandas C loop (the ~20 SipHash rounds become ~240 full-array
+    memory passes), so the per-object C hash stays — see
+    OPTIMIZATION_r06.md "left alone"."""
     all_windows: list[str] = []
     counts = []
     for t in texts:
@@ -85,7 +91,13 @@ def clone_pairs(
     bounded by the cap."""
     from rmlint_spark.operators.lsh import _bucket_pairs
 
-    buckets = wh.groupBy("whash").agg(F.collect_list("fid").alias("_members"))
+    # array_distinct makes the gather tolerant of a NON-deduplicated
+    # index (identical to deduplicating (fid, whash) first — per-doc
+    # repeat windows and path-doubled rows emit identical pairs), so
+    # substring_clones can skip the separate dropDuplicates exchange
+    buckets = wh.groupBy("whash").agg(
+        F.array_distinct(F.collect_list("fid")).alias("_members")
+    )
     oversized = buckets.filter(F.size("_members") > cfg.max_bucket_width).select(
         "whash", F.size("_members").cast("long").alias("width")
     )
@@ -102,5 +114,18 @@ def clone_pairs(
 def substring_clones(
     files: DataFrame, cfg: EngineConfig = DEFAULT, min_shared: int = 2
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (pairs(fid_a, fid_b, shared_windows), oversized_report)."""
-    return clone_pairs(window_index(files, cfg), cfg, min_shared)
+    """Returns (pairs(fid_a, fid_b, shared_windows), oversized_report).
+
+    Feeds clone_pairs the RAW (fid, whash) explode — no separate
+    dropDuplicates pass: the bucket gather's array_distinct collapses
+    per-doc repeat windows and path-doubled rows identically, so the
+    5M-row index crosses the network once total (round 6). Callers
+    that materialize the index itself (the oracle side-channel) still
+    use :func:`window_index`, whose distinct-rows contract is
+    unchanged."""
+    udf = window_hash_udf(cfg.sig.substr_window, cfg.sig.substr_stride)
+    raw = (
+        files.filter(F.length("content") >= 16)
+        .select(file_id().alias("fid"), F.explode(udf(F.col("content"))).alias("whash"))
+    )
+    return clone_pairs(raw, cfg, min_shared)
