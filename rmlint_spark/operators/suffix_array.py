@@ -60,17 +60,39 @@ __all__ = [
 ]
 
 
-def dense_rank_distributed(df: DataFrame, cols: list[str], out: str = "r") -> DataFrame:
+def _sa_parts(spark, n_rows: int | None) -> int:
+    """Scale-adaptive partition count for the suffix-array build: the
+    prefix-doubling rounds run with AQE off (the stored partitioning
+    contract), so a constant shuffle.partitions would schedule hundreds
+    of near-empty tasks per round on a small corpus (the 24-doc sa_lcp
+    oracle slice spent its 44 s mostly on empty-task rounds). Target
+    ~256k narrow (doc, pos, r) rows per partition, capped at the
+    session's shuffle-partition setting so large corpora keep full
+    parallelism. Floor 2: ``repartition(1, cols)`` compiles to
+    SinglePartition, which would drop the stored hashpartitioning the
+    LCP descent's exchange-free generation joins rely on
+    (plan-asserted in test_plans)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_rows is None:
+        return cap
+    return max(2, min(cap, -(-int(n_rows) // (1 << 18))))
+
+
+def dense_rank_distributed(
+    df: DataFrame, cols: list[str], out: str = "r", n_parts: int | None = None
+) -> DataFrame:
     """(cols..., out) mapping relation: 1-based dense rank of the
     distinct ``cols`` tuples in lexicographic order, computed without
     a single-task global window: range-partition the distinct tuples,
     row_number within each physical partition (spark_partition_id is
     evaluated BEFORE the window exchange, so the range classes
     survive), then shift by per-partition base offsets (one bounded
-    <= shuffle.partitions-row collect). Join the result back on
-    ``cols`` to rank a full relation."""
+    <= n_parts-row collect). Join the result back on ``cols`` to rank
+    a full relation. ``n_parts`` defaults to the shuffle-partition
+    setting; the suffix-array rounds pass a corpus-sized value
+    (:func:`_sa_parts`)."""
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         df.select(*cols)
         .distinct()
@@ -78,14 +100,15 @@ def dense_rank_distributed(df: DataFrame, cols: list[str], out: str = "r") -> Da
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    # eager checkpoint: the relation is read by TWO jobs (the counts
-    # collect below and the caller's join-back), and repartitionByRange
-    # samples its range boundaries — freeze (_pid, _lr) so both jobs
-    # see the same partition assignment. The caller sweeps this
-    # checkpoint via persistent_rdd_ids bracketing.
-    d = d.withColumn("_lr", F.row_number().over(w)).localCheckpoint(eager=True)
+    # LAZY checkpoint (round 6): the counts collect right below is the
+    # materializing action, so ranking costs ONE driver job instead of
+    # two (the checkpoint still freezes (_pid, _lr) — range-boundary
+    # sampling and the window run once, during that job — and the
+    # caller's join-back reads the frozen blocks). The caller sweeps
+    # this checkpoint via persistent_rdd_ids bracketing.
+    d = d.withColumn("_lr", F.row_number().over(w)).localCheckpoint(eager=False)
     # base offset of each partition = rows in all lower-range partitions;
-    # bounded collect (one row per partition)
+    # bounded collect (one row per partition) — materializes d
     counts = {r["_pid"]: r["n"] for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     base, offsets = 0, {}
     for pid in sorted(counts):
@@ -150,18 +173,28 @@ def suffix_ranks(
     tie with a suffix of the SAME length, so class equality implies
     shared-prefix length >= min(upto, |suffix|).
 
-    Each round localCheckpoints the narrow (doc, pos, r) state and
-    releases the previous generation (the CC storage idiom)."""
+    Driver-action economy (round 6): every generation checkpoint is
+    LAZY — round k's dense-rank counts collect is the only driver
+    action per round, and it materializes round k-1's pending
+    generation as a side effect. A generation is released only after
+    the generation built FROM it has materialized (one-round-deferred
+    sweep), so at most two narrow (doc, pos, r) generations are live —
+    the 24-doc sa_lcp oracle corpus dropped from ~3 driver jobs per
+    doubling round to 1."""
     from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
 
     spark = docs.sparkSession
+    row = docs.agg(
+        F.max(F.length(text_col)).alias("m"),
+        F.sum(F.length(text_col)).alias("n"),
+    ).collect()[0]
     if upto is None:
-        upto = (
-            docs.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
-        )
+        upto = row["m"] or 1
+    n_parts = _sa_parts(spark, row["n"])
     before = persistent_rdd_ids(spark)
-    cur = _char_ranks(docs, id_col, text_col).localCheckpoint(eager=True)
+    cur = _char_ranks(docs, id_col, text_col).localCheckpoint(eager=False)
     prev_ids = persistent_rdd_ids(spark) - before
+    free_after_next_action: set[int] = set()
     w = 1
     while w < upto:
         # window grows w -> w + shift; shift <= w keeps the two ranked
@@ -174,17 +207,21 @@ def suffix_ranks(
             .select("doc", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
         )
         before = persistent_rdd_ids(spark)
-        rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn")
+        # the counts collect inside materializes `paired`'s lineage —
+        # i.e. the previous round's pending generation — so anything
+        # queued behind that materialization is now safe to free
+        rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn", n_parts=n_parts)
+        unpersist_rdd_ids(spark, free_after_next_action)
         rank_ids = persistent_rdd_ids(spark) - before
         cur = (
             paired.join(rank_map, ["r", "r2"])
             .select("doc", "pos", F.col("rn").alias("r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_ids = persistent_rdd_ids(spark) - before - rank_ids
-        # new cur is materialized: the round's internal rank map and the
-        # previous generation are both dead — only cur stays persistent
-        unpersist_rdd_ids(spark, prev_ids | rank_ids)
+        # prev generation + this round's rank map feed the still-lazy
+        # new generation — free them only after IT materializes
+        free_after_next_action = prev_ids | rank_ids
         prev_ids = cur_ids
         w += h
     return cur
@@ -280,8 +317,12 @@ def rank_generations(
     are equal) — the sentinel rule, so equality at w certifies either
     a true w-char match or total remainder equality."""
     spark = docs.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    max_len = docs.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
+    row = docs.agg(
+        F.max(F.length(text_col)).alias("m"),
+        F.sum(F.length(text_col)).alias("n"),
+    ).collect()[0]
+    max_len = row["m"] or 1
+    n_parts = _sa_parts(spark, row["n"])
     gens: list[tuple[int, DataFrame]] = []
     # every generation is checkpointed HASH-PARTITIONED ON (doc, pos)
     # — the descent's join key. The checkpoint's LogicalRDD preserves
@@ -302,10 +343,17 @@ def rank_generations(
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # LAZY checkpoints (round 6): the physical plan — including the
+        # stored hashpartitioning(doc, pos) the descent relies on — is
+        # fixed here under AQE-off; each round's dense-rank counts
+        # collect is the round's single driver action and materializes
+        # the previous generation, and the final generation lands with
+        # the descent's first action. Generations deliberately stay
+        # persistent (the descent walks all of them); callers sweep.
         cur = (
             _char_ranks(docs, id_col, text_col)
             .repartition(n_parts, "doc", "pos")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         gens.append((1, cur))
         w = 1
@@ -317,12 +365,14 @@ def rank_generations(
                 cur.join(shifted, ["doc", "pos"], "left")
                 .select("doc", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2"))
             )
-            rank_map = dense_rank_distributed(paired, ["r", "r2"], out="rn")
+            rank_map = dense_rank_distributed(
+                paired, ["r", "r2"], out="rn", n_parts=n_parts
+            )
             cur = (
                 paired.join(rank_map, ["r", "r2"])
                 .select("doc", "pos", F.col("rn").alias("r"))
                 .repartition(n_parts, "doc", "pos")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             w *= 2
             gens.append((w, cur))
@@ -492,13 +542,15 @@ def lcp_array(
     if gens is None:
         gens = rank_generations(docs, id_col=id_col, text_col=text_col)
     sa = gens[-1][1]  # fully refined: equal r <=> identical suffix strings
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = _sa_parts(
+        spark, docs.agg(F.sum(F.length(text_col)).alias("n")).collect()[0]["n"]
+    )
     # freeze (_pid, order) once: two consumers below + repartitionByRange
     # samples boundaries (the dense_rank_distributed discipline)
     d = (
         sa.repartitionByRange(n_parts, "r", "doc", "pos")
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the lasts collect materializes
     )
     w = Window.partitionBy("_pid").orderBy("r", "doc", "pos")
     cur = d.select(

@@ -58,7 +58,13 @@ def winnow_fingerprints(
         f"  array_distinct(transform(sequence(1, greatest(size(g) - {w - 1}, 1)), "
         f"  j -> array_min(slice(g, j, {w})))))[0]"
     )
-    d = docs.filter(F.length(text_col) >= k + w - 1)
+    # spread BEFORE the gram/window expressions (guide §2.5): the
+    # driver tables are single-row-group parquet, so without this the
+    # ~n_chars sha256 gram hashes per document (16M+ at sf0.1) all run
+    # inside the one scan task. One (id, text) exchange buys
+    # shuffle-partition-way parallelism for the per-row work — the
+    # same explicit-repartition crutch as lsh.representative_rows.
+    d = docs.filter(F.length(text_col) >= k + w - 1).repartition(F.col(id_col))
     return d.select(F.col(id_col).alias(id_col), F.explode(F.expr(fps)).alias("fp"))
 
 
@@ -66,21 +72,29 @@ def shared_fingerprint_pairs(
     fps: DataFrame, max_bucket_width: int = 64, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate clone pairs from a winnowed fingerprint relation:
-    self-join on fp with the repo-standard width cap. Returns
-    (pairs with shared-fp counts, dropped over-cap fingerprints) —
-    the same (result, dropped) observability contract as the LSH and
-    ANN candidate stages."""
-    width = fps.groupBy("fp").agg(F.count("*").alias("_w"))
-    # only the over-cap set is small by construction — broadcast THAT
-    # and anti-join, never the full fingerprint vocabulary
-    dropped = width.filter(F.col("_w") > max_bucket_width).select("fp", "_w")
-    usable = fps.join(F.broadcast(dropped.select("fp")), "fp", "left_anti")
-    a = usable.select(F.col("fp"), F.col(id_col).alias("id_a"))
-    b = usable.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    per-fingerprint bucket expansion with the repo-standard width cap.
+    Returns (pairs with shared-fp counts, dropped over-cap
+    fingerprints) — the same (result, dropped) observability contract
+    as the LSH and ANN candidate stages.
+
+    Round 6 (guide §2.3/§2.4 — the candidate-lane restructure): ONE
+    collect_list aggregation gathers each fingerprint's documents;
+    width = size(members) rides the gathered row, so the separate
+    width aggregation, the over-cap anti-join, and the two-sided
+    equi-join collapse into filters plus in-bucket array expansion —
+    the multi-million-row fingerprint relation crosses the network
+    once instead of three times. Per-row expansion memory is O(width),
+    bounded by the cap."""
+    from rmlint_spark.operators.lsh import _bucket_pairs
+
+    buckets = fps.groupBy("fp").agg(F.collect_list(id_col).alias("_members"))
+    dropped = buckets.filter(F.size("_members") > max_bucket_width).select(
+        "fp", F.size("_members").cast("long").alias("_w")
+    )
+    ok = buckets.filter(F.size("_members") <= max_bucket_width)
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        _bucket_pairs(ok)
+        .groupBy(F.col("fid_a").alias("id_a"), F.col("fid_b").alias("id_b"))
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
     return pairs, dropped
