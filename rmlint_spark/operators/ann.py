@@ -120,19 +120,153 @@ def brute_force_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Exact top-k via blocked numpy matmul (BLAS) — same results and
     tie-break as ``brute_force_topk``, ~10-50x faster.
 
-    ``queries=None`` (self-join): distributed block self-join — no
-    driver-side collection anywhere, see module docstring. With an
-    explicit ``queries`` frame, the (bounded, caller-vouched) query
-    matrix is broadcast and each corpus Arrow batch computes one
-    similarity block. Shuffle volume in both modes: k rows per
-    (query, tile) — never a full cross product."""
+    ``queries=None`` (self-join): when the corpus matrix fits under
+    ``broadcast_bytes`` (default env RMLINT_SPARK_ANN_BCAST_MB, 256 MB
+    — guide §3.1: a few hundred MB broadcast is fine, multi-GB is not)
+    the whole corpus is broadcast once and ONE mapInPandas pass emits
+    the finished per-query top-k: zero pair shuffle, zero window rank.
+    Larger corpora (or an explicit ``n_blocks``) take the distributed
+    block self-join — no driver-side collection anywhere, see module
+    docstring. With an explicit ``queries`` frame, the (bounded,
+    caller-vouched) query matrix is broadcast and each corpus Arrow
+    batch computes one similarity block. Shuffle volume is never a
+    full cross product in any mode."""
     if queries is None:
+        if n_blocks is None:
+            import os
+
+            if broadcast_bytes is None:
+                broadcast_bytes = (
+                    int(os.environ.get("RMLINT_SPARK_ANN_BCAST_MB", "256")) << 20
+                )
+            rows = _self_corpus_if_small(
+                embeddings, id_col, vec_col, broadcast_bytes
+            )
+            if rows is not None:
+                return _blas_broadcast_self(embeddings, k, id_col, vec_col, rows)
         return _blas_block_self_join(embeddings, k, id_col, vec_col, n_blocks)
     return _blas_broadcast(embeddings, queries, k, id_col, vec_col)
+
+
+def _self_corpus_if_small(
+    embeddings: DataFrame, id_col: str, vec_col: str, broadcast_bytes: int
+):
+    """Collect the (id, vec) corpus iff its float64 matrix fits under
+    ``broadcast_bytes``; else None. One 1-row dim probe + one bounded
+    limit+collect — the limit guards the driver before anything large
+    is pulled."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return []
+    dim = len(first[0])
+    rows_cap = max(1, broadcast_bytes // max(8 * dim, 1))
+    lim = embeddings.select(id_col, vec_col).limit(rows_cap + 1)
+    try:  # Arrow transfer (Spark 4): ~4x the row-collect path
+        tbl = lim.toArrow()
+        if tbl.num_rows > rows_cap:
+            return None
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column(vec_col).combine_chunks()
+        flat = vals.flatten().to_numpy(zero_copy_only=False)
+        if len(ids) and len(flat) == len(ids) * dim:
+            return (
+                np.asarray(ids, dtype=np.int64),
+                np.asarray(flat, dtype=np.float64).reshape(len(ids), dim),
+            )
+        # ragged dims: fall through to the row path
+    except Exception:
+        pass
+    rows = lim.collect()
+    if len(rows) > rows_cap:
+        return None
+    return rows
+
+
+def _blas_broadcast_self(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str, rows
+) -> DataFrame:
+    """Self-join top-k with the corpus matrix broadcast: each task
+    scores its queries against the full (normalized) corpus with one
+    chunked matmul and emits the FINISHED top-k rows — rank and
+    tie-break (cos_sim desc, neighbor_id asc) computed in numpy, so no
+    Exchange and no window rank exist downstream. Bit-identical scoring
+    to ``_tile_topk`` (same float64 normalize-then-matmul)."""
+    spark = embeddings.sparkSession
+    out_schema = f"{id_col} long, neighbor_id long, cos_sim double, rk int"
+    if isinstance(rows, tuple):
+        c_ids, c_mat = rows
+    elif not rows:
+        return spark.createDataFrame([], out_schema)
+    else:
+        c_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def topk(batches):
+        n_ids, n_mat = bc.value
+        nc = len(n_ids)
+        kk = min(k, nc)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+            # chunk so the (chunk x nc) similarity tile stays ~64 MB
+            ch = max(1, (64 << 20) // max(8 * nc, 1))
+            for lo in range(0, len(q_ids), ch):
+                hi = min(lo + ch, len(q_ids))
+                sims = q_mat[lo:hi] @ n_mat.T
+                sims[q_ids[lo:hi, None] == n_ids[None, :]] = -np.inf
+                idx = np.argpartition(sims, nc - kk, axis=1)[:, nc - kk:]
+                s = np.take_along_axis(sims, idx, axis=1)
+                # boundary ties: argpartition splits equal-sim values
+                # arbitrarily, but the contract is neighbor_id-asc among
+                # ties — rows where the selection boundary is tied are
+                # re-selected exactly (rare: distinct float sims)
+                t = s.min(axis=1)
+                with np.errstate(invalid="ignore"):
+                    n_ge = (sims >= t[:, None]).sum(axis=1)
+                for r in np.flatnonzero((n_ge > kk) & np.isfinite(t)):
+                    cand = np.flatnonzero(sims[r] >= t[r])
+                    order = np.lexsort((n_ids[cand], -sims[r][cand]))[:kk]
+                    idx[r] = cand[order]
+                    s[r] = sims[r][idx[r]]
+                nid = n_ids[idx]
+                # per-row sort by (cos_sim desc, neighbor_id asc):
+                # stable-sort by the secondary key first, then by the
+                # primary — lexicographic order, vectorized over rows
+                o1 = np.argsort(nid, axis=1, kind="stable")
+                s1 = np.take_along_axis(s, o1, axis=1)
+                n1 = np.take_along_axis(nid, o1, axis=1)
+                o2 = np.argsort(-s1, axis=1, kind="stable")
+                s2 = np.take_along_axis(s1, o2, axis=1)
+                n2 = np.take_along_axis(n1, o2, axis=1)
+                keep = (s2 > -np.inf).ravel()
+                nr = hi - lo
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(q_ids[lo:hi], kk)[keep],
+                        "neighbor_id": n2.ravel()[keep],
+                        "cos_sim": s2.ravel()[keep],
+                        "rk": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32), nr
+                        )[keep],
+                    }
+                )
+
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(topk, schema=out_schema)
+    )
 
 
 def _blas_broadcast(

@@ -65,17 +65,85 @@ def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+def _local_components(edges: DataFrame, src: str, dst: str, cap: int):
+    """Driver-side union-find over a BOUNDED edge list, or None.
+
+    A ``limit(cap+1)`` Arrow collect probes the edge count; within the
+    cap the collected pairs ARE the working set (no second pass) and a
+    path-halving DSU labels every node with the minimum member id —
+    exactly the fixpoint the distributed min-propagation loop
+    converges to, so the result relation is identical. Above the cap
+    the probe returns None and the caller runs the loop (the probe's
+    partial pass is the price of adaptivity — one bounded scan).
+
+    Rationale (round 6, guide §1.2 "the distributed algorithm"): the
+    loop costs 3-5 driver jobs minimum (sym checkpoint, label init,
+    one join+agg+convergence action per iteration) — measured ~2 s on
+    a 2.4k-edge near-dup graph where the answer is microseconds of
+    local work. Near-dup edge lists after representative bundling and
+    verification are orders of magnitude smaller than the corpus, so
+    the local path is the common case at every scale below the cap;
+    the loop remains the unbounded-scale path."""
+    lim = edges.select(src, dst).limit(cap + 1)
+    try:
+        tbl = lim.toArrow()
+        n = tbl.num_rows
+        if n > cap:
+            return None
+        a_vals = tbl.column(0).to_pylist()
+        b_vals = tbl.column(1).to_pylist()
+    except Exception:
+        rows = lim.collect()
+        if len(rows) > cap:
+            return None
+        a_vals = [r[0] for r in rows]
+        b_vals = [r[1] for r in rows]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(a_vals, b_vals):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    min_of: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in min_of or x < min_of[r]:
+            min_of[r] = x
+    spark = edges.sparkSession
+    fid_type = edges.schema[src].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("fid", fid_type), StructField("component", fid_type)]
+    )
+    data = [(x, min_of[find(x)]) for x in parent]
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "fid_a",
     dst: str = "fid_b",
-    max_iter: int = 25,
+    max_iter: int | None = None,
     on_nonconverged: str = "raise",
-    jump_after: int = 8,
+    jump_after: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     _kill_after: int | None = None,
     stats: dict | None = None,
+    local_edge_cap: int | None = None,
 ) -> DataFrame:
     """Return (fid, component) — component = min fid in the component.
 
@@ -94,6 +162,16 @@ def connected_components(
     refuse to return silently: ``on_nonconverged`` = "raise" (default)
     or "warn".
 
+    Adaptive local fast path (round 6): when every loop knob is at its
+    default (no ``max_iter``/``jump_after``/``checkpoint_dir``/
+    ``_kill_after`` override — tuning any of them opts into the
+    iterative loop and its convergence contract) and the edge list
+    fits under ``local_edge_cap`` (env RMLINT_SPARK_CC_LOCAL_EDGES,
+    default 200k), components come from a driver-side union-find over
+    one bounded Arrow collect — identical labels (min member id per
+    component), a fraction of the loop's fixed job cost. See
+    ``_local_components``.
+
     ``checkpoint_dir`` makes iterations DURABLE (the deployment-scale
     swap SCALE.md promises for localCheckpoint, which dies with the
     executors): every ``checkpoint_every``-th label state lands in
@@ -105,6 +183,27 @@ def connected_components(
     dies after N completed iterations to exercise the resume path;
     ``stats`` (optional dict) reports start_iter/iters_run."""
     from rmlint_spark.operators.exact import persistent_rdd_ids, unpersist_rdd_ids
+
+    loop_tuned = (
+        max_iter is not None
+        or jump_after is not None
+        or checkpoint_dir is not None
+        or _kill_after is not None
+    )
+    max_iter = 25 if max_iter is None else max_iter
+    jump_after = 8 if jump_after is None else jump_after
+    if not loop_tuned:
+        if local_edge_cap is None:
+            local_edge_cap = int(
+                os.environ.get("RMLINT_SPARK_CC_LOCAL_EDGES", "200000")
+            )
+        if local_edge_cap > 0:
+            local = _local_components(edges, src, dst, local_edge_cap)
+            if local is not None:
+                if stats is not None:
+                    stats["start_iter"] = 0
+                    stats["iters_run"] = 0
+                return local
 
     spark = edges.sparkSession
     _ids0 = persistent_rdd_ids(spark)

@@ -63,7 +63,7 @@ def row_index(files: DataFrame) -> DataFrame:
     )
 
 
-def representative_rows(files: DataFrame) -> DataFrame:
+def representative_rows(files: DataFrame, idx: DataFrame | None = None) -> DataFrame:
     """One row (with content) per DISTINCT content — the near-dup
     layer's working set.
 
@@ -76,8 +76,15 @@ def representative_rows(files: DataFrame) -> DataFrame:
 
     Shuffle shape: the rep-election agg moves only (sha, fid, key) —
     never content; the rep join then pulls content for winners only
-    (on Iceberg this is a semi-join pushed into the re-scan)."""
-    idx = row_index(files)
+    (on Iceberg this is a semi-join pushed into the re-scan).
+
+    ``idx``: a precomputed (ideally pinned) ``row_index`` relation —
+    callers that need the file index again downstream (the pipeline's
+    member re-expansion) pass it here so the corpus-wide sha256 pass
+    and its dedup shuffle run once per pipeline, not twice (round 6,
+    guide §2.4)."""
+    if idx is None:
+        idx = row_index(files)
     reps = idx.groupBy("sha").agg(
         F.min("fid").alias("fid"),
         F.min_by(F.struct(*KEY), F.col("fid")).alias("k"),
@@ -189,14 +196,15 @@ def with_signatures(
 
 
 def with_combined_signatures(
-    files: DataFrame, cfg: EngineConfig = DEFAULT, stop=None
+    files: DataFrame, cfg: EngineConfig = DEFAULT, stop=None, idx: DataFrame | None = None
 ) -> DataFrame:
     """(fid, repo, path, commit, sha, n_rows, sig, simhash) — both
     near-dup signatures from ONE content scan and ONE tokenize/SipHash
-    pass per Arrow batch (the pipeline hot path)."""
+    pass per Arrow batch (the pipeline hot path). ``idx``: optional
+    precomputed ``row_index`` (see ``representative_rows``)."""
     from rmlint_spark.operators.exact import _pin
 
-    reps = representative_rows(files)
+    reps = representative_rows(files, idx)
     if stop is None and cfg.sig.stop_shingle_df > 0:
         reps = _pin(reps)
         stop = stop_shingle_hashes(reps, cfg)
@@ -445,7 +453,11 @@ def jaccard_verify(
     at O(pairs) instead of twice at O(corpus). The candidate relation
     is pinned first — it is referenced by the prune AND the fetch
     join, and re-deriving a band self-join twice costs more than the
-    narrow (fid_a, fid_b) cache."""
+    narrow (fid_a, fid_b) cache. The PRUNED signature relation is
+    pinned too (round 6): both fetch joins reference it, and without
+    the pin each join re-ran the corpus-sized semi-join scan — the
+    verify stage's measured hot spot (2.1 s -> sub-second at the 50k-
+    sig bench corpus)."""
     from rmlint_spark.operators.exact import _pin
 
     pairs = _pin(pairs.select("fid_a", "fid_b"))
@@ -455,7 +467,7 @@ def jaccard_verify(
         .union(pairs.select(F.col("fid_b").alias("fid")))
         .distinct()
     )
-    sigs = sigs.join(pair_ids, "fid", "leftsemi")
+    sigs = _pin(sigs.join(pair_ids, "fid", "leftsemi"))
     joined = (
         pairs.select("fid_a", "fid_b")
         .join(sigs.withColumnRenamed("fid", "fid_a").withColumnRenamed("sig", "sig_a"), "fid_a")

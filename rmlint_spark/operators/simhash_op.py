@@ -49,6 +49,44 @@ def simhash_blocks(sims: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     return sims.select("fid", F.posexplode(F.expr(expr)).alias("block_id", "block_value"))
 
 
+def _blocks_with_sig(sims: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """``simhash_blocks`` variant that keeps the signature on each
+    exploded row — same rows, one extra 8-byte column, no join."""
+    nblocks = cfg.sig.simhash_blocks
+    width = cfg.sig.simhash_bits // nblocks
+    mask = (1 << width) - 1
+    expr = (
+        f"transform(sequence(0, {nblocks - 1}), "
+        f"b -> shiftright(simhash, b * {width}) & {mask}L)"
+    )
+    return sims.select(
+        "fid", "simhash", F.posexplode(F.expr(expr)).alias("block_id", "block_value")
+    )
+
+
+def _struct_pairs(buckets: DataFrame) -> DataFrame:
+    """(fid_a, sh_a, fid_b, sh_b) pairs from a gathered-bucket relation
+    whose ``_members`` array holds (fid, simhash) structs: the 8-byte
+    signature rides the bucket gather, so the pair expansion emits both
+    signatures inline and the former two corpus-wide fetch joins
+    disappear (round 6, guide §2.4). NOT deduplicated across buckets."""
+    return (
+        buckets.select(F.explode("_members").alias("_a"), "_members")
+        .select(
+            "_a",
+            F.explode(
+                F.filter("_members", lambda y: y["fid"] > F.col("_a.fid"))
+            ).alias("_b"),
+        )
+        .select(
+            F.col("_a.fid").alias("fid_a"),
+            F.col("_a.simhash").alias("sh_a"),
+            F.col("_b.fid").alias("fid_b"),
+            F.col("_b.simhash").alias("sh_b"),
+        )
+    )
+
+
 def simhash_candidates(
     sims: DataFrame, cfg: EngineConfig = DEFAULT
 ) -> tuple[DataFrame, DataFrame]:
@@ -69,26 +107,29 @@ def simhash_candidates(
     oversized members only.
     """
     from rmlint_spark.operators.exact import _pin
-    from rmlint_spark.operators.lsh import _PROBE_CAP, _bucket_pairs
+    from rmlint_spark.operators.lsh import _PROBE_CAP
 
     spark = sims.sparkSession
-    # the narrow (fid, simhash) projection is referenced by the block
-    # explode AND both verification fetch joins below — pin it so an
+    # the narrow (fid, simhash) projection feeds the block explode; an
     # UNCACHED ``sims`` lineage (bench lane: representative_rows + the
-    # signature UDF) runs once, not three times (round 6; the
-    # jaccard_verify signature-prune discipline)
+    # signature UDF) must run once, not per reference (round 6)
     s = _pin(sims.select("fid", "simhash"))
     # ONE collect_list aggregation gathers block buckets (round 6,
     # guide §2.3/§2.4 — same restructure as lsh.candidate_pairs):
     # width = size(members) rides the gathered row, so the separate
     # width aggregation, the over-key anti/semi joins, and the two-
     # sided candidate equi-join all collapse into filters + in-bucket
-    # array expansion over this one pinned relation. The block
-    # relation crosses the network once instead of three times.
+    # array expansion over this one pinned relation. Members are
+    # (fid, simhash) STRUCTS — carrying the 8-byte signature through
+    # the gather lets the pair expansion emit both signatures inline,
+    # so the hamming gate runs BEFORE pair dedup and the former two
+    # corpus-wide fetch joins (plus a 100x-larger dedup input:
+    # ~160k candidate rows vs ~4k hamming survivors at the 50k-doc
+    # bench corpus) disappear (guide §2.3/§2.4).
     buckets = _pin(
-        simhash_blocks(s, cfg)
+        _blocks_with_sig(s, cfg)
         .groupBy("block_id", "block_value")
-        .agg(F.collect_list("fid").alias("_members"))
+        .agg(F.collect_list(F.struct("fid", "simhash")).alias("_members"))
     )
     over = buckets.filter(F.size("_members") > cfg.simhash_max_bucket_width)
     over_rows = (
@@ -100,32 +141,32 @@ def simhash_candidates(
     )
     none_over = not over_rows
     ok = buckets.filter(F.size("_members") <= cfg.simhash_max_bucket_width)
-    cand = _bucket_pairs(ok)
+    cand = _struct_pairs(ok)
     dropped_schema = "block_id int, block_value bigint, width bigint, level int"
     if none_over:
         dropped = spark.createDataFrame([], dropped_schema)
     elif cfg.simhash_escalate:
         esc_members = over.select(
-            "block_id", "block_value", F.explode("_members").alias("fid")
-        )
+            "block_id", "block_value", F.explode("_members").alias("_m")
+        ).select("block_id", "block_value", "_m.fid", "_m.simhash")
         # flat partner rows re-derive from the PINNED bucket arrays —
         # never from the signature UDF again
         partners = buckets.select(
             F.col("block_id").alias("partner_id"),
             F.col("block_value").alias("partner_value"),
-            F.explode("_members").alias("fid"),
-        )
+            F.explode("_members").alias("_m"),
+        ).select("partner_id", "partner_value", "_m.fid")
         k2 = ["block_id", "block_value", "partner_id", "partner_value"]
         esc_cap = min(cfg.simhash_escalate_cap, cfg.simhash_max_bucket_width)
         esc_buckets = _pin(
             esc_members.join(partners, "fid")
             .filter(F.col("partner_id") != F.col("block_id"))
             .groupBy(*k2)
-            .agg(F.collect_list("fid").alias("_members"))
+            .agg(F.collect_list(F.struct("fid", "simhash")).alias("_members"))
         )
         over2 = esc_buckets.filter(F.size("_members") > esc_cap)
         cand = cand.unionByName(
-            _bucket_pairs(esc_buckets.filter(F.size("_members") <= esc_cap))
+            _struct_pairs(esc_buckets.filter(F.size("_members") <= esc_cap))
         )
         dropped = over2.select(
             "block_id",
@@ -147,12 +188,10 @@ def simhash_candidates(
                 F.lit(0).alias("level"),
             )
         )
-    cand = cand.dropDuplicates(["fid_a", "fid_b"])
     joined = (
-        cand.join(s.withColumnRenamed("fid", "fid_a").withColumnRenamed("simhash", "sh_a"), "fid_a")
-        .join(s.withColumnRenamed("fid", "fid_b").withColumnRenamed("simhash", "sh_b"), "fid_b")
-        .withColumn("hamming", hamming(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn("hamming", hamming(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= cfg.sig.simhash_max_hamming)
         .select("fid_a", "fid_b", "hamming")
+        .dropDuplicates(["fid_a", "fid_b"])
     )
     return joined, dropped

@@ -60,6 +60,18 @@ def window_hash_udf(window: int, stride: int):
     return _wh
 
 
+def _spread(files: DataFrame) -> DataFrame:
+    """Repartition the (single-row-group, hence single-task) corpus
+    scan before the per-row-CPU-heavy window UDF (guide §2.5 input-skew
+    fix — the same explicit spread as ``lsh.representative_rows``; AQE
+    size-based coalescing would otherwise serialize the kernel on 1-2
+    scan partitions). Keyed on the row key, so the spread is
+    deterministic under retries."""
+    spark = files.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 16)
+    return files.repartition(n_part, "repo", "path", "commit")
+
+
 def window_index(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """The inverted index: distinct (fid, whash) rows, one per file x
     window-hash. No raw-row dedup: fid is key-derived, so path-double
@@ -67,7 +79,7 @@ def window_index(files: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     dropDuplicates collapses — content never crosses a dedup shuffle."""
     udf = window_hash_udf(cfg.sig.substr_window, cfg.sig.substr_stride)
     return (
-        files.filter(F.length("content") >= 16)
+        _spread(files.filter(F.length("content") >= 16))
         .select(file_id().alias("fid"), F.explode(udf(F.col("content"))).alias("whash"))
         .dropDuplicates(["fid", "whash"])
     )
@@ -125,7 +137,7 @@ def substring_clones(
     unchanged."""
     udf = window_hash_udf(cfg.sig.substr_window, cfg.sig.substr_stride)
     raw = (
-        files.filter(F.length("content") >= 16)
+        _spread(files.filter(F.length("content") >= 16))
         .select(file_id().alias("fid"), F.explode(udf(F.col("content"))).alias("whash"))
     )
     return clone_pairs(raw, cfg, min_shared)

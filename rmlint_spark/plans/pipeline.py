@@ -26,9 +26,9 @@ from rmlint_spark.operators import exact as EX
 from rmlint_spark.operators.connected_components import connected_components
 from rmlint_spark.operators.lint import KEY
 from rmlint_spark.operators.lsh import (
+    candidate_pairs,
     jaccard_verify,
     row_index,
-    verified_pairs,
     with_combined_signatures,
 )
 from rmlint_spark.operators.rank import tag_originals
@@ -68,31 +68,40 @@ def run_pipeline(
     # and no explicit exact-edge list is needed — members re-attach
     # via sha after clustering. Both signatures come from ONE content
     # scan (combined UDF); the cache holds only (keys, sig, simhash).
-    sigs = with_combined_signatures(files, cfg).cache()
-    relaxed = replace(cfg, jaccard_threshold=max(0.0, cfg.jaccard_threshold - VERIFY_MARGIN))
-    mh_pairs, over_mh = verified_pairs(sigs, relaxed)
+    # the file index feeds BOTH the representative election and the
+    # member re-expansion below — pin it so the corpus sha256 pass and
+    # its dedup shuffle run once per pipeline (round 6, guide §2.4)
+    from rmlint_spark.operators.exact import _pin
 
-    edges = mh_pairs.select("fid_a", "fid_b")
+    idx = _pin(row_index(files))
+    sigs = with_combined_signatures(files, cfg, idx=idx).cache()
+    relaxed = replace(cfg, jaccard_threshold=max(0.0, cfg.jaccard_threshold - VERIFY_MARGIN))
+    cand, over_mh = candidate_pairs(sigs, relaxed)
+
     oversized = over_mh.select(F.lit("minhash_band").alias("kind"), F.col("width"))
     if use_simhash:
         sh_cand, over_sh = simhash_candidates(sigs, cfg)
         # unified verification: SimHash candidates must clear the same
         # estimated-Jaccard bar (SimHash proximity alone is too weak on
-        # short same-vocab docs — the pathological collision bucket)
-        sh_pairs = jaccard_verify(sh_cand, sigs, relaxed.jaccard_threshold)
-        edges = edges.union(sh_pairs.select("fid_a", "fid_b"))
+        # short same-vocab docs — the pathological collision bucket).
+        # Both lanes clear the SAME relaxed threshold, so the union is
+        # deduplicated once and verified ONCE (round 6, guide §2.4):
+        # the former per-lane verify ran the pin/prune/fetch-join
+        # cascade twice and deduplicated the union again afterwards —
+        # identical edge set, one verify stage and one exchange fewer.
+        cand = cand.unionByName(sh_cand.select("fid_a", "fid_b"))
         oversized = oversized.union(
             over_sh.select(F.lit("simhash_block").alias("kind"), F.col("width"))
         )
+    verified = jaccard_verify(
+        cand.dropDuplicates(["fid_a", "fid_b"]), sigs, relaxed.jaccard_threshold
+    )
     # narrow (fid_a, fid_b) relation referenced by CC, the result
     # object, and callers' counts — pin it so the band/verify joins
     # run once
-    from rmlint_spark.operators.exact import _pin
-
-    edges = _pin(edges.dropDuplicates(["fid_a", "fid_b"]))
+    edges = _pin(verified.select("fid_a", "fid_b"))
 
     reps = sigs.select("sha", "fid", "n_rows")
-    idx = row_index(files)
     if lineage_dir:
         spark = files.sparkSession
         edges.write.mode("overwrite").parquet(f"{lineage_dir}/edges")
