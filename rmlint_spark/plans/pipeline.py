@@ -76,11 +76,29 @@ def run_pipeline(
     idx = _pin(row_index(files))
     sigs = with_combined_signatures(files, cfg, idx=idx).cache()
     relaxed = replace(cfg, jaccard_threshold=max(0.0, cfg.jaccard_threshold - VERIFY_MARGIN))
-    cand, over_mh = candidate_pairs(sigs, relaxed)
+    if use_simhash:
+        # the LSH band lane and the SimHash block lane are independent
+        # jobs over the same cached signature relation, and each ends
+        # in a blocking driver probe (the over-cap bucket collect) —
+        # running them from two driver threads lets the second lane's
+        # tasks back-fill the first lane's stragglers instead of
+        # serializing behind its probe (guide §2.6; Spark's cache
+        # locking computes each sigs partition once across the races)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        _itt = inheritable_thread_target(files.sparkSession)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_mh = pool.submit(_itt(lambda: candidate_pairs(sigs, relaxed)))
+            f_sh = pool.submit(_itt(lambda: simhash_candidates(sigs, cfg)))
+            cand, over_mh = f_mh.result()
+            sh_cand, over_sh = f_sh.result()
+    else:
+        cand, over_mh = candidate_pairs(sigs, relaxed)
 
     oversized = over_mh.select(F.lit("minhash_band").alias("kind"), F.col("width"))
     if use_simhash:
-        sh_cand, over_sh = simhash_candidates(sigs, cfg)
         # unified verification: SimHash candidates must clear the same
         # estimated-Jaccard bar (SimHash proximity alone is too weak on
         # short same-vocab docs — the pathological collision bucket).
