@@ -128,8 +128,15 @@ def _local_components(edges: DataFrame, src: str, dst: str, cap: int):
     schema = StructType(
         [StructField("fid", fid_type), StructField("component", fid_type)]
     )
-    data = [(x, min_of[find(x)]) for x in parent]
-    return spark.createDataFrame(data, schema)
+    nodes = list(parent)
+    import pandas as _pd
+
+    # pandas input rides the Arrow conversion path (guide §6 "Arrow for
+    # driver transfers") — the tuple-list path pickles row by row
+    pdf = _pd.DataFrame(
+        {"fid": nodes, "component": [min_of[find(x)] for x in nodes]}
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def connected_components(
