@@ -93,7 +93,14 @@ def test_cc_path_graph_converges_with_changed_count(spark):
         [(i, i + 1) for i in range(9)] + [(100, 101)], "fid_a long, fid_b long"
     )
     stats: dict = {}
-    out = sorted(map(tuple, connected_components(edges, stats=stats).collect()))
+    # local_edge_cap=0 opts out of the round-6 union-find fast path:
+    # this test pins the LOOP's changed-count convergence mechanics
+    out = sorted(
+        map(
+            tuple,
+            connected_components(edges, stats=stats, local_edge_cap=0).collect(),
+        )
+    )
     assert out == [(i, 0) for i in range(10)] + [(100, 100), (101, 100)]
     assert stats["iters_run"] >= 2  # path needs > 1 propagation round
 
@@ -106,6 +113,13 @@ def test_cc_single_edge_two_actions_worth_of_iterations(spark):
 
     edges = spark.createDataFrame([(7, 3)], "fid_a long, fid_b long")
     stats: dict = {}
-    out = sorted(map(tuple, connected_components(edges, stats=stats).collect()))
+    # local_edge_cap=0 opts out of the round-6 union-find fast path
+    # (loop-mechanics pin, as above)
+    out = sorted(
+        map(
+            tuple,
+            connected_components(edges, stats=stats, local_edge_cap=0).collect(),
+        )
+    )
     assert out == [(3, 3), (7, 3)]
     assert stats["iters_run"] == 2
