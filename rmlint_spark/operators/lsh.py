@@ -462,12 +462,25 @@ def jaccard_verify(
 
     pairs = _pin(pairs.select("fid_a", "fid_b"))
     sigs = signatures.select("fid", "sig")
-    pair_ids = (
-        pairs.select(F.col("fid_a").alias("fid"))
-        .union(pairs.select(F.col("fid_b").alias("fid")))
-        .distinct()
-    )
-    sigs = _pin(sigs.join(pair_ids, "fid", "leftsemi"))
+    # Adaptive prune (round 6): when the pinned pair relation is small
+    # enough to BROADCAST, the fetch joins never shuffle sigs at all
+    # (broadcast-hash, build = pairs) — the prune's whole purpose is
+    # the over-broadcast regime where sigs would otherwise shuffle at
+    # O(corpus), so below the threshold its union/distinct/semi-join
+    # stages are pure overhead and are skipped. One count on the
+    # pinned relation decides (env RMLINT_SPARK_VERIFY_PRUNE_MIN,
+    # default 500k pairs ~ 35 MB broadcast-framed — under the 64 MB
+    # session autoBroadcast threshold).
+    import os as _os
+
+    prune_min = int(_os.environ.get("RMLINT_SPARK_VERIFY_PRUNE_MIN", "500000"))
+    if pairs.count() >= prune_min:
+        pair_ids = (
+            pairs.select(F.col("fid_a").alias("fid"))
+            .union(pairs.select(F.col("fid_b").alias("fid")))
+            .distinct()
+        )
+        sigs = _pin(sigs.join(pair_ids, "fid", "leftsemi"))
     joined = (
         pairs.select("fid_a", "fid_b")
         .join(sigs.withColumnRenamed("fid", "fid_a").withColumnRenamed("sig", "sig_a"), "fid_a")
